@@ -1,0 +1,72 @@
+"""Flagship pipeline: transcripts -> knowledge-graph triples/nodes/edges.
+
+The Ray-Data re-expression of the reference's ``POST /`` inference cascade
+(``fast_api.py:29-56``: get_ner_predictions -> get_re_predictions ->
+get_long_relation_table), streamed over Arrow blocks:
+
+    read_parquet(transcripts)                    [column-pruned scan]
+      -> groupby(conv_id) assembly               [the one required shuffle]
+      -> map_batches(CandidateGenerator, actors) [NER + window + pair + mask]
+      -> map_batches(RelationScorer, actors)     [RE scoring, keep pred==1]
+      -> map_batches(triples projection)
+      -> local distinct + groupby dedup          [exact triple dedup]
+
+Every arrow is a streaming stage with backpressure; nothing materializes
+the corpus. ``run`` returns the deduped triples Dataset; ``materialize_graph``
+additionally writes partitioned nodes/edges Parquet.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import ray.data
+
+from ..stages import assembly, candidates, canonicalize, relations
+
+
+def documents(sf_transcripts_path: str) -> "ray.data.Dataset":
+    return assembly.assemble(assembly.read_transcripts(sf_transcripts_path))
+
+
+def run(
+    transcripts_path: str,
+    scorer_factory: Optional[Callable] = None,
+    concurrency: "Optional[int]" = None,
+    dedup: bool = True,
+) -> "ray.data.Dataset":
+    """transcripts parquet -> deduped triples Dataset (TRIPLES schema)."""
+    docs = documents(transcripts_path)
+    cands = candidates.generate(docs, concurrency=concurrency)
+    edges = relations.score(cands, scorer_factory=scorer_factory, concurrency=concurrency)
+    trip = relations.triples(edges)
+    return relations.distinct_triples(trip) if dedup else trip
+
+
+def materialize_graph(
+    transcripts_path: str,
+    out_dir: str,
+    scorer_factory: Optional[Callable] = None,
+    concurrency: "Optional[int]" = None,
+) -> dict:
+    """Full graph materialization to partitioned Parquet (SURVEY.md S14
+    analog): ``{out}/triples/``, ``{out}/nodes/``, ``{out}/edges/``.
+
+    Output is partitioned by the writer into multiple files (one per block),
+    so a rerun of a failed job can resume per-partition (state/checkpoint).
+    """
+    docs = documents(transcripts_path)
+    cands = candidates.generate(docs, concurrency=concurrency)
+    edges = relations.score(cands, scorer_factory=scorer_factory, concurrency=concurrency)
+    trip = relations.distinct_triples(relations.triples(edges))
+    trip.write_parquet(f"{out_dir}/triples")
+
+    # mentions for the node table come from the same detector state
+    from ..stages import mentions as mentions_stage
+
+    ment = mentions_stage.detect(docs, concurrency=concurrency)
+    nodes, surface_map = canonicalize.build_nodes(ment)
+    nodes.write_parquet(f"{out_dir}/nodes")
+    linked = canonicalize.link_mentions(ment, surface_map)
+    linked.write_parquet(f"{out_dir}/mentions")
+    return {"out_dir": out_dir}

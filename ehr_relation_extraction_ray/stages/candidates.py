@@ -1,0 +1,116 @@
+"""Fused extraction: documents -> RE candidate pairs.
+
+One actor-pool ``map_batches`` stage computes, per document: dictionary
+mention detection, token spans, split points, RE char windows, and the
+masked drug x non-drug candidate pairs. Fusing these avoids a
+``doc_id``-keyed shuffle join between mentions and documents — the
+reference does the same work per record in one pass
+(``generate_re_test_file``, ``biobert_re/utils_re.py:369-439``), we do it
+per batch with the regex state held once per actor.
+
+Pair generation is quadratic per window but bounded: windows are at most
+``max_len`` tokens (ehr.py:353-432), so the candidate count per window is
+O(drugs x others) within ~128 tokens. ``max_pairs_per_window`` guards
+pathological dense windows with an explicit cap + overflow counter rather
+than silent truncation (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.chunking import char_windows, split_points
+from ..functions.ner import detect_mentions
+from ..functions.pairs import window_candidates
+from ..functions.tokenize import token_spans
+from ..lexicon import DEFAULT_LEXICON, compile_patterns, find_mentions, fit_patterns
+from ..schemas import CANDIDATES, validate
+
+RE_MAX_LEN = 128  # BIOBERT_RE_SEQ_LEN (predict.py:33, utils_re.py:370)
+
+
+class CandidateGenerator:
+    """documents batch -> CANDIDATES rows; regex state per actor."""
+
+    def __init__(
+        self,
+        patterns: Optional[Dict[str, str]] = None,
+        max_len: int = RE_MAX_LEN,
+        max_pairs_per_window: int = 10_000,
+    ):
+        self.compiled = compile_patterns(patterns or fit_patterns(DEFAULT_LEXICON))
+        self.max_len = max_len
+        self.max_pairs = max_pairs_per_window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: Dict[str, List] = {k: [] for k in CANDIDATES.names}
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            mentions = detect_mentions(text, find_mentions(text, self.compiled))
+            if not mentions:
+                continue
+            starts, ends = token_spans(text)
+            split = split_points(text, starts, max_len=self.max_len)
+            windows = char_windows(text, split, ends)
+            for row in window_candidates(
+                text, windows, mentions, max_pairs_per_window=self.max_pairs
+            ):
+                cols["doc_id"].append(doc_id)
+                cols["win_idx"].append(row["win_idx"])
+                cols["cand_idx"].append(row["cand_idx"])
+                cols["rel_type"].append(row["rel_type"])
+                cols["subj_id"].append(row["subj_id"])
+                cols["subj_text"].append(row["subj_text"])
+                cols["obj_id"].append(row["obj_id"])
+                cols["obj_text"].append(row["obj_text"])
+                cols["masked_text"].append(row["masked_text"])
+        arrays = [pa.array(cols[f.name], f.type) for f in CANDIDATES]
+        return pa.Table.from_arrays(arrays, schema=CANDIDATES)
+
+
+_DEFAULT_GENERATOR: Optional[CandidateGenerator] = None
+
+
+def _default_generator_batch(batch: pa.Table) -> pa.Table:
+    # Stateless-task path: the compiled-regex state is cheap (<1 ms) and
+    # cached once per worker *process* (module global), giving actor-style
+    # amortization without reserving CPUs — elastic tasks can't starve the
+    # shuffle stages. Heavy model detectors use the actor-pool path below.
+    global _DEFAULT_GENERATOR
+    if _DEFAULT_GENERATOR is None:
+        _DEFAULT_GENERATOR = CandidateGenerator()
+    return _DEFAULT_GENERATOR(batch)
+
+
+def generate(
+    documents: "ray.data.Dataset",
+    patterns: Optional[Dict[str, str]] = None,
+    concurrency: Optional[int] = None,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """documents Dataset -> candidates Dataset (CANDIDATES schema).
+
+    Default: stateless tasks (cached per-process state). Pass ``patterns``
+    and/or ``concurrency`` to pin an actor pool instead (model-scale state);
+    size it to leave CPUs for the shuffle stages (ray_guide: a pool that
+    reserves every CPU deadlocks the pipeline).
+    """
+    if patterns is None and concurrency is None:
+        return documents.map_batches(
+            _default_generator_batch,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    return documents.map_batches(
+        CandidateGenerator,
+        fn_constructor_kwargs={"patterns": patterns},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or 4,
+        num_cpus=1,
+    )

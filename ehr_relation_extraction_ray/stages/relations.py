@@ -1,0 +1,132 @@
+"""Relation scoring: candidates -> edges -> triples (+ exact dedup).
+
+* Scoring mirrors ``get_re_predictions`` (``predict.py:355-388``): score
+  every masked candidate, keep ``pred == 1``. The scorer is
+  constructor-injected (surrogate rule or BioBERT actor, SURVEY.md A3).
+* Edge ids: the reference renumbers kept relations ``R%d`` sequentially per
+  document (``predict.py:379-385``) — an order-dependent, presentation-only
+  id. The engine instead derives ``rel_id = "R" + cand_idx`` from the
+  candidate's content-stable per-document index so output is identical at
+  any parallelism (SURVEY.md M19); triples never carry the id.
+* Triples: ``get_long_relation_table`` projection (``utils.py:497-530``) —
+  subj is always the Drug side (``utils.py:517-526``; candidates already
+  normalize this at generation, ``utils.py:465-470``), ``pred`` is the
+  relation type's entity prefix (``utils.py:527``).
+* Exact dedup == long-table ``drop_duplicates`` (``utils.py:553``): a
+  batch-local Arrow distinct (combiner) followed by one hash-shuffle
+  ``groupby`` over the already-thinned rows — the pre-aggregate pattern, so
+  the all-to-all exchange moves distinct keys, not raw rows.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..functions.rescore import SurrogateScorer
+from ..schemas import EDGES, TRIPLES, validate
+
+TRIPLE_KEY = ["doc_id", "subj_id", "subj", "pred", "obj"]
+
+
+class RelationScorer:
+    """Actor-pool callable: candidates batch -> edges rows (pred==1)."""
+
+    def __init__(self, scorer_factory: Optional[Callable] = None):
+        self.scorer = (scorer_factory or SurrogateScorer)()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = self.scorer(batch["masked_text"].to_pylist())
+        kept = batch.filter(pa.array(np.asarray(preds) == 1))
+        rel_ids = pc.binary_join_element_wise(
+            "R", pc.cast(kept["cand_idx"], pa.string()), ""
+        )
+        out = pa.table(
+            {
+                "doc_id": kept["doc_id"],
+                "rel_id": rel_ids,
+                "rel_type": kept["rel_type"],
+                "subj_id": kept["subj_id"],
+                "subj_text": kept["subj_text"],
+                "obj_id": kept["obj_id"],
+                "obj_text": kept["obj_text"],
+            }
+        )
+        return validate(out, EDGES, "edges")
+
+
+_DEFAULT_SCORER: Optional[RelationScorer] = None
+
+
+def _default_scorer_batch(batch: pa.Table) -> pa.Table:
+    # Stateless-task path, per-process cached state (see candidates.py).
+    global _DEFAULT_SCORER
+    if _DEFAULT_SCORER is None:
+        _DEFAULT_SCORER = RelationScorer()
+    return _DEFAULT_SCORER(batch)
+
+
+def score(
+    candidates: "ray.data.Dataset",
+    scorer_factory: Optional[Callable] = None,
+    concurrency: Optional[int] = None,
+    batch_size: int = 4096,
+) -> "ray.data.Dataset":
+    """candidates Dataset -> edges Dataset (EDGES schema).
+
+    Default surrogate scorer runs as stateless tasks; a model-backed
+    ``scorer_factory`` (e.g. HFScorer, heavy ``__init__``) gets an actor
+    pool — size ``concurrency`` to leave CPUs for the shuffle stages.
+    """
+    if scorer_factory is None and concurrency is None:
+        return candidates.map_batches(
+            _default_scorer_batch,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    return candidates.map_batches(
+        RelationScorer,
+        fn_constructor_kwargs={"scorer_factory": scorer_factory},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or 4,
+        num_cpus=1,
+    )
+
+
+def triples_batch(batch: pa.Table) -> pa.Table:
+    """edges batch -> TRIPLES rows (utils.py:497-530 projection)."""
+    pred = pc.list_element(pc.split_pattern(batch["rel_type"], "-"), 0)
+    out = pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "subj_id": batch["subj_id"],
+            "subj": batch["subj_text"],
+            "pred": pred,
+            "obj": batch["obj_text"],
+        }
+    )
+    return validate(out, TRIPLES, "triples")
+
+
+def triples(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    return edges.map_batches(triples_batch, batch_format="pyarrow")
+
+
+def _local_distinct(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:
+        return batch
+    return batch.group_by(TRIPLE_KEY, use_threads=False).aggregate([])
+
+
+def distinct_triples(trip: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact triple dedup (utils.py:553): combiner + hash-shuffle groupby."""
+    thinned = trip.map_batches(_local_distinct, batch_format="pyarrow")
+    return thinned.groupby(TRIPLE_KEY).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )

@@ -1,0 +1,54 @@
+"""End-to-end conformance: Ray pipeline triple set == reference semantics.
+
+The north-rule gate: the engine's emitted (subj, pred, obj) set must match
+the reference-semantics output at P/R >= 0.95 (here: exactly), at any
+parallelism.
+"""
+
+import ray.data
+
+from ehr_relation_extraction_ray import synth
+from ehr_relation_extraction_ray.pipelines import kg
+from ehr_relation_extraction_ray.stages import assembly, candidates, relations
+from refsem import assemble_serial, reference_triples
+
+
+def _ray_triples(table, n_blocks):
+    ds = ray.data.from_arrow(table).repartition(n_blocks)
+    docs = assembly.assemble(ds)
+    cands = candidates.generate(docs, batch_size=8)
+    edges = relations.score(cands, batch_size=64)
+    trip = relations.distinct_triples(relations.triples(edges))
+    df = trip.to_pandas()
+    return set(map(tuple, df.itertuples(index=False)))
+
+
+def test_triples_match_reference_semantics():
+    table = synth.generate_table(n_convs=30, seed=11)
+    expected = reference_triples(assemble_serial(table.to_pylist()))
+    got = _ray_triples(table, n_blocks=4)
+    assert len(expected) > 50, "fixture too small to be meaningful"
+    tp = len(got & expected)
+    precision = tp / max(len(got), 1)
+    recall = tp / max(len(expected), 1)
+    assert precision == 1.0 and recall == 1.0, (
+        f"P={precision:.4f} R={recall:.4f} "
+        f"only_ray={list(got - expected)[:3]} only_ref={list(expected - got)[:3]}"
+    )
+
+
+def test_triples_invariant_under_parallelism():
+    table = synth.generate_table(n_convs=12, seed=5)
+    assert _ray_triples(table, 1) == _ray_triples(table, 8)
+
+
+def test_entry_pipeline_runs(tmp_path):
+    import pyarrow.parquet as pq
+
+    table = synth.generate_table(n_convs=8, seed=2)
+    path = str(tmp_path / "transcripts.parquet")
+    pq.write_table(table, path)
+    trip = kg.run(path)
+    df = trip.to_pandas()
+    assert set(df.columns) == {"doc_id", "subj_id", "subj", "pred", "obj"}
+    assert len(df) == len(df.drop_duplicates())
