@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ``ray.init``/``ray.shutdown``. Each ``queries()`` callable takes
+``sf_dir`` and returns a pandas DataFrame; ``oracle_sql()`` provides the
+DuckDB-equivalent SQL (same column names). Transcript/media-based queries
+synthesize their deterministic inputs under /tmp (atomic, idempotent) —
+``oracle_sql()`` triggers the same generation so the SQL's
+``read_parquet('/tmp/...')`` always sees the file regardless of call order.
 """
 
 from __future__ import annotations
@@ -18,27 +14,211 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_CORRECTNESS_DIR = "/root/testdata/sf0.01"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG pipeline on sf0.001: transcripts -> deduped triples."""
+    from ehr_relation_extraction_ray import synth
+    from ehr_relation_extraction_ray.pipelines import kg
+
+    path = synth.transcripts_path("/root/testdata/sf0.001")
+    return kg.run(path).to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ehr_relation_extraction_ray.pipelines import queries as q
+    from ehr_relation_extraction_ray.pipelines import relational as r
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # knowledge-graph pipeline (synthesized transcripts)
+        "kg_assembly": q.kg_assembly,
+        "kg_mentions": q.kg_mentions,
+        "kg_windows": q.kg_windows,
+        "kg_triples": q.kg_triples,
+        "kg_wide_table": q.kg_wide_table,
+        "kg_nodes": q.kg_nodes,
+        # relational operator core (testdata star schema)
+        "agg_lineitem": r.agg_lineitem,
+        "join_orders_customer": r.join_orders_customer,
+        "topk_orders": r.topk_orders,
+        "event_type_counts": r.event_type_counts,
+        "filtered_revenue": r.filtered_revenue,
+        "sessionize_events": r.sessionize_events,
+        "nation_region_join": r.nation_region_join,
+        # training-data ops (documents / embeddings / media)
+        "docs_exact_dedup": q.docs_exact_dedup,
+        "docs_stats": q.docs_stats,
+        "docs_quality": q.docs_quality,
+        "docs_ngram_jaccard": q.docs_ngram_jaccard,
+        "docs_minhash_pairs": q.docs_minhash_pairs,
+        "docs_simhash_pairs": q.docs_simhash_pairs,
+        "embeddings_topk": q.embeddings_topk,
+        "embeddings_ivf_topk": q.embeddings_ivf_topk,
+        "media_features": q.media_features,
+    }
+
+
+def _transcripts_sql_path() -> str:
+    from ehr_relation_extraction_ray import synth
+
+    return synth.transcripts_path(SF_CORRECTNESS_DIR)
+
+
+def _media_sql_path() -> str:
+    from ehr_relation_extraction_ray.pipelines import queries as q
+
+    return q.media_path(SF_CORRECTNESS_DIR)
+
+
+def _mentions_sql(tp: str) -> str:
+    """Per-type regexp_extract_all UNION, mirroring the dictionary NER
+    (delimiter-trim via substr; DuckDB RE2 alternation semantics verified
+    to match Python re for these patterns)."""
+    from ehr_relation_extraction_ray.lexicon import DEFAULT_LEXICON, fit_patterns
+
+    patterns = fit_patterns(DEFAULT_LEXICON)
+    selects = []
+    for ent_type, pat in patterns.items():
+        tag = f"$p{len(selects)}$"
+        selects.append(
+            f"SELECT '{ent_type}' AS ent_type, "
+            f"unnest(regexp_extract_all(text, {tag}{pat}{tag}, 0, 'i')) AS raw "
+            f"FROM docs"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH docs AS (
+  SELECT conv_id, string_agg(COALESCE(text,''), chr(10)||chr(10) ORDER BY turn_idx) AS text
+  FROM read_parquet('{tp}') GROUP BY conv_id
+), m AS ({union})
+SELECT ent_type,
+       count(*) AS n_mentions,
+       count(DISTINCT substr(raw, 2, length(raw) - 2)) AS n_surfaces
+FROM m GROUP BY ent_type ORDER BY ent_type
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tp = _transcripts_sql_path()
+    mp = _media_sql_path()
+    return {
+        "kg_assembly": f"""
+SELECT conv_id AS doc_id, count(*) AS n_turns,
+       md5(string_agg(COALESCE(text,''), chr(10)||chr(10) ORDER BY turn_idx)) AS text_md5
+FROM read_parquet('{tp}') GROUP BY conv_id ORDER BY doc_id
+""",
+        "kg_mentions": _mentions_sql(tp),
+        "agg_lineitem": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "join_orders_customer": """
+SELECT c_mktsegment,
+       round(sum(o_totalprice), 2) AS segment_revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+        "topk_orders": """
+SELECT o_orderkey, o_totalprice,
+       row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+        "event_type_counts": """
+SELECT event_type, round(sum(value), 2) AS sum_value, count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "filtered_revenue": """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+       count(*) AS n_rows
+FROM lineitem WHERE l_quantity > 10 AND l_discount < 0.05
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+        "sessionize_events": """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts - lag(ts) OVER w) > 240*60 THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions, sum(n)::BIGINT AS n_events,
+       max(n) AS max_session_events
+FROM per_session GROUP BY user_id ORDER BY user_id
+""",
+        "nation_region_join": """
+SELECT r_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS sum_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+""",
+        "docs_exact_dedup": """
+SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY text ORDER BY keep_id
+""",
+        "docs_stats": r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       length(regexp_extract_all(text, '\S+')) AS n_tokens,
+       md5(text) AS md5
+FROM documents ORDER BY doc_id
+""",
+        "docs_ngram_jaccard": r"""
+WITH words AS (SELECT doc_id::VARCHAR AS doc_id, string_split_regex(lower(text), '\s+') AS w
+               FROM documents WHERE length(trim(text)) > 0),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+                   i -> array_to_string(w[i:i+4], ' '))) AS shingle
+    FROM words)
+),
+df_ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64),
+shf AS (SELECT sh.* FROM sh JOIN df_ok USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM shf a JOIN shf b USING (shingle) WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+ORDER BY doc_a, doc_b
+""",
+        "embeddings_topk": """
+WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+sims AS (
+  SELECT qv.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, qv.qe) AS score
+  FROM embeddings e CROSS JOIN qv
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM sims) t
+WHERE rank <= 5 ORDER BY query_id, rank
+""",
+        "media_features": f"""
+SELECT kind, count(*) AS n_media, sum(octet_length(payload))::BIGINT AS sum_bytes
+FROM read_parquet('{mp}') GROUP BY kind ORDER BY kind
+""",
+        # kg_windows / kg_triples / kg_wide_table / kg_nodes, docs_quality,
+        # docs_minhash_pairs, docs_simhash_pairs, embeddings_ivf_topk:
+        # non-SQL-expressible (chunker state machine, surrogate scorer,
+        # union-find, LSH, heuristics) -> driver rows-only check; their
+        # semantics are conformance-tested against the serial reference
+        # oracle in tests/.
+    }

@@ -1,0 +1,244 @@
+"""Named queries for the driver contract (__ray_entry__.queries).
+
+Each function takes ``sf_dir`` and returns a small pandas DataFrame whose
+column names match the corresponding oracle SQL exactly. Transcript-based
+queries synthesize their input deterministically (synth.transcripts_path)
+— the DuckDB oracle reads the very same parquet file.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from .. import synth
+from ..stages import (
+    assembly,
+    candidates,
+    canonicalize,
+    dedupe,
+    graph,
+    mentions as mentions_stage,
+    multimodal,
+    relations,
+    text_analysis,
+)
+from . import kg
+
+
+def _docs(sf_dir: str) -> "ray.data.Dataset":
+    return kg.documents(synth.transcripts_path(sf_dir))
+
+
+# -- KG pipeline ------------------------------------------------------------
+
+
+def kg_assembly(sf_dir: str) -> pd.DataFrame:
+    docs = _docs(sf_dir)
+
+    def digest(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_turns": df["n_turns"].astype("int64"),
+                "text_md5": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]
+                ],
+            }
+        )
+
+    out = docs.map_batches(digest, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def kg_mentions(sf_dir: str) -> pd.DataFrame:
+    ment = mentions_stage.detect(_docs(sf_dir))
+    per_surface = ment.groupby(["ent_type", "text"]).aggregate(
+        Count(alias_name="n")
+    )
+    out = (
+        per_surface.groupby("ent_type")
+        .aggregate(Sum("n", alias_name="n_mentions"), Count(alias_name="n_surfaces"))
+        .to_pandas()
+    )
+    return out.sort_values("ent_type").reset_index(drop=True)
+
+
+def kg_triples(sf_dir: str) -> pd.DataFrame:
+    trip = kg.run(synth.transcripts_path(sf_dir))
+    df = trip.to_pandas()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def kg_wide_table(sf_dir: str) -> pd.DataFrame:
+    trip = kg.run(synth.transcripts_path(sf_dir))
+    df = graph.wide_relation_table(trip).to_pandas()
+    return df.sort_values(["doc_id", "subj_id", "pred"]).reset_index(drop=True)
+
+
+def kg_nodes(sf_dir: str) -> pd.DataFrame:
+    ment = mentions_stage.detect(_docs(sf_dir))
+    nodes, _ = canonicalize.build_nodes(ment)
+    df = nodes.to_pandas()
+    return df.sort_values("node_id").reset_index(drop=True)
+
+
+def kg_windows(sf_dir: str) -> pd.DataFrame:
+    docs = _docs(sf_dir)
+    win = docs.map_batches(mentions_stage.windows_table, batch_format="pyarrow")
+    agg = (
+        win.groupby("doc_id")
+        .aggregate(Count(alias_name="n_windows"))
+        .to_pandas()
+    )
+    return agg.sort_values("doc_id").reset_index(drop=True)
+
+
+# -- documents-table training-data ops --------------------------------------
+
+
+def docs_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = dedupe.exact_dedup(docs).to_pandas()[["keep_id", "n_dups"]]
+    return out.sort_values("keep_id").reset_index(drop=True)
+
+
+def docs_stats(sf_dir: str) -> pd.DataFrame:
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ann = text_analysis.annotate(docs).to_pandas()
+    out = ann[["doc_id", "n_chars", "n_tokens", "md5"]].copy()
+    out["n_chars"] = out["n_chars"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_quality(sf_dir: str) -> pd.DataFrame:
+    """Rows-only: heuristic quality/lang features (not SQL-expressible)."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ann = text_analysis.annotate(docs).to_pandas()
+    cols = [
+        "doc_id", "lang_pred", "bpe_tokens", "stopword_ratio",
+        "punct_ratio", "digit_ratio", "fingerprint",
+    ]
+    out = ann[cols].copy()
+    for c in ("stopword_ratio", "punct_ratio", "digit_ratio"):
+        out[c] = out[c].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return dedupe.ngram_jaccard_pairs(docs, threshold=0.8, k=5)
+
+
+def docs_minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """Rows-only: LSH candidates verified by shingle-hash Jaccard."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    docs = docs.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("doc_id"),
+            "doc_id",
+            t["doc_id"].cast(pa.string()),
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = dedupe.minhash_lsh_pairs(docs)
+    verified = dedupe.verify_jaccard(pairs, docs, threshold=0.8).to_pandas()
+    verified["jaccard"] = verified["jaccard"].round(4)
+    return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def docs_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """Rows-only: simhash Hamming<=3 near-dup pairs."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = dedupe.simhash_near_pairs(docs).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def embeddings_topk(sf_dir: str) -> pd.DataFrame:
+    from ..stages import similarity
+
+    vecs = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qdf = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+        )
+        .filter(lambda r: r["vec_id"] in (0, 1, 2))
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    out = similarity.brute_force_topk(
+        vecs, queries, query_ids=qdf["vec_id"].to_numpy(), k=5
+    )
+    out = out[["query_id", "vec_id", "rank"]].astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def embeddings_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """Rows-only: IVF probe path (approximate; recall checked in tests)."""
+    from ..stages import similarity
+
+    vecs = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cent = similarity.train_centroids(vecs, nlist=8)
+    assigned = similarity.ivf_assign(vecs, cent)
+    qdf = (
+        vecs.filter(lambda r: r["vec_id"] in (0, 1, 2)).to_pandas().sort_values("vec_id")
+    )
+    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    out = similarity.ivf_topk(assigned, cent, queries, k=5, nprobe=3)
+    return out[["query_id", "vec_id", "rank"]].astype("int64").sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+
+
+def media_path(sf_dir: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    out_dir = f"/tmp/graft_media/sf{sf}"
+    out_path = os.path.join(out_dir, "media.parquet")
+    if not os.path.exists(out_path):
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        n = max(int(3000 * float(sf)), 30)
+        table = multimodal.synth_media(n)
+        os.makedirs("/tmp/graft_media", exist_ok=True)
+        tmp = tempfile.mkdtemp(dir="/tmp/graft_media")
+        pq.write_table(table, os.path.join(tmp, "media.parquet"))
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            pass
+    return out_path
+
+
+def media_features(sf_dir: str) -> pd.DataFrame:
+    media = ray.data.read_parquet(media_path(sf_dir))
+    feats = multimodal.featurize(media, concurrency=2, batch_size=16)
+    out = (
+        feats.groupby("kind")
+        .aggregate(Count(alias_name="n_media"), Sum("n_bytes", alias_name="sum_bytes"))
+        .to_pandas()
+    )
+    return out.sort_values("kind").reset_index(drop=True)

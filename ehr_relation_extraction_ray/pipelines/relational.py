@@ -1,0 +1,207 @@
+"""Core relational operators over the testdata star schema.
+
+These exercise the engine's generic operator surface (scan with column
+pruning, vectorized map/filter/project, pre-aggregated groupby, broadcast
+join, sort/top-k, distinct, windowed sessionization) with exact DuckDB SQL
+oracles. Every aggregate column is named identically in the Ray code and
+the SQL (driver hash-compare requirement).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+
+def _pq(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def agg_lineitem(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: pruned scan -> computed column -> groupby aggregate."""
+    ds = _pq(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return batch.append_column("revenue", rev)
+
+    out = (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("revenue", alias_name="sum_revenue"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+    df = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    for c in ("sum_qty", "sum_base_price", "sum_revenue"):
+        df[c] = df[c].round(2)
+    df["avg_disc"] = df["avg_disc"].round(6)
+    return df
+
+
+def join_orders_customer(sf_dir: str) -> pd.DataFrame:
+    """Broadcast hash join: customer (small side) ray.put once, looked up
+    per batch (ray_guide 'Joins and lookups'); then groupby segment."""
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_map_ref = ray.put(
+        dict(zip(cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy()))
+    )
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        seg = ray.get(seg_map_ref)
+        df["c_mktsegment"] = df["o_custkey"].map(seg)
+        return df[["c_mktsegment", "o_totalprice"]]
+
+    out = (
+        orders.map_batches(attach, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("o_totalprice", alias_name="segment_revenue"),
+            Count(alias_name="n_orders"),
+        )
+    )
+    df = out.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
+    df["segment_revenue"] = df["segment_revenue"].round(2)
+    return df
+
+
+def topk_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Global top-k: sort + limit (deterministic tiebreak on key)."""
+    ds = _pq(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = ds.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(k)
+    df = out.to_pandas()
+    df["rank"] = np.arange(1, len(df) + 1)
+    return df
+
+
+def event_type_counts(sf_dir: str) -> pd.DataFrame:
+    """Distinct/groupby-count with batch-local pre-aggregation (combiner)."""
+    ds = _pq(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("event_type", use_threads=False).aggregate(
+            [("value", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["event_type", "value_sum", "n"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("value_sum", alias_name="sum_value"),
+            Sum("n", alias_name="n_events"),
+        )
+    )
+    df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    df["sum_value"] = df["sum_value"].round(2)
+    return df
+
+
+def filtered_revenue(sf_dir: str) -> pd.DataFrame:
+    """Vectorized filter inside map_batches (pushdown-shaped) + aggregate."""
+    ds = _pq(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_extendedprice", "l_discount", "l_quantity"],
+    )
+
+    def fil(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater(batch["l_quantity"], pa.scalar(10.0)),
+            pc.less(batch["l_discount"], pa.scalar(0.05)),
+        )
+        t = batch.filter(mask)
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return t.append_column("revenue", rev)
+
+    out = (
+        ds.map_batches(fil, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("revenue", alias_name="sum_revenue"),
+            Count(alias_name="n_rows"),
+        )
+    )
+    df = out.to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+    df["sum_revenue"] = df["sum_revenue"].round(2)
+    return df
+
+
+SESSION_GAP_MIN = 240  # 4h
+
+
+def sessionize_events(sf_dir: str) -> pd.DataFrame:
+    """Session windows per user (gap > 4h starts a new session): one
+    groupby(user_id) shuffle, per-group pandas windowing over sorted ts
+    (ray_guide 'Streaming-shaped workloads')."""
+    ds = _pq(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds().fillna(0.0)
+        new_session = (gaps > SESSION_GAP_MIN * 60).cumsum()
+        sizes = new_session.value_counts()
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_sessions": [int(new_session.nunique())],
+                "n_events": [int(len(g))],
+                "max_session_events": [int(sizes.max())],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+def nation_region_join(sf_dir: str) -> pd.DataFrame:
+    """Two-level broadcast join over dimension tables + supplier counts."""
+    nation = _pq(sf_dir, "nation").to_pandas()
+    region = _pq(sf_dir, "region").to_pandas()
+    dim = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey", how="left"
+    )[["n_nationkey", "r_name"]]
+    dim_ref = ray.put(dict(zip(dim["n_nationkey"], dim["r_name"])))
+    sup = _pq(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(dim_ref)
+        df["r_name"] = df["s_nationkey"].map(m)
+        return df[["r_name", "s_acctbal"]]
+
+    out = (
+        sup.map_batches(attach, batch_format="pandas")
+        .groupby("r_name")
+        .aggregate(
+            Count(alias_name="n_suppliers"),
+            Sum("s_acctbal", alias_name="sum_acctbal"),
+        )
+    )
+    df = out.to_pandas().sort_values("r_name").reset_index(drop=True)
+    df["sum_acctbal"] = df["sum_acctbal"].round(2)
+    return df

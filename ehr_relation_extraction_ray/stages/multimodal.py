@@ -1,0 +1,128 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Binary payloads are opaque ``binary`` columns with typed metadata; decode /
+feature-extract stages are actor-pool ``map_batches`` with real Ray-side
+plumbing (schema, batch sizing for large rows, actor signature, output
+layout) and a STUBBED codec: the actual image/audio libraries are not in
+this container, so ``decoder="fake"`` produces deterministic features from
+the bytes and ``decoder="pil"``/``"ffmpeg"`` raise ``NotImplementedError``
+with a clear message. Swap the codec in ``_Decoder.__init__`` when the
+library exists; nothing else changes.
+
+Batch sizing note (ray_guide "Memory-aware"): large binary rows need small
+``batch_size`` so batch x concurrency fits the worker heap — the default
+here assumes ~1 MB payloads and an 8-actor pool on a 32-CPU node.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+MEDIA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.large_binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),  # -1 when unknown / n.a.
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+FEATURES = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("kind", pa.string()),
+        ("feature", pa.list_(pa.float32())),
+        ("n_bytes", pa.int64()),
+    ]
+)
+
+
+class MediaFeaturizer:
+    """Actor-pool stage: decode payload -> fixed-dim feature vector."""
+
+    def __init__(self, decoder: str = "fake", dim: int = 64):
+        if decoder == "fake":
+            self._decode = self._fake_decode
+        elif decoder in ("pil", "ffmpeg"):
+            raise NotImplementedError(
+                f"decoder={decoder!r}: image/audio libraries are not available "
+                "in this environment; use decoder='fake' (deterministic stub)"
+            )
+        else:
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.dim = dim
+
+    def _fake_decode(self, payload: bytes) -> np.ndarray:
+        # deterministic stand-in: byte histogram folded to `dim` buckets,
+        # L2-normalized — same signature a real embedding model would have.
+        arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+        hist = np.bincount(arr % self.dim, minlength=self.dim).astype(np.float32)
+        norm = np.linalg.norm(hist)
+        return hist / (norm if norm else 1.0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [
+            self._decode(p) for p in batch["payload"].to_pylist()
+        ]
+        n_bytes = [len(p or b"") for p in batch["payload"].to_pylist()]
+        return pa.Table.from_arrays(
+            [
+                batch["media_id"].combine_chunks()
+                if isinstance(batch["media_id"], pa.ChunkedArray)
+                else batch["media_id"],
+                batch["kind"].combine_chunks()
+                if isinstance(batch["kind"], pa.ChunkedArray)
+                else batch["kind"],
+                pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+                pa.array(n_bytes, pa.int64()),
+            ],
+            schema=FEATURES,
+        )
+
+
+def featurize(
+    media: "ray.data.Dataset",
+    decoder: str = "fake",
+    dim: int = 64,
+    concurrency: Optional[int] = 4,
+    batch_size: int = 32,
+) -> "ray.data.Dataset":
+    """media Dataset (MEDIA schema) -> features Dataset (FEATURES schema)."""
+    return media.map_batches(
+        MediaFeaturizer,
+        fn_constructor_kwargs={"decoder": decoder, "dim": dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def synth_media(n: int, seed: int = 5) -> pa.Table:
+    """Deterministic fake media table for tests/benchmarks."""
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    rows = {k: [] for k in MEDIA.names}
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.integers(0, 256, size=int(rng.integers(64, 2048))).astype(
+            np.uint8
+        ).tobytes()
+        rows["media_id"].append(f"m-{i:06d}")
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["mime"].append({"image": "image/fake", "audio": "audio/fake", "video": "video/fake"}[kind])
+        rows["width"].append(64 if kind == "image" else -1)
+        rows["height"].append(64 if kind == "image" else -1)
+        rows["duration_ms"].append(-1 if kind == "image" else 1000)
+    return pa.Table.from_arrays(
+        [pa.array(rows[f.name], f.type) for f in MEDIA], schema=MEDIA
+    )

@@ -125,8 +125,16 @@ def _local_distinct(batch: pa.Table) -> pa.Table:
 
 
 def distinct_triples(trip: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Exact triple dedup (utils.py:553): combiner + hash-shuffle groupby."""
+    """Exact triple dedup (utils.py:553): combiner + hash-shuffle groupby.
+
+    The global distinct is ``groupby(key).aggregate(Count())`` with the
+    count dropped — the aggregate path is vectorized per block, unlike
+    ``map_groups`` which would pay one Python call per distinct triple.
+    """
+    from ray.data.aggregate import Count
+
     thinned = trip.map_batches(_local_distinct, batch_format="pyarrow")
-    return thinned.groupby(TRIPLE_KEY).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    deduped = thinned.groupby(TRIPLE_KEY).aggregate(Count(alias_name="_n"))
+    return deduped.map_batches(
+        lambda t: t.drop_columns(["_n"]), batch_format="pyarrow"
     )
