@@ -62,14 +62,15 @@ def window_candidates(
     """
     rows: List[Dict] = []
     cand_idx = 0
+    is_drug = [m[1].lower() == "drug" for m in mentions]
     for win_idx, (w_start, w_end) in enumerate(windows):
         drugs = [
-            m for m in mentions
-            if m[1].lower() == "drug" and m[2] >= w_start and m[3] < w_end
+            m for m, d in zip(mentions, is_drug)
+            if d and m[2] >= w_start and m[3] < w_end
         ]
         others = [
-            m for m in mentions
-            if m[1].lower() != "drug" and m[2] >= w_start and m[3] < w_end
+            m for m, d in zip(mentions, is_drug)
+            if not d and m[2] >= w_start and m[3] < w_end
         ]
         if not drugs or not others:
             continue

@@ -58,8 +58,23 @@ def assemble(transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def read_transcripts(path: Union[str, list]) -> "ray.data.Dataset":
-    """Column-pruned transcript read (only what assembly needs)."""
-    return ray.data.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+    """Column-pruned transcript read (only what assembly needs).
+
+    Block count is pinned to ~4x the cluster CPUs so the downstream fused
+    extraction chain (one task per sort partition) keeps every core busy
+    and a skewed block can't become a straggler.
+    """
+    import ray as _ray
+
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001 - not initialised yet
+        cpus = 8
+    return ray.data.read_parquet(
+        path,
+        columns=["conv_id", "turn_idx", "text"],
+        override_num_blocks=max(64, 4 * cpus),
+    )
 
 
 def check_turn_equality(documents: pa.Table, transcripts: pa.Table) -> bool:
