@@ -55,7 +55,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_pairs": q.docs_simhash_pairs,
         "embeddings_topk": q.embeddings_topk,
         "embeddings_ivf_topk": q.embeddings_ivf_topk,
+        "embeddings_cosine_dup": q.embeddings_cosine_dup,
+        "embeddings_cosine_dup_lsh": q.embeddings_cosine_dup_lsh,
         "media_features": q.media_features,
+        # format export roundtrips (CoNLL / RE TSV sources+sinks)
+        "kg_conll_export": q.kg_conll_export,
+        "kg_re_export": q.kg_re_export,
     }
 
 
@@ -214,6 +219,13 @@ WHERE rank <= 5 ORDER BY query_id, rank
         "media_features": f"""
 SELECT kind, count(*) AS n_media, sum(octet_length(payload))::BIGINT AS sum_bytes
 FROM read_parquet('{mp}') GROUP BY kind ORDER BY kind
+""",
+        "embeddings_cosine_dup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+ORDER BY id_a, id_b
 """,
         # kg_windows / kg_triples / kg_wide_table / kg_nodes, docs_quality,
         # docs_minhash_pairs, docs_simhash_pairs, embeddings_ivf_topk:

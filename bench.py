@@ -8,26 +8,32 @@ prints ONE JSON line:
      "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
      "triples": N, "triples_per_sec": N}
 
+``value`` is the median of 3 timed runs after 2 warm-up runs (the first
+executions of a fresh Ray session pay worker-import and object-store
+warm-up that a long-running cluster never sees).
+
 ``python bench.py --scaling`` runs the headline pipeline in two fresh
-processes at num_cpus=8 and num_cpus=32 on the same (pre-generated, cache-
-warmed) input and reports both plus scaling efficiency — the sandbox
-stand-in for the north rule's N vs 4N node clusters.
+processes at num_cpus=8 and num_cpus=32 on the SAME input and reports both
+plus scaling efficiency — the sandbox stand-in for the north rule's N vs
+4N node clusters. The scaling input is a larger synthesized transcript
+table (``$GRAFT_SCALING_CONVS`` conversations, default 48000) so measured
+time is dominated by the work that scales (per-doc extraction), as it
+would be at production scale, not by fixed per-session costs.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
 
 
-def _run_bench() -> dict:
+def _init_ray(num_cpus: int):
     import ray
 
-    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -38,59 +44,86 @@ def _run_bench() -> dict:
         )
     from ray.data import DataContext
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _time_headline(path: str, warmups: int = 2, reps: int = 3):
+    from ehr_relation_extraction_ray.pipelines import kg
+
+    n_triples = 0
+    for _ in range(warmups):
+        n_triples = kg.run(path).count()
+    runs = []
+    for _ in range(reps):
+        t0 = time.time()
+        n_triples = kg.run(path).count()
+        runs.append(round(time.time() - t0, 3))
+    return statistics.median(runs), runs, n_triples
+
+
+def _run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _init_ray(num_cpus)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from ehr_relation_extraction_ray import synth
-    from ehr_relation_extraction_ray.pipelines import kg, queries as q, relational as r
+    from ehr_relation_extraction_ray.pipelines import queries as q, relational as r
 
-    path = synth.transcripts_path(sf_dir)
+    path = os.environ.get("GRAFT_BENCH_PATH") or synth.transcripts_path(sf_dir)
     # warm the OS page cache (untimed) so we measure compute+shuffle
-    with open(path, "rb") as f:
-        while f.read(1 << 24):
-            pass
-    # warm the worker pool (untimed): the first execution pays ~2-4s/worker
-    # of process spawn + numpy/pandas imports; steady-state is what scales.
-    kg.run(path).count()
-
-    t0 = time.time()
-    triples = kg.run(path)
-    n_triples = triples.count()
-    headline = time.time() - t0
+    files = (
+        [os.path.join(path, f) for f in os.listdir(path)]
+        if os.path.isdir(path)
+        else [path]
+    )
+    for fp in files:
+        with open(fp, "rb") as f:
+            while f.read(1 << 24):
+                pass
+    headline, runs, n_triples = _time_headline(path)
 
     query_times: dict[str, float] = {}
-    for name, fn in {
-        "kg_assembly": lambda: q.kg_assembly(sf_dir),
-        "kg_mentions": lambda: q.kg_mentions(sf_dir),
-        "agg_lineitem": lambda: r.agg_lineitem(sf_dir),
-        "docs_exact_dedup": lambda: q.docs_exact_dedup(sf_dir),
-        "docs_ngram_jaccard": lambda: q.docs_ngram_jaccard(sf_dir),
-        "docs_minhash_pairs": lambda: q.docs_minhash_pairs(sf_dir),
-        "embeddings_topk": lambda: q.embeddings_topk(sf_dir),
-        "sessionize_events": lambda: r.sessionize_events(sf_dir),
-    }.items():
-        t0 = time.time()
-        fn()
-        query_times[name] = round(time.time() - t0, 3)
+    if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+        for name, fn in {
+            "kg_assembly": lambda: q.kg_assembly(sf_dir),
+            "kg_mentions": lambda: q.kg_mentions(sf_dir),
+            "agg_lineitem": lambda: r.agg_lineitem(sf_dir),
+            "docs_exact_dedup": lambda: q.docs_exact_dedup(sf_dir),
+            "docs_ngram_jaccard": lambda: q.docs_ngram_jaccard(sf_dir),
+            "docs_minhash_pairs": lambda: q.docs_minhash_pairs(sf_dir),
+            "embeddings_topk": lambda: q.embeddings_topk(sf_dir),
+            "sessionize_events": lambda: r.sessionize_events(sf_dir),
+        }.items():
+            t0 = time.time()
+            fn()
+            query_times[name] = round(time.time() - t0, 3)
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     result = {
         "metric": "kg_triples_e2e",
-        "value": round(headline, 3),
+        "value": headline,
         "unit": "sec",
+        "runs": runs,
         "queries": query_times,
         "sf": float(sf),
         "num_cpus": num_cpus,
         "triples": int(n_triples),
         "triples_per_sec": round(n_triples / headline, 1),
     }
+    import ray
+
     ray.shutdown()
     return result
 
 
-def _run_child(ncpu: int) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+def _run_child(ncpu: int, bench_path: str) -> dict:
+    env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS=str(ncpu),
+        GRAFT_BENCH_PATH=bench_path,
+        GRAFT_HEADLINE_ONLY="1",
+    )
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env,
@@ -103,14 +136,14 @@ def _run_child(ncpu: int) -> dict:
 
 def main() -> None:
     if "--scaling" in sys.argv:
-        # pre-generate the transcript input once so both runs see warm state
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from ehr_relation_extraction_ray import synth
 
-        synth.transcripts_path(os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+        n_convs = int(os.environ.get("GRAFT_SCALING_CONVS", "48000"))
+        bench_path = synth.transcripts_path_n(n_convs)
         lo, hi = 8, 32
-        r_lo = _run_child(lo)
-        r_hi = _run_child(hi)
+        r_lo = _run_child(lo, bench_path)
+        r_hi = _run_child(hi, bench_path)
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
         print(
             json.dumps(
@@ -123,7 +156,8 @@ def main() -> None:
                     "triples_per_sec_lo": r_lo["triples_per_sec"],
                     "triples_per_sec_hi": r_hi["triples_per_sec"],
                     "scaling_efficiency": round(eff, 3),
-                    "sf": r_lo["sf"],
+                    "n_convs": n_convs,
+                    "triples": r_hi["triples"],
                 }
             )
         )

@@ -30,12 +30,12 @@ _TOKEN_RE = re.compile(r"\S+")
 
 def token_spans(text: str) -> Tuple[np.ndarray, np.ndarray]:
     """(starts, ends) int64 arrays of whitespace tokens, end exclusive."""
-    starts: List[int] = []
-    ends: List[int] = []
-    for m in _TOKEN_RE.finditer(text):
-        starts.append(m.start())
-        ends.append(m.end())
-    return np.asarray(starts, dtype=np.int64), np.asarray(ends, dtype=np.int64)
+    spans = [m.span() for m in _TOKEN_RE.finditer(text)]
+    if not spans:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty
+    arr = np.asarray(spans, dtype=np.int64)
+    return np.ascontiguousarray(arr[:, 0]), np.ascontiguousarray(arr[:, 1])
 
 
 def char_to_token(starts: np.ndarray, char_idx) -> np.ndarray:

@@ -1,0 +1,171 @@
+"""Training-data export pipeline (reference ``generate_data.py`` analog).
+
+Re-expresses the data-generation CLI (generate_data.py:128-221) as
+streaming Ray Data stages:
+
+* NER export (S5): documents + detected mentions -> CoNLL token/IOB
+  shards (+ ``labels.txt``), via sources/conll.
+* RE export (S7): candidate pairs (+ labels when gold edges are given)
+  -> train/dev/test TSV shards, via sources/retsv.
+* train/dev split (O6): the reference slices the record list at
+  ``1 - dev_split`` ("data is already shuffled", generate_data.py:192-206)
+  — order-dependent. Here the split is a deterministic hash-mod of
+  ``doc_id`` (same assignment at any parallelism).
+* negative downsampling (O4, utils_re.py:272-274: keep non-ADE label-0
+  pairs with p=0.25) and ADE-positive downsampling (O5, utils_re.py:314:
+  keep label-1 ADE pairs with p=0.5): the reference draws from a global
+  seeded RNG — irreproducible under parallelism — so the engine uses a
+  content-hash Bernoulli (hash(doc_id, win, cand) < p * 2^64), which is
+  deterministic, partition-independent, and has the same marginal rates.
+  Both default OFF for inference parity (the predict path never samples,
+  utils_re.py:404-429).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..functions.textstats import content_hash_64
+from ..schemas import ENT_LABEL_MAP
+from ..sources import conll, retsv
+from ..stages import candidates as candidates_stage
+from ..stages import mentions as mentions_stage
+
+# 19 IOB2 labels (generate_data.py:11-13)
+IOB_LABELS = ["O"] + [
+    f"{p}-{short}" for short in ENT_LABEL_MAP.values() for p in ("B", "I")
+]
+
+
+def split_col(batch: pa.Table, dev_frac: float, key: str = "doc_id") -> pa.Table:
+    """Deterministic hash-mod train/dev assignment (O6)."""
+    h = content_hash_64(batch[key].to_pylist())
+    is_dev = (h % np.uint64(10_000)) < np.uint64(int(dev_frac * 10_000))
+    split = np.where(is_dev, "dev", "train")
+    return batch.append_column("split", pa.array(split.tolist(), pa.string()))
+
+
+def sample_mask(
+    batch: pa.Table, p_keep_neg: float = 0.25, p_keep_ade_pos: float = 0.5
+) -> np.ndarray:
+    """O4/O5 hash-Bernoulli keep mask over labeled candidate rows."""
+    keys = [
+        f"{d}|{w}|{c}"
+        for d, w, c in zip(
+            batch["doc_id"].to_pylist(),
+            batch["win_idx"].to_pylist(),
+            batch["cand_idx"].to_pylist(),
+        )
+    ]
+    u = content_hash_64(keys).astype(np.float64) / float(2**64)
+    labels = np.asarray(batch["label"]) if "label" in batch.column_names else np.zeros(len(keys))
+    rel = np.asarray(batch["rel_type"].to_pylist())
+    keep = np.ones(len(keys), dtype=bool)
+    neg_nonade = (labels == 0) & (rel != "ADE-Drug")
+    keep[neg_nonade] = u[neg_nonade] < p_keep_neg
+    pos_ade = (labels == 1) & (rel == "ADE-Drug")
+    keep[pos_ade] = u[pos_ade] < p_keep_ade_pos
+    return keep
+
+
+def label_candidates(
+    cands: "ray.data.Dataset", gold_edges: Optional["ray.data.Dataset"]
+) -> "ray.data.Dataset":
+    """Attach binary labels by symmetric-equality match against gold edges
+    (map_entities label flag, utils.py:472-492; symmetric equality per
+    annotations.py:149-160). Gold is broadcast (small side) — no shuffle."""
+    if gold_edges is None:
+        return cands.map_batches(
+            lambda t: t.append_column(
+                "label", pa.array(np.zeros(t.num_rows, dtype=np.int8))
+            ),
+            batch_format="pyarrow",
+        )
+    import ray
+
+    gold = gold_edges.select_columns(
+        ["doc_id", "rel_type", "subj_id", "obj_id"]
+    ).to_pandas()
+    gold_set = set()
+    for r in gold.itertuples(index=False):
+        gold_set.add((r.doc_id, r.rel_type, r.subj_id, r.obj_id))
+        gold_set.add((r.doc_id, r.rel_type, r.obj_id, r.subj_id))  # symmetric
+    gold_ref = ray.put(gold_set)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        gs = ray.get(gold_ref)
+        lab = np.fromiter(
+            (
+                1 if (d, rt, s, o) in gs else 0
+                for d, rt, s, o in zip(
+                    batch["doc_id"].to_pylist(),
+                    batch["rel_type"].to_pylist(),
+                    batch["subj_id"].to_pylist(),
+                    batch["obj_id"].to_pylist(),
+                )
+            ),
+            dtype=np.int8,
+            count=batch.num_rows,
+        )
+        return batch.append_column("label", pa.array(lab))
+
+    return cands.map_batches(attach, batch_format="pyarrow")
+
+
+def export_ner(
+    documents: "ray.data.Dataset",
+    out_dir: str,
+    dev_frac: float = 0.1,
+    max_len: int = 510,
+    sep: str = " ",
+) -> dict:
+    """documents -> CoNLL train/dev shards + labels.txt (ner_generator,
+    generate_data.py:89-109)."""
+    ments = mentions_stage.detect(documents)
+    attached = conll.attach_mentions(documents, ments)
+    blocks = attached.map_batches(
+        lambda t: conll.blocks_batch(t, max_len, sep), batch_format="pyarrow"
+    ).map_batches(lambda t: split_col(t, dev_frac), batch_format="pyarrow")
+    for split in ("train", "dev"):
+        part = blocks.filter(expr=f"split == '{split}'").drop_columns(["split"])
+        conll.write_conll(part, os.path.join(out_dir, split))
+    with open(os.path.join(out_dir, "labels.txt"), "w") as f:
+        f.writelines(l + "\n" for l in IOB_LABELS)
+    return {"out_dir": out_dir, "labels": len(IOB_LABELS)}
+
+
+def export_re(
+    documents: "ray.data.Dataset",
+    out_dir: str,
+    gold_edges: Optional["ray.data.Dataset"] = None,
+    dev_frac: float = 0.1,
+    downsample: bool = False,
+    sep: str = "\t",
+) -> dict:
+    """documents -> RE TSV train/dev/test shards (re_generator,
+    generate_data.py:112-125 + generate_re_input_files)."""
+    cands = candidates_stage.generate(documents)
+    labeled = label_candidates(cands, gold_edges)
+    if downsample:
+        labeled = labeled.map_batches(
+            lambda t: t.filter(pa.array(sample_mask(t))), batch_format="pyarrow"
+        )
+    labeled = labeled.map_batches(
+        lambda t: split_col(t, dev_frac), batch_format="pyarrow"
+    )
+    for split, fmt in (("train", "train"), ("dev", "train")):
+        part = labeled.filter(expr=f"split == '{split}'").drop_columns(["split"])
+        retsv.write_re_tsv(part, os.path.join(out_dir, split), split=fmt, sep=sep)
+    # test set: unlabeled + labeled variants (generate_data files dict)
+    retsv.write_re_tsv(labeled, os.path.join(out_dir, "test"), split="test", sep=sep)
+    retsv.write_re_tsv(
+        labeled, os.path.join(out_dir, "test_original"), split="test_original", sep=sep
+    )
+    return {"out_dir": out_dir}

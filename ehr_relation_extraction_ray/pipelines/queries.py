@@ -242,3 +242,69 @@ def media_features(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("kind").reset_index(drop=True)
+
+
+def embeddings_cosine_dup(sf_dir: str) -> pd.DataFrame:
+    """Exact embedding-cosine near-dup pairs (oracle-checked)."""
+    from ..stages import similarity
+
+    vecs = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = similarity.cosine_dup_pairs_exact(vecs, threshold=0.5)
+    return out[["id_a", "id_b", "cosine"]].reset_index(drop=True)
+
+
+def embeddings_cosine_dup_lsh(sf_dir: str) -> pd.DataFrame:
+    """Rows-only: SRP-LSH blocked near-dup (approximate; recall vs the
+    exact path is asserted in tests)."""
+    from ..stages import similarity
+
+    vecs = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = similarity.cosine_dup_pairs_lsh(vecs, threshold=0.5, nbits=128, bands=32)
+    return out[["id_a", "id_b", "cosine"]].reset_index(drop=True)
+
+
+def kg_conll_export(sf_dir: str) -> pd.DataFrame:
+    """Rows-only: NER CoNLL export roundtrip — export to shards, read the
+    shards back, return per-label token counts (stable digest of S5/S6)."""
+    import tempfile
+
+    from ..pipelines import export
+    from ..sources import conll as conll_src
+
+    docs = _docs(sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="graft_conll_")
+    export.export_ner(docs, out_dir, dev_frac=0.1)
+    seqs = conll_src.read_conll(
+        [os.path.join(out_dir, "train"), os.path.join(out_dir, "dev")]
+    ).to_pandas()
+    counts: dict = {}
+    for labels in seqs["labels"]:
+        for l in labels:
+            counts[l] = counts.get(l, 0) + 1
+    out = pd.DataFrame(
+        {"label": list(counts), "n_tokens": list(counts.values())}
+    )
+    return out.sort_values("label").reset_index(drop=True)
+
+
+def kg_re_export(sf_dir: str) -> pd.DataFrame:
+    """Rows-only: RE TSV export roundtrip — candidate shards written, read
+    back, counted per split (S7/S8 digest)."""
+    import tempfile
+
+    from ..pipelines import export
+    from ..sources import retsv as retsv_src
+
+    docs = _docs(sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="graft_retsv_")
+    export.export_re(docs, out_dir, dev_frac=0.1)
+    rows = []
+    for split, fmt in (
+        ("train", "train"),
+        ("dev", "train"),
+        ("test", "test"),
+        ("test_original", "test_original"),
+    ):
+        n = len(retsv_src.read_re_tsv(os.path.join(out_dir, split), split=fmt).to_pandas())
+        rows.append({"split": split, "n_rows": n})
+    return pd.DataFrame(rows).sort_values("split").reset_index(drop=True)

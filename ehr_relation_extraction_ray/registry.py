@@ -1,0 +1,71 @@
+"""User-extension registries (SURVEY.md §2.10).
+
+The reference exposes pluggability as string-keyed registries: tokenizers
+(generate_data.py:140-181), NER model names (predict.py:301-338), glue
+task processors (biobert_re/data_processor.py:144-148). Same surface
+here — a registered name resolves to a callable/class that slots into the
+corresponding ``map_batches`` stage:
+
+* ``tokenizer``: ``str -> List[str]`` (default: whitespace, M2)
+* ``detector``: class with ``__call__(pa.Table) -> pa.Table`` emitting
+  MENTIONS rows (dictionary/regex default, A4; BioBERT actor, A1)
+* ``scorer``: class emitting scored CANDIDATES (surrogate default; BioBERT
+  actor, A3)
+
+Registrations are plain module-level dicts — importable by every Ray
+worker, no driver-held state to ship.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+_REGISTRIES: Dict[str, Dict[str, Any]] = {
+    "tokenizer": {},
+    "detector": {},
+    "scorer": {},
+}
+
+
+def register(kind: str, name: str) -> Callable[[Any], Any]:
+    """Decorator: ``@register("detector", "dictionary")``."""
+    if kind not in _REGISTRIES:
+        raise KeyError(f"unknown registry {kind!r}; have {list(_REGISTRIES)}")
+
+    def deco(obj: Any) -> Any:
+        _REGISTRIES[kind][name] = obj
+        return obj
+
+    return deco
+
+
+def get(kind: str, name: str) -> Any:
+    try:
+        return _REGISTRIES[kind][name]
+    except KeyError:
+        raise KeyError(
+            f"no {kind!r} named {name!r}; registered: {sorted(_REGISTRIES[kind])}"
+        ) from None
+
+
+def names(kind: str):
+    return sorted(_REGISTRIES[kind])
+
+
+def _register_defaults() -> None:
+    from .functions.rescore import SurrogateScorer
+    from .functions.tokenize import tokens_of
+    from .stages.mentions import DictionaryDetector
+
+    _REGISTRIES["tokenizer"].setdefault("default", tokens_of)
+    _REGISTRIES["detector"].setdefault("dictionary", DictionaryDetector)
+    _REGISTRIES["scorer"].setdefault("surrogate", SurrogateScorer)
+    try:  # optional heavy backends (import-gated; absent in this container)
+        from .functions.rescore import HFScorer
+
+        _REGISTRIES["scorer"].setdefault("biobert", HFScorer)
+    except Exception:  # noqa: BLE001
+        pass
+
+
+_register_defaults()

@@ -75,6 +75,11 @@ CANDIDATES = pa.schema(
         ("obj_id", pa.string()),
         ("obj_text", pa.string()),
         ("masked_text", pa.large_string()),
+        # the substring of masked_text strictly between the two inserted
+        # markers, present only when they are provably the first/last
+        # markers (null -> scorer takes the exact regex fallback); lets the
+        # surrogate scorer run as pure Arrow kernels (functions/pairs.py)
+        ("gap_text", pa.large_string()),
     ]
 )
 

@@ -57,18 +57,15 @@ class CandidateGenerator:
             starts, ends = token_spans(text)
             split = split_points(text, starts, max_len=self.max_len)
             windows = char_windows(text, split, ends)
-            for row in window_candidates(
+            doc_cols = window_candidates(
                 text, windows, mentions, max_pairs_per_window=self.max_pairs
-            ):
-                cols["doc_id"].append(doc_id)
-                cols["win_idx"].append(row["win_idx"])
-                cols["cand_idx"].append(row["cand_idx"])
-                cols["rel_type"].append(row["rel_type"])
-                cols["subj_id"].append(row["subj_id"])
-                cols["subj_text"].append(row["subj_text"])
-                cols["obj_id"].append(row["obj_id"])
-                cols["obj_text"].append(row["obj_text"])
-                cols["masked_text"].append(row["masked_text"])
+            )
+            n = len(doc_cols["cand_idx"])
+            if not n:
+                continue
+            cols["doc_id"].extend([doc_id] * n)
+            for k, v in doc_cols.items():
+                cols[k].extend(v)
         arrays = [pa.array(cols[f.name], f.type) for f in CANDIDATES]
         return pa.Table.from_arrays(arrays, schema=CANDIDATES)
 

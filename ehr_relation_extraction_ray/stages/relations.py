@@ -39,9 +39,35 @@ class RelationScorer:
 
     def __init__(self, scorer_factory: Optional[Callable] = None):
         self.scorer = (scorer_factory or SurrogateScorer)()
+        self._surrogate_fast = scorer_factory is None
+
+    def _surrogate_preds(self, batch: pa.Table) -> np.ndarray:
+        """Surrogate scoring as pure Arrow kernels over the precomputed
+        inter-marker substring (functions/pairs.py fast path); null
+        ``gap_text`` rows take the exact regex scorer. Provably identical
+        output to running ``SurrogateScorer`` on every masked text."""
+        gap = batch["gap_text"]
+        if isinstance(gap, pa.ChunkedArray):
+            gap = gap.combine_chunks()
+        filled = pc.fill_null(gap, "")
+        ok = pc.and_(
+            pc.less_equal(pc.utf8_length(filled), self.scorer.max_gap),
+            pc.invert(pc.match_substring(filled, "  ")),
+        )
+        preds = np.asarray(
+            pc.and_(ok, pc.is_valid(gap)).to_numpy(zero_copy_only=False)
+        ).astype(np.int8)
+        fallback = np.nonzero(np.asarray(pc.is_null(gap)))[0]
+        if len(fallback):
+            texts = batch["masked_text"].take(pa.array(fallback)).to_pylist()
+            preds[fallback] = self.scorer(texts)
+        return preds
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = self.scorer(batch["masked_text"].to_pylist())
+        if self._surrogate_fast and "gap_text" in batch.column_names:
+            preds = self._surrogate_preds(batch)
+        else:
+            preds = self.scorer(batch["masked_text"].to_pylist())
         kept = batch.filter(pa.array(np.asarray(preds) == 1))
         rel_ids = pc.binary_join_element_wise(
             "R", pc.cast(kept["cand_idx"], pa.string()), ""
@@ -75,7 +101,7 @@ def score(
     candidates: "ray.data.Dataset",
     scorer_factory: Optional[Callable] = None,
     concurrency: Optional[int] = None,
-    batch_size: int = 4096,
+    batch_size: int = 512,
 ) -> "ray.data.Dataset":
     """candidates Dataset -> edges Dataset (EDGES schema).
 
@@ -115,7 +141,7 @@ def triples_batch(batch: pa.Table) -> pa.Table:
 
 
 def triples(edges: "ray.data.Dataset") -> "ray.data.Dataset":
-    return edges.map_batches(triples_batch, batch_format="pyarrow")
+    return edges.map_batches(triples_batch, batch_format="pyarrow", batch_size=512)
 
 
 def _local_distinct(batch: pa.Table) -> pa.Table:
@@ -125,13 +151,20 @@ def _local_distinct(batch: pa.Table) -> pa.Table:
 
 
 def _add_partition_col(batch: pa.Table, num_partitions: int) -> pa.Table:
-    from ..functions.textstats import content_hash_64
+    """Partition routing column for the global dedup shuffle.
 
-    joined = [
-        "\x00".join(vals)
-        for vals in zip(*(batch[c].to_pylist() for c in TRIPLE_KEY))
-    ]
-    h = content_hash_64(joined)
+    The triple key CONTAINS ``doc_id``, so hashing ``doc_id`` alone routes
+    every potential duplicate to the same partition — one column hashed
+    (vectorized via polars' rust kernel) instead of a five-column
+    row-wise join."""
+    try:
+        import polars as pl
+
+        h = pl.from_arrow(batch["doc_id"]).hash(seed=11).to_numpy()
+    except ImportError:  # pragma: no cover - polars is baked into the env
+        from ..functions.textstats import content_hash_64
+
+        h = content_hash_64(batch["doc_id"].to_pylist())
     part = (h % np.uint64(num_partitions)).astype(np.int32)
     return batch.append_column("_part", pa.array(part))
 
@@ -144,25 +177,46 @@ def _partition_distinct(group: pa.Table) -> pa.Table:
     )
 
 
-def distinct_triples(
+def distinct_triples(trip: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact triple dedup (utils.py:553) with NO shuffle.
+
+    Partitioning assumption (SURVEY.md §2 custom-operator rule): the input
+    must be *document-complete per task* — all rows of a ``doc_id`` inside
+    one upstream task's output. The KG pipeline guarantees this by
+    construction: conversation assembly sort-partitions by ``conv_id`` key
+    ranges (a key is never split across sort partitions) and every later
+    stage is a per-row/per-doc map, so blocks stay doc-complete. Because
+    the triple key contains ``doc_id``, duplicates can only be doc-local,
+    and a whole-task Arrow distinct (``batch_size=None`` receives the full
+    task input as one batch) is globally exact — verified against the
+    shuffle path in tests.
+
+    For inputs WITHOUT that guarantee use :func:`distinct_triples_global`.
+    """
+    return trip.map_batches(
+        _local_distinct, batch_format="pyarrow", batch_size=None
+    )
+
+
+def distinct_triples_global(
     trip: "ray.data.Dataset", num_partitions: int = 64
 ) -> "ray.data.Dataset":
-    """Exact triple dedup (utils.py:553): explicit hash partition + per-
-    partition vectorized distinct.
+    """Exact triple dedup for arbitrarily-partitioned input: explicit hash
+    partition + per-partition vectorized distinct.
 
     Shape: batch-local Arrow distinct (combiner — thins duplicates before
-    any data moves) -> append ``_part = hash(key) % P`` -> ``groupby(_part)``
-    so the shuffle orders ONE int32 column instead of five string columns ->
-    one vectorized ``pyarrow.group_by`` distinct per partition (P Python
-    calls total, not one per distinct key). Exact — the full composite key
-    is compared inside each partition; the hash only routes.
-
-    ~4x faster than groupby(key).aggregate on this engine; ``num_partitions``
-    should scale with the cluster (P ~ 2-4x total cores).
+    any data moves) -> append ``_part = hash(doc_id) % P`` (vectorized) ->
+    ``groupby(_part)`` so the shuffle orders ONE int32 column instead of
+    five string columns -> one vectorized ``pyarrow.group_by`` distinct per
+    partition (P Python calls total, not one per distinct key). Exact — the
+    full composite key is compared inside each partition; the hash only
+    routes. ``num_partitions`` should scale with the cluster (~2-4x cores).
     """
-    thinned = trip.map_batches(_local_distinct, batch_format="pyarrow")
+    thinned = trip.map_batches(_local_distinct, batch_format="pyarrow", batch_size=512)
     parted = thinned.map_batches(
-        lambda t: _add_partition_col(t, num_partitions), batch_format="pyarrow"
+        lambda t: _add_partition_col(t, num_partitions),
+        batch_format="pyarrow",
+        batch_size=512,
     )
     return parted.groupby("_part").map_groups(
         _partition_distinct, batch_format="pyarrow"

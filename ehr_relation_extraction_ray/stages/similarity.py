@@ -197,3 +197,147 @@ def ivf_topk(
         if out
         else pd.DataFrame(columns=["query_id", id_col, "score", "rank"])
     )
+
+
+def cosine_dup_pairs_exact(
+    vectors: "ray.data.Dataset",
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Embedding-cosine near-dup, exact: every pair with cosine >= threshold.
+
+    The normalized corpus matrix is broadcast once (``ray.put``) and each
+    streamed batch does one matmul against it, emitting only its ``a < b``
+    half — O(n^2) flops but O(batch) memory per task. This is the oracle /
+    small-side variant; at 100 TB use ``cosine_dup_pairs_lsh`` (the
+    broadcast matrix must fit in the object store).
+    """
+    ref = vectors.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = ref[id_col].to_numpy()
+    m_all = _normalize(
+        np.stack([np.asarray(v, dtype=np.float64) for v in ref[vec_col]])
+    )
+    state = ray.put((ids_all, m_all))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_a, m = ray.get(state)
+        mb = _normalize(_batch_matrix(batch, vec_col))
+        ids_b = np.asarray(batch[id_col])
+        sims = mb @ m.T  # (batch, n)
+        bi, ai = np.nonzero(sims >= threshold)
+        keep = ids_b[bi] < ids_a[ai]
+        return pa.table(
+            {
+                "id_a": pa.array(ids_b[bi][keep], pa.int64()),
+                "id_b": pa.array(ids_a[ai][keep], pa.int64()),
+                "cosine": pa.array(
+                    np.round(sims[bi, ai][keep], 4), pa.float64()
+                ),
+            }
+        )
+
+    out = vectors.map_batches(pairs, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def srp_signatures(
+    vectors: "ray.data.Dataset",
+    nbits: int = 64,
+    bands: int = 8,
+    seed: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> "ray.data.Dataset":
+    """Signed-random-projection signatures, banded for LSH blocking.
+
+    Emits ``bands`` rows per vector: (id, band, bucket) where bucket packs
+    ``nbits/bands`` sign bits of ``m @ R``. Two vectors land in the same
+    (band, bucket) with probability ``(1 - theta/pi)^(nbits/bands)`` —
+    the banding trades precision for recall exactly like MinHash-LSH.
+    """
+    bits_per_band = nbits // bands
+
+    def sign_rows(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, vec_col))
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((m.shape[1], nbits))
+        bits = (m @ planes) >= 0  # (n, nbits)
+        weights = (1 << np.arange(bits_per_band, dtype=np.uint64))
+        ids = np.asarray(batch[id_col])
+        out_id, out_band, out_bucket = [], [], []
+        for b in range(bands):
+            chunk = bits[:, b * bits_per_band : (b + 1) * bits_per_band]
+            bucket = (chunk.astype(np.uint64) * weights).sum(axis=1)
+            out_id.append(ids)
+            out_band.append(np.full(len(ids), b, dtype=np.int32))
+            out_bucket.append(bucket)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                "band": pa.array(np.concatenate(out_band), pa.int32()),
+                "bucket": pa.array(np.concatenate(out_bucket), pa.uint64()),
+            }
+        )
+
+    return vectors.map_batches(sign_rows, batch_format="pyarrow")
+
+
+def cosine_dup_pairs_lsh(
+    vectors: "ray.data.Dataset",
+    threshold: float = 0.9,
+    nbits: int = 64,
+    bands: int = 8,
+    seed: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Scale path: SRP-LSH blocking + within-bucket exact cosine verify.
+
+    Candidate pairs come from a ``groupby(band, bucket)`` shuffle of the
+    (tiny) signature rows; only candidates are verified against real
+    vectors — the corpus matrix never gathers in one place. Approximate:
+    recall < 1 for pairs right at the threshold (tune nbits/bands).
+    """
+    sigs = srp_signatures(vectors, nbits, bands, seed, id_col, vec_col)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(np.asarray(group[id_col]).tolist()))
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table(
+            {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
+        )
+
+    cand = (
+        sigs.groupby(["band", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if cand.empty:
+        return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+
+    # verify: fetch the needed vectors once (candidate set is small)
+    need = np.unique(np.concatenate([cand["id_a"], cand["id_b"]]))
+    sub = (
+        vectors.filter(expr=f"{id_col} in {need.tolist()}")
+        .select_columns([id_col, vec_col])
+        .to_pandas()
+    )
+    lut = {
+        i: v
+        for i, v in zip(
+            sub[id_col],
+            _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in sub[vec_col]])),
+        )
+    }
+    cos = np.array(
+        [float(lut[a] @ lut[b]) for a, b in zip(cand["id_a"], cand["id_b"])]
+    )
+    out = cand.assign(cosine=np.round(cos, 4))[cos >= threshold]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

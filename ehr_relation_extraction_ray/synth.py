@@ -116,6 +116,41 @@ def generate_table(n_convs: int, seed: int = 42, hot_every: int = 97) -> pa.Tabl
     return table.select(TRANSCRIPTS.names).cast(TRANSCRIPTS)
 
 
+def _generate_to(out_dir: str, n_convs: int, shard_convs: int = 0) -> str:
+    """Write the table once, atomically. ``shard_convs > 0`` writes one
+    parquet file per conversation chunk (parallel read at scale — a single
+    big file reads in ONE Ray task); returns the file or directory path."""
+    single = os.path.join(out_dir, "transcripts.parquet")
+    target = out_dir if shard_convs else single
+    if not os.path.exists(target if shard_convs else single) or (
+        shard_convs and not os.path.isdir(out_dir)
+    ):
+        os.makedirs("/tmp/graft_transcripts", exist_ok=True)
+        tmp = tempfile.mkdtemp(dir="/tmp/graft_transcripts")
+        if shard_convs:
+            for i, lo in enumerate(range(0, n_convs, shard_convs)):
+                rows = []
+                for c in range(lo, min(lo + shard_convs, n_convs)):
+                    rows.extend(conv_turns(42, c))
+                t = pa.Table.from_pylist(rows)
+                t = t.set_column(
+                    t.schema.get_field_index("ts"),
+                    "ts",
+                    t["ts"].cast(pa.timestamp("us")),
+                )
+                pq.write_table(
+                    t.select(TRANSCRIPTS.names).cast(TRANSCRIPTS),
+                    os.path.join(tmp, f"transcripts-{i:04d}.parquet"),
+                )
+        else:
+            pq.write_table(generate_table(n_convs), os.path.join(tmp, "transcripts.parquet"))
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            pass  # another process won the race; theirs is identical
+    return target
+
+
 def transcripts_path(sf_dir: str) -> str:
     """Deterministic on-disk location of the transcripts for a testdata dir.
 
@@ -126,15 +161,13 @@ def transcripts_path(sf_dir: str) -> str:
     """
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     n_convs = max(int(60000 * float(sf)), 10)
-    out_dir = f"/tmp/graft_transcripts/sf{sf}"
-    out_path = os.path.join(out_dir, "transcripts.parquet")
-    if not os.path.exists(out_path):
-        table = generate_table(n_convs)
-        os.makedirs("/tmp/graft_transcripts", exist_ok=True)
-        tmp = tempfile.mkdtemp(dir="/tmp/graft_transcripts")
-        pq.write_table(table, os.path.join(tmp, "transcripts.parquet"))
-        try:
-            os.rename(tmp, out_dir)
-        except OSError:
-            pass  # another process won the race; theirs is identical
-    return out_path
+    return _generate_to(f"/tmp/graft_transcripts/sf{sf}", n_convs)
+
+
+def transcripts_path_n(n_convs: int) -> str:
+    """Transcripts table with an explicit conversation count (used by the
+    scaling bench, which needs a compute-dominated input). Sharded into
+    ~1500-conversation files so the read itself parallelizes."""
+    return _generate_to(
+        f"/tmp/graft_transcripts/n{n_convs}", n_convs, shard_convs=1500
+    )

@@ -52,3 +52,22 @@ def test_entry_pipeline_runs(tmp_path):
     df = trip.to_pandas()
     assert set(df.columns) == {"doc_id", "subj_id", "subj", "pred", "obj"}
     assert len(df) == len(df.drop_duplicates())
+
+
+def test_local_dedup_equals_global_shuffle_dedup():
+    """The shuffle-free distinct (doc-locality assumption) must equal the
+    hash-shuffle global distinct on the real pipeline output."""
+    import pandas as pd
+
+    from ehr_relation_extraction_ray import synth
+    from ehr_relation_extraction_ray.pipelines import kg
+    from ehr_relation_extraction_ray.stages import relations
+
+    path = synth.transcripts_path("/root/testdata/sf0.001")
+    raw = kg.run(path, dedup=False)
+    local = relations.distinct_triples(raw).to_pandas()
+    glob = relations.distinct_triples_global(kg.run(path, dedup=False)).to_pandas()
+    cols = sorted(local.columns)
+    a = local[cols].sort_values(cols).reset_index(drop=True)
+    b = glob[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

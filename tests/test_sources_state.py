@@ -1,0 +1,336 @@
+"""Unit tests: brat/ADE/CoNLL/RE-TSV sources, checkpointing, cosine dedup,
+registry."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from ehr_relation_extraction_ray import registry
+from ehr_relation_extraction_ray.sources import ade, brat, conll, retsv
+from ehr_relation_extraction_ray.stages import similarity
+from ehr_relation_extraction_ray.state.checkpoint import CheckpointedPipeline
+
+ANN = (
+    "T1\tDrug 10 17\taspirin\n"
+    "#1\tAnnotatorNotes comment line\n"
+    "R1\tStrength-Drug Arg1:T2 Arg2:T1\n"  # forward ref -> backlog
+    "T2\tStrength 18 23;24 29\t81 mg daily\n"
+    "\n"
+)
+
+
+def test_brat_parse_backlog_and_multifragment():
+    ments, edges = brat.parse_ann("doc1", ANN)
+    by_id = {m["ent_id"]: m for m in ments}
+    assert by_id["T1"]["ent_type"] == "Drug"
+    assert (by_id["T1"]["start"], by_id["T1"]["end"]) == (10, 17)
+    # multi-fragment range: first start .. last end (ehr.py:152-157)
+    assert (by_id["T2"]["start"], by_id["T2"]["end"]) == (18, 29)
+    assert len(edges) == 1
+    e = edges[0]
+    assert e["rel_type"] == "Strength-Drug"
+    assert e["subj_id"] == "T2" and e["obj_id"] == "T1"
+    assert e["subj_text"] == "81 mg daily" and e["obj_text"] == "aspirin"
+
+
+def test_brat_dir_roundtrip(tmp_path):
+    d = tmp_path / "brat"
+    d.mkdir()
+    (d / "doc1.txt").write_text("take some aspirin 81 mg daily ok")
+    (d / "doc1.ann").write_text(ANN)
+    (d / "doc2.txt").write_text("no annotations here")
+    docs = brat.read_brat_dir(str(d))
+    ments = docs.map_batches(brat.mentions_batch, batch_format="pyarrow").to_pandas()
+    edges = docs.map_batches(brat.edges_batch, batch_format="pyarrow").to_pandas()
+    assert set(ments["doc_id"]) == {"doc1"}
+    assert len(ments) == 2 and len(edges) == 1
+    # format_ann inverse contains the same T/R lines
+    out = brat.format_ann(
+        pa.Table.from_pandas(ments), pa.Table.from_pandas(edges)
+    )
+    assert "T1\tDrug 10 17\taspirin" in out
+    assert "R1\tStrength-Drug Arg1:T2 Arg2:T1" in out
+
+
+def test_ade_normalize_parity():
+    rec = {
+        "tokens": ["pt", "took", "aspirin", "and", "got", "severe", "rash"],
+        "entities": [
+            {"type": "Drug", "start": 2, "end": 3},
+            {"type": "Adverse-Effect", "start": 5, "end": 7},
+        ],
+        "relations": [{"head": 1, "tail": 0}],
+    }
+    norm = ade.normalize_record("ade-0", rec)
+    ments = {m["ent_id"]: m for m in norm["mentions"]}
+    assert ments["T1"]["ent_type"] == "Drug"
+    assert ments["T2"]["ent_type"] == "ADE"  # renamed (utils.py:380-381)
+    # inclusive token end (utils.py:386); trailing space kept (utils.py:389-392)
+    assert (ments["T2"]["tok_start"], ments["T2"]["tok_end"]) == (5, 6)
+    assert ments["T2"]["text"] == "severe rash "
+    assert norm["edges"][0]["rel_type"] == "ADE-Drug"
+    assert norm["edges"][0]["subj_id"] == "T2"
+
+
+def test_conll_labels_and_roundtrip(tmp_path):
+    text = "start aspirin 81 mg now\n\nnext paragraph here"
+    ments = [("Drug", 6, 13), ("Strength", 14, 19)]
+    labels = conll.iob_labels(text, ments)
+    assert labels == ["O", "B-DRUG", "B-STR", "I-STR", "O", "O", "O", "O"]
+    block = conll.doc_block("d", text, ments, max_len=5, sep=" ")
+    # windows blank-line separated; token label pairs preserved
+    assert "aspirin B-DRUG" in block and "81 B-STR" in block
+    seqs = conll.parse_conll(block)
+    assert sum(len(s["tokens"]) for s in seqs) == 8
+    # distributed write + read roundtrip
+    blocks = ray.data.from_items([{"doc_id": "d", "conll": block}])
+    out_dir = str(tmp_path / "conll")
+    conll.write_conll(blocks, out_dir)
+    back = conll.read_conll(out_dir).to_pandas()
+    assert sum(len(t) for t in back["tokens"]) == 8
+    assert list(back["labels"][0]).count("B-DRUG") == 1
+
+
+def test_conll_attach_mentions_join():
+    docs = ray.data.from_items(
+        [
+            {"doc_id": "a", "text": "one aspirin dose"},
+            {"doc_id": "b", "text": "nothing here"},
+        ]
+    )
+    ments = ray.data.from_items(
+        [{"doc_id": "a", "ent_id": "T1", "ent_type": "Drug", "start": 4, "end": 11, "text": "aspirin"}]
+    )
+    joined = conll.attach_mentions(docs, ments).to_pandas().set_index("doc_id")
+    assert list(joined.loc["a", "ment_types"]) == ["Drug"]
+    assert joined.loc["b", "ment_types"] is None or (
+        isinstance(joined.loc["b", "ment_types"], float)
+    ) or len(joined.loc["b", "ment_types"]) == 0
+
+
+def test_retsv_roundtrip(tmp_path):
+    cand = ray.data.from_items(
+        [
+            {
+                "doc_id": "d1", "win_idx": 0, "cand_idx": i,
+                "masked_text": f"@Drug$ with @Strength$ case {i}",
+                "label": i % 2,
+            }
+            for i in range(5)
+        ]
+    )
+    for split, cols in [
+        ("train", ("sentence", "label")),
+        ("test", ("key", "sentence")),
+        ("test_original", ("key", "sentence", "label")),
+    ]:
+        out = str(tmp_path / split)
+        retsv.write_re_tsv(cand, out, split=split)
+        back = retsv.read_re_tsv(out, split=split).to_pandas()
+        assert len(back) == 5
+        assert back["sentence"].str.contains("@Drug\\$").all()
+        if "label" in cols:
+            assert set(back["label"]) == {"0", "1"}
+        if "key" in cols and split != "train":
+            assert back["key"].str.startswith("d1:0:").all()
+
+
+def test_checkpoint_resume_and_invalidation(tmp_path):
+    base = str(tmp_path / "ckpt")
+    calls = {"n": 0}
+
+    def factory():
+        calls["n"] += 1
+        return ray.data.range(100)
+
+    cp = CheckpointedPipeline(base)
+    ds1 = cp.stage("numbers", factory, params="v1")
+    assert ds1.count() == 100 and calls["n"] == 1
+    # second pipeline run: cached, factory not called
+    cp2 = CheckpointedPipeline(base)
+    ds2 = cp2.stage("numbers", factory, params="v1")
+    assert ds2.count() == 100 and calls["n"] == 1
+    man = json.load(open(os.path.join(base, "numbers", "_manifest.json")))
+    assert man["done"] and man["rows"] == 100
+    # param change invalidates
+    cp3 = CheckpointedPipeline(base)
+    cp3.stage("numbers", factory, params="v2")
+    assert calls["n"] == 2
+    lin = cp3.flush_lineage().to_pandas()
+    assert set(lin["stage"]) == {"numbers"}
+
+
+def test_checkpoint_upstream_invalidation(tmp_path):
+    base = str(tmp_path / "ckpt2")
+    cp = CheckpointedPipeline(base)
+    cp.stage("a", lambda: ray.data.range(10), params="x")
+    calls = {"n": 0}
+
+    def downstream():
+        calls["n"] += 1
+        return ray.data.range(5)
+
+    cp.stage("b", downstream, upstream=["a"])
+    assert calls["n"] == 1
+    # rerun with identical upstream: cached
+    cp2 = CheckpointedPipeline(base)
+    cp2.stage("a", lambda: ray.data.range(10), params="x")
+    cp2.stage("b", downstream, upstream=["a"])
+    assert calls["n"] == 1
+    # upstream changes -> downstream recomputes
+    cp3 = CheckpointedPipeline(base)
+    cp3.stage("a", lambda: ray.data.range(11), params="y")
+    cp3.stage("b", downstream, upstream=["a"])
+    assert calls["n"] == 2
+
+
+def _dup_vectors(n=60, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim))
+    # plant near-duplicates: 5 pairs with tiny noise
+    for i in range(5):
+        m[n - 1 - i] = m[i] + rng.standard_normal(dim) * 0.01
+    ids = np.arange(n)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(list(m.astype(float)), pa.list_(pa.float64())),
+            }
+        )
+    ), m, ids
+
+
+def test_cosine_dup_exact_matches_numpy():
+    ds, m, ids = _dup_vectors()
+    got = similarity.cosine_dup_pairs_exact(ds, threshold=0.95)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    exp = [
+        (int(a), int(b))
+        for a in ids for b in ids
+        if a < b and sims[a, b] >= 0.95
+    ]
+    assert sorted(zip(got["id_a"], got["id_b"])) == sorted(exp)
+    assert len(exp) >= 5
+
+
+def test_cosine_dup_lsh_finds_planted_pairs():
+    ds, m, ids = _dup_vectors()
+    exact = similarity.cosine_dup_pairs_exact(ds, threshold=0.95)
+    lsh = similarity.cosine_dup_pairs_lsh(ds, threshold=0.95, nbits=64, bands=16)
+    got = set(zip(lsh["id_a"], lsh["id_b"]))
+    exp = set(zip(exact["id_a"], exact["id_b"]))
+    assert got <= exp  # no false positives (verified pairs)
+    assert len(got & exp) >= len(exp) * 0.8  # high recall on planted dups
+
+
+def test_registry_surface():
+    assert "dictionary" in registry.names("detector")
+    assert "surrogate" in registry.names("scorer")
+    tok = registry.get("tokenizer", "default")
+    assert tok("a  b\nc") == ["a", "b", "c"]
+
+    @registry.register("tokenizer", "upper")
+    def upper_tok(s):
+        return s.upper().split()
+
+    assert registry.get("tokenizer", "upper")("a b") == ["A", "B"]
+    with pytest.raises(KeyError):
+        registry.get("detector", "nope")
+
+
+def test_scorer_fast_path_equals_regex_scorer():
+    """gap_text fast path (incl. stray-marker fallback) must reproduce the
+    plain SurrogateScorer exactly."""
+    import pyarrow as pa
+
+    from ehr_relation_extraction_ray.functions.rescore import SurrogateScorer
+    from ehr_relation_extraction_ray.stages.candidates import CandidateGenerator
+    from ehr_relation_extraction_ray.stages.relations import RelationScorer
+
+    clean = (
+        "patient took aspirin 81 mg daily and developed rash after dose .\n\n"
+    )
+    stray = (
+        "note @Ab$ stray marker since patient took aspirin 81 mg daily "
+        "and developed rash .\n\n"
+    )
+    for text, expect_fallback in [(clean * 30, False), (stray * 30, True)]:
+        batch = pa.table(
+            {"doc_id": pa.array(["d"]), "text": pa.array([text], pa.large_string())}
+        )
+        cands = CandidateGenerator()(batch)
+        assert cands.num_rows > 0
+        assert (cands["gap_text"].null_count > 0) == expect_fallback
+        fast = RelationScorer()._surrogate_preds(cands)
+        plain = SurrogateScorer()(cands["masked_text"].to_pylist())
+        assert (np.asarray(plain) == fast).all()
+
+
+def test_export_pipelines(tmp_path):
+    """NER CoNLL + RE TSV export over real synthesized docs (S5/S7, O4-O6)."""
+    from ehr_relation_extraction_ray import synth
+    from ehr_relation_extraction_ray.pipelines import export, kg
+    from ehr_relation_extraction_ray.sources import conll as conll_src
+    from ehr_relation_extraction_ray.sources import retsv as retsv_src
+
+    docs = kg.documents(synth.transcripts_path("/root/testdata/sf0.001"))
+    ner_dir = str(tmp_path / "ner")
+    export.export_ner(docs, ner_dir, dev_frac=0.2)
+    assert os.path.exists(os.path.join(ner_dir, "labels.txt"))
+    assert len(open(os.path.join(ner_dir, "labels.txt")).read().split()) == 19
+    train = conll_src.read_conll(os.path.join(ner_dir, "train")).to_pandas()
+    dev = conll_src.read_conll(os.path.join(ner_dir, "dev")).to_pandas()
+    assert len(train) > 0 and len(dev) > 0
+    labels = {l for ls in train["labels"] for l in ls}
+    assert "B-DRUG" in labels and "O" in labels
+
+    re_dir = str(tmp_path / "re")
+    export.export_re(docs, re_dir, dev_frac=0.2)
+    tr = retsv_src.read_re_tsv(os.path.join(re_dir, "train"), split="train").to_pandas()
+    te = retsv_src.read_re_tsv(os.path.join(re_dir, "test"), split="test").to_pandas()
+    assert len(te) > len(tr) > 0  # test = all candidates, train = subset
+    assert te["sentence"].str.contains("@").all()
+
+
+def test_hash_sampling_deterministic_and_calibrated():
+    """O4/O5 hash-Bernoulli: deterministic, order-independent, ~p rates."""
+    import pyarrow as pa
+
+    from ehr_relation_extraction_ray.pipelines.export import sample_mask
+
+    n = 20000
+    batch = pa.table(
+        {
+            "doc_id": pa.array([f"d{i%97}" for i in range(n)]),
+            "win_idx": pa.array([i % 13 for i in range(n)], pa.int32()),
+            "cand_idx": pa.array(list(range(n)), pa.int64()),
+            "rel_type": pa.array(
+                ["ADE-Drug" if i % 3 == 0 else "Strength-Drug" for i in range(n)]
+            ),
+            "label": pa.array([1 if i % 2 == 0 else 0 for i in range(n)], pa.int8()),
+        }
+    )
+    m1 = sample_mask(batch)
+    m2 = sample_mask(batch)
+    assert (m1 == m2).all()
+    # permuted order gives the same per-row decisions
+    perm = np.random.default_rng(0).permutation(n)
+    m3 = sample_mask(batch.take(pa.array(perm)))
+    assert (m3 == m1[perm]).all()
+    import numpy as _np
+
+    lab = _np.asarray(batch["label"])
+    rel = _np.asarray(batch["rel_type"].to_pylist())
+    neg_nonade = (lab == 0) & (rel != "ADE-Drug")
+    pos_ade = (lab == 1) & (rel == "ADE-Drug")
+    assert abs(m1[neg_nonade].mean() - 0.25) < 0.03
+    assert abs(m1[pos_ade].mean() - 0.5) < 0.03
+    assert m1[~neg_nonade & ~pos_ade].all()
