@@ -58,9 +58,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_cosine_dup": q.embeddings_cosine_dup,
         "embeddings_cosine_dup_lsh": q.embeddings_cosine_dup_lsh,
         "media_features": q.media_features,
+        "media_resize_frames": q.media_resize_frames,
         # format export roundtrips (CoNLL / RE TSV sources+sinks)
         "kg_conll_export": q.kg_conll_export,
         "kg_re_export": q.kg_re_export,
+        # distributed evaluator (G3/J3) + parallelism-invariance evidence
+        "kg_eval_invariance": q.kg_eval_invariance,
     }
 
 

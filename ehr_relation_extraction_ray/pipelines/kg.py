@@ -29,6 +29,27 @@ def documents(sf_transcripts_path: str) -> "ray.data.Dataset":
     return assembly.assemble(assembly.read_transcripts(sf_transcripts_path))
 
 
+def run_partitioned(
+    transcripts_dir: str,
+    scorer_factory: Optional[Callable] = None,
+) -> "ray.data.Dataset":
+    """Shuffle-free flagship pipeline for conversation-partitioned input
+    (every conversation wholly inside one parquet file — see
+    ``assembly.assemble_partitioned``). The whole job is a single fused
+    map chain over file tasks: read+local-sort+assemble -> candidates ->
+    score -> triples -> doc-local distinct. ``batch_size=None`` throughout
+    keeps each file's documents together in one batch, which the
+    shuffle-free distinct requires.
+    """
+    docs = assembly.assemble_partitioned(transcripts_dir)
+    cands = candidates.generate(docs, batch_size=None)
+    edges = relations.score(cands, scorer_factory=scorer_factory, batch_size=None)
+    trip = edges.map_batches(
+        relations.triples_batch, batch_format="pyarrow", batch_size=None
+    )
+    return relations.distinct_triples(trip)
+
+
 def run(
     transcripts_path: str,
     scorer_factory: Optional[Callable] = None,

@@ -308,3 +308,61 @@ def kg_re_export(sf_dir: str) -> pd.DataFrame:
         n = len(retsv_src.read_re_tsv(os.path.join(out_dir, split), split=fmt).to_pandas())
         rows.append({"split": split, "n_rows": n})
     return pd.DataFrame(rows).sort_values("split").reset_index(drop=True)
+
+
+def kg_eval_invariance(sf_dir: str) -> pd.DataFrame:
+    """Rows-only: distributed triple-set + span P/R/F1 counters (G3/J3)
+    scoring one pipeline configuration against another (different read
+    parallelism + scorer pathway) — both metrics must be exactly 1.0,
+    which simultaneously exercises the evaluator shuffle and evidences
+    parallelism invariance (SURVEY.md §5c)."""
+    from ..stages import assembly, candidates, evaluate, relations
+
+    path = synth.transcripts_path(sf_dir)
+
+    def run_with_blocks(nblocks: int):
+        ds = ray.data.read_parquet(
+            path, columns=["conv_id", "turn_idx", "text"],
+            override_num_blocks=nblocks,
+        )
+        docs = assembly.assemble(ds)
+        edges = relations.score(candidates.generate(docs))
+        return relations.distinct_triples_global(relations.triples(edges)), docs
+
+    sys_trip, sys_docs = run_with_blocks(3)
+    gold_trip, gold_docs = run_with_blocks(64)
+    trip_prf = evaluate.triple_set_prf(sys_trip, gold_trip)
+    sys_m = mentions_stage.detect(sys_docs)
+    gold_m = mentions_stage.detect(gold_docs)
+    span_strict = evaluate.span_prf(sys_m, gold_m, strict=True)
+    span_lenient = evaluate.span_prf(sys_m, gold_m, strict=False)
+    rows = [
+        {"metric": "triples_strict", **{k: round(v, 6) for k, v in trip_prf.items()}},
+        {"metric": "spans_strict", **{k: round(v, 6) for k, v in span_strict.items() if k != "macro_f1"}},
+        {"metric": "spans_lenient", **{k: round(v, 6) for k, v in span_lenient.items() if k != "macro_f1"}},
+    ]
+    return pd.DataFrame(rows).sort_values("metric").reset_index(drop=True)
+
+
+def media_resize_frames(sf_dir: str) -> pd.DataFrame:
+    """Rows-only: image resize + video frame sampling (actor pools over
+    binary columns; codecs stubbed deterministically)."""
+    media = ray.data.read_parquet(media_path(sf_dir))
+    resized = multimodal.resize_images(media, width=16, height=16, concurrency=2)
+    frames = multimodal.sample_frames(media, every_ms=250, concurrency=2)
+    r = resized.to_pandas()
+    f = frames.to_pandas()
+    return pd.DataFrame(
+        [
+            {
+                "stage": "resize",
+                "n_rows": len(r),
+                "n_bytes": int(r["payload"].map(len).sum()) if len(r) else 0,
+            },
+            {
+                "stage": "frames",
+                "n_rows": len(f),
+                "n_bytes": int(f["payload"].map(len).sum()) if len(f) else 0,
+            },
+        ]
+    ).sort_values("stage").reset_index(drop=True)

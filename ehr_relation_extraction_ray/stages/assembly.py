@@ -100,3 +100,53 @@ def check_turn_equality(documents: pa.Table, transcripts: pa.Table) -> bool:
         if doc_text[start : start + len(text or "")] != (text or ""):
             return False
     return True
+
+
+def _assemble_file_batch(batch: pa.Table, columns=("conv_id", "turn_idx", "text")) -> pa.Table:
+    """One batch of file paths -> assembled documents for every conversation
+    in those files (shuffle-free assembly for conv-partitioned input)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for path in batch["path"].to_pylist():
+        # use_threads=False: each concurrent Ray task would otherwise spin
+        # up arrow's global thread pool -> massive CPU oversubscription
+        t = pq.read_table(path, columns=list(columns), use_threads=False)
+        t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        conv = np.asarray(t["conv_id"].to_pylist(), dtype=object)
+        # run boundaries of the sorted conv column
+        change = np.nonzero(conv[1:] != conv[:-1])[0] + 1
+        bounds = np.concatenate(([0], change, [len(conv)]))
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            out.append(assemble_group(t.slice(lo, hi - lo)))
+    if not out:
+        return DOCUMENTS.empty_table()
+    return pa.concat_tables(out)
+
+
+def assemble_partitioned(path_dir: str) -> "ray.data.Dataset":
+    """Shuffle-FREE assembly for input partitioned by conversation.
+
+    Partitioning assumption (documented per SURVEY.md §2 custom-operator
+    rule): every conversation's rows live in exactly ONE parquet file —
+    the standard layout for conversation logs at scale (writers bucket by
+    conv hash). Each file becomes one task that sorts locally and emits
+    whole documents, so the pipeline has NO all-to-all exchange at all;
+    parallelism = file count (size shards upstream, ~100-500 MB each).
+    Unpartitioned input must use :func:`assemble` (one groupby shuffle).
+    """
+    import os as _os
+
+    paths = sorted(
+        _os.path.join(path_dir, f)
+        for f in _os.listdir(path_dir)
+        if f.endswith(".parquet")
+    )
+    # one file per task: one block per path + batch_size=1 so the
+    # min-block-size bundler cannot pack several files into one task
+    files = ray.data.from_items(
+        [{"path": p} for p in paths], override_num_blocks=max(len(paths), 1)
+    )
+    return files.map_batches(
+        _assemble_file_batch, batch_format="pyarrow", batch_size=1
+    )

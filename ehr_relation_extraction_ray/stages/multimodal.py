@@ -126,3 +126,116 @@ def synth_media(n: int, seed: int = 5) -> pa.Table:
     return pa.Table.from_arrays(
         [pa.array(rows[f.name], f.type) for f in MEDIA], schema=MEDIA
     )
+
+
+RESIZED = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("payload", pa.large_binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+    ]
+)
+
+FRAMES = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("frame_idx", pa.int32()),
+        ("ts_ms", pa.int32()),
+        ("payload", pa.large_binary()),
+    ]
+)
+
+
+class ImageResizer:
+    """Actor-pool stage: image payload -> resized payload (stubbed codec).
+
+    The fake codec produces a deterministic ``w*h``-byte payload derived
+    from the source bytes (tiling/truncation), preserving the real stage's
+    contract: bounded output size, per-actor setup, small batches for
+    large binary rows."""
+
+    def __init__(self, width: int = 32, height: int = 32, decoder: str = "fake"):
+        if decoder != "fake":
+            raise NotImplementedError(
+                f"decoder={decoder!r}: image libraries unavailable; use 'fake'"
+            )
+        self.width, self.height = width, height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = self.width * self.height
+        out = []
+        for p in batch["payload"].to_pylist():
+            src = np.frombuffer(p or b"\x00", dtype=np.uint8)
+            out.append(np.resize(src, n).tobytes())
+        return pa.Table.from_arrays(
+            [
+                batch["media_id"].combine_chunks()
+                if isinstance(batch["media_id"], pa.ChunkedArray)
+                else batch["media_id"],
+                pa.array(out, pa.large_binary()),
+                pa.array([self.width] * batch.num_rows, pa.int32()),
+                pa.array([self.height] * batch.num_rows, pa.int32()),
+            ],
+            schema=RESIZED,
+        )
+
+
+class FrameSampler:
+    """Actor-pool flat stage: video payload -> K evenly-spaced frame rows
+    (output rows > input rows — the Ray-side shape of real frame
+    sampling; codec stubbed deterministically)."""
+
+    def __init__(self, every_ms: int = 250, frame_bytes: int = 256, decoder: str = "fake"):
+        if decoder != "fake":
+            raise NotImplementedError(
+                f"decoder={decoder!r}: ffmpeg unavailable; use 'fake'"
+            )
+        self.every_ms = every_ms
+        self.frame_bytes = frame_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in FRAMES.names}
+        for mid, payload, dur in zip(
+            batch["media_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["duration_ms"].to_pylist(),
+        ):
+            dur = max(int(dur or 0), 0)
+            src = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+            for k, ts in enumerate(range(0, dur + 1, self.every_ms)):
+                lo = (k * self.frame_bytes) % max(len(src), 1)
+                frame = np.resize(np.roll(src, -lo), self.frame_bytes).tobytes()
+                rows["media_id"].append(mid)
+                rows["frame_idx"].append(k)
+                rows["ts_ms"].append(ts)
+                rows["payload"].append(frame)
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in FRAMES], schema=FRAMES
+        )
+
+
+def resize_images(
+    media: "ray.data.Dataset", width: int = 32, height: int = 32,
+    concurrency: Optional[int] = 4, batch_size: int = 32,
+) -> "ray.data.Dataset":
+    imgs = media.filter(expr="kind == 'image'")
+    return imgs.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"width": width, "height": height},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )
+
+
+def sample_frames(
+    media: "ray.data.Dataset", every_ms: int = 250,
+    concurrency: Optional[int] = 4, batch_size: int = 16,
+) -> "ray.data.Dataset":
+    vids = media.filter(expr="kind == 'video'")
+    return vids.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_ms": every_ms},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )

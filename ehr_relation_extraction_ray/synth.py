@@ -167,7 +167,9 @@ def transcripts_path(sf_dir: str) -> str:
 def transcripts_path_n(n_convs: int) -> str:
     """Transcripts table with an explicit conversation count (used by the
     scaling bench, which needs a compute-dominated input). Sharded into
-    ~1500-conversation files so the read itself parallelizes."""
+    375-conversation files (conversation-partitioned layout: a conv never
+    spans files) so the read parallelizes and the shuffle-free pipeline
+    has fine-grained tasks."""
     return _generate_to(
-        f"/tmp/graft_transcripts/n{n_convs}", n_convs, shard_convs=1500
+        f"/tmp/graft_transcripts/n{n_convs}", n_convs, shard_convs=375
     )

@@ -71,3 +71,20 @@ def test_local_dedup_equals_global_shuffle_dedup():
     a = local[cols].sort_values(cols).reset_index(drop=True)
     b = glob[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_partitioned_pipeline_matches_sort_pipeline():
+    """Shuffle-free conv-partitioned pipeline == general sort pipeline."""
+    import pandas as pd
+
+    from ehr_relation_extraction_ray import synth
+    from ehr_relation_extraction_ray.pipelines import kg
+
+    d = synth._generate_to("/tmp/graft_transcripts/t600s150", 600, shard_convs=150)
+    a = kg.run(d).to_pandas()
+    b = kg.run_partitioned(d).to_pandas()
+    cols = sorted(a.columns)
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True),
+    )
