@@ -61,8 +61,21 @@ def kg_assembly(sf_dir: str) -> pd.DataFrame:
 
 def kg_mentions(sf_dir: str) -> pd.DataFrame:
     ment = mentions_stage.detect(_docs(sf_dir))
-    per_surface = ment.groupby(["ent_type", "text"]).aggregate(
-        Count(alias_name="n")
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        # combiner: the distinct-surface vocabulary is tiny, so pre-count
+        # per batch and let the shuffle move ~90 rows per block, not 700k
+        return (
+            batch.select(["ent_type", "text"])
+            .group_by(["ent_type", "text"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["ent_type", "text", "n"])
+        )
+
+    per_surface = (
+        ment.map_batches(local_counts, batch_format="pyarrow")
+        .groupby(["ent_type", "text"])
+        .aggregate(Sum("n", alias_name="n"))
     )
     out = (
         per_surface.groupby("ent_type")

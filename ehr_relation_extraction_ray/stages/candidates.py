@@ -41,31 +41,37 @@ class CandidateGenerator:
         patterns: Optional[Dict[str, str]] = None,
         max_len: int = RE_MAX_LEN,
         max_pairs_per_window: int = 10_000,
+        errors_dir: Optional[str] = None,
     ):
+        from ..state.quarantine import Quarantine
+
         self.compiled = compile_patterns(patterns or fit_patterns(DEFAULT_LEXICON))
         self.max_len = max_len
         self.max_pairs = max_pairs_per_window
+        self.quarantine = Quarantine(errors_dir, stage="candidates")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols: Dict[str, List] = {k: [] for k in CANDIDATES.names}
         for doc_id, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
-            mentions = detect_mentions(text, find_mentions(text, self.compiled))
-            if not mentions:
-                continue
-            starts, ends = token_spans(text)
-            split = split_points(text, starts, max_len=self.max_len)
-            windows = char_windows(text, split, ends)
-            doc_cols = window_candidates(
-                text, windows, mentions, max_pairs_per_window=self.max_pairs
-            )
-            n = len(doc_cols["cand_idx"])
-            if not n:
-                continue
-            cols["doc_id"].extend([doc_id] * n)
-            for k, v in doc_cols.items():
-                cols[k].extend(v)
+            with self.quarantine.guard(doc_id):
+                mentions = detect_mentions(text, find_mentions(text, self.compiled))
+                if not mentions:
+                    continue
+                starts, ends = token_spans(text)
+                split = split_points(text, starts, max_len=self.max_len)
+                windows = char_windows(text, split, ends)
+                doc_cols = window_candidates(
+                    text, windows, mentions, max_pairs_per_window=self.max_pairs
+                )
+                n = len(doc_cols["cand_idx"])
+                if not n:
+                    continue
+                cols["doc_id"].extend([doc_id] * n)
+                for k, v in doc_cols.items():
+                    cols[k].extend(v)
+        self.quarantine.flush()
         arrays = [pa.array(cols[f.name], f.type) for f in CANDIDATES]
         return pa.Table.from_arrays(arrays, schema=CANDIDATES)
 
@@ -84,20 +90,42 @@ def _default_generator_batch(batch: pa.Table) -> pa.Table:
     return _DEFAULT_GENERATOR(batch)
 
 
+_QUARANTINED_GENERATORS: Dict[str, "CandidateGenerator"] = {}
+
+
+def _quarantined_generator_batch(batch: pa.Table, errors_dir: str) -> pa.Table:
+    gen = _QUARANTINED_GENERATORS.get(errors_dir)
+    if gen is None:
+        gen = _QUARANTINED_GENERATORS.setdefault(
+            errors_dir, CandidateGenerator(errors_dir=errors_dir)
+        )
+    return gen(batch)
+
+
 def generate(
     documents: "ray.data.Dataset",
     patterns: Optional[Dict[str, str]] = None,
     concurrency: Optional[int] = None,
     batch_size: int = 64,
+    errors_dir: Optional[str] = None,
 ) -> "ray.data.Dataset":
     """documents Dataset -> candidates Dataset (CANDIDATES schema).
 
     Default: stateless tasks (cached per-process state). Pass ``patterns``
     and/or ``concurrency`` to pin an actor pool instead (model-scale state);
     size it to leave CPUs for the shuffle stages (ray_guide: a pool that
-    reserves every CPU deadlocks the pipeline).
+    reserves every CPU deadlocks the pipeline). ``errors_dir`` enables the
+    poison-document quarantine (state/quarantine.py): failing documents are
+    skipped and recorded as error rows instead of killing the job.
     """
     if patterns is None and concurrency is None:
+        if errors_dir is not None:
+            return documents.map_batches(
+                _quarantined_generator_batch,
+                fn_kwargs={"errors_dir": errors_dir},
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            )
         return documents.map_batches(
             _default_generator_batch,
             batch_format="pyarrow",
@@ -105,7 +133,7 @@ def generate(
         )
     return documents.map_batches(
         CandidateGenerator,
-        fn_constructor_kwargs={"patterns": patterns},
+        fn_constructor_kwargs={"patterns": patterns, "errors_dir": errors_dir},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency or 4,

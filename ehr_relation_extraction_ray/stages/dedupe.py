@@ -74,16 +74,44 @@ def _minhash_params(num_perm: int, seed: int = 7) -> Tuple[np.ndarray, np.ndarra
     return a, b
 
 
+
+def _word_hashes(words) -> np.ndarray:
+    """64-bit word hashes, vectorized (polars' rust kernel; content_hash_64
+    fallback keeps the pure-numpy path working without polars)."""
+    try:
+        import polars as pl
+
+        return pl.Series(words).hash(seed=101).to_numpy().astype(np.uint64)
+    except ImportError:  # pragma: no cover
+        return content_hash_64(list(words))
+
+
+def word_shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct k-word-shingle identities as 64-bit hashes WITHOUT building
+    shingle strings: polynomial combine of word hashes over a sliding
+    window — O(words) vector ops instead of O(shingles) string joins."""
+    words = (text or "").lower().split()
+    if not words:
+        return np.zeros(0, dtype=np.uint64)
+    wh = _word_hashes(words)
+    P = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        if len(words) < k:
+            powers = P ** np.arange(len(words), dtype=np.uint64)
+            return np.array([np.sum(wh * powers, dtype=np.uint64)], dtype=np.uint64)
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        win = sliding_window_view(wh, k)
+        powers = P ** np.arange(k, dtype=np.uint64)
+        return np.unique((win * powers[None, :]).sum(axis=1, dtype=np.uint64))
+
+
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Distinct k-word-shingle hashes, folded to 32 bits (whitespace words)."""
-    words = text.lower().split()
-    if len(words) < k:
-        shingles = [" ".join(words)] if words else []
-    else:
-        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    if not shingles:
+    """Distinct k-word-shingle hashes, folded to 32 bits (whitespace words,
+    vectorized via word_shingle_hashes)."""
+    h = word_shingle_hashes(text, k)
+    if len(h) == 0:
         return np.zeros(1, dtype=np.uint64)
-    h = content_hash_64(shingles)
     return np.unique((h ^ (h >> np.uint64(32))) & np.uint64(0xFFFFFFFF))
 
 
@@ -111,12 +139,15 @@ def minhash_band_rows(
         batch[id_col].to_pylist(), batch[text_col].to_pylist()
     ):
         sig = minhash_signature(shingle_hashes(text), a, b)
+        with np.errstate(over="ignore"):
+            P = np.uint64(1099511628211)
+            powers = P ** np.arange(rows_per_band, dtype=np.uint64)
+            chunks = sig.reshape(bands, rows_per_band)
+            hs = (chunks * powers[None, :]).sum(axis=1, dtype=np.uint64)
         for band in range(bands):
-            chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-            h = int(content_hash_64(["-".join(map(str, chunk))])[0]) & 0x7FFFFFFFFFFFFFFF
             doc_ids.append(str(doc_id))
             band_ids.append(band)
-            band_hash.append(h)
+            band_hash.append(int(hs[band]) & 0x7FFFFFFFFFFFFFFF)
     return pa.table(
         {
             "doc_id": pa.array(doc_ids, pa.string()),
@@ -252,14 +283,10 @@ def ngram_jaccard_pairs(
         for doc_id, text in zip(
             batch[id_col].to_pylist(), batch[text_col].to_pylist()
         ):
-            words = (text or "").lower().split()
-            if len(words) < k:
-                sh = [" ".join(words)] if words else []
-            else:
-                sh = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-            if not sh:
+            h = word_shingle_hashes(text, k)
+            if len(h) == 0:
                 continue
-            h = np.unique(content_hash_64(sh).astype(np.int64))
+            h = h.astype(np.int64)
             ids.extend([str(doc_id)] * len(h))
             hashes.extend(h.tolist())
         return pa.table(
@@ -318,7 +345,7 @@ def simhash64(text: str) -> int:
     words = text.lower().split()
     if not words:
         return 0
-    hashes = content_hash_64(words)
+    hashes = _word_hashes(words)
     bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
         np.int64
     )

@@ -1,0 +1,107 @@
+"""Property tests (hypothesis) for the pure kernels the triples depend on.
+
+These are driver-side (no Ray): they pin the vectorized engine kernels to
+the literal reference-semantics walks in tests/refsem.py across randomized
+text, which is where off-by-one quirks (SURVEY.md §7.5) would hide.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from ehr_relation_extraction_ray.functions.chunking import split_points
+from ehr_relation_extraction_ray.functions.pairs import mask_window
+from ehr_relation_extraction_ray.functions.tokenize import (
+    char_to_token,
+    token_spans,
+    tokens_of,
+)
+from ehr_relation_extraction_ray.sources.conll import iob_labels, parse_conll
+from refsem import naive_split_points, naive_token_maps
+
+# words + whitespace runs + the punctuation the chunker keys on
+_word = st.text(
+    alphabet="abcdefgXYZ019.?!*#->[αé$@", min_size=1, max_size=8
+).filter(lambda w: w.strip())
+_sep = st.sampled_from([" ", "  ", "\n", "\n\n", " \n", "\t", "\n \n"])
+
+
+@st.composite
+def texts(draw, max_words=60):
+    n = draw(st.integers(0, max_words))
+    parts = []
+    for _ in range(n):
+        parts.append(draw(_word))
+        parts.append(draw(_sep))
+    return "".join(parts)
+
+
+@given(texts())
+@settings(max_examples=200, deadline=None)
+def test_token_spans_match_naive_walk(text):
+    tokens, c2t, t2c = naive_token_maps(text)
+    starts, ends = token_spans(text)
+    assert tokens_of(text) == tokens
+    assert [(int(s), int(e)) for s, e in zip(starts, ends)] == t2c
+    if len(tokens):
+        # char->token map: engine vectorized vs reference char walk
+        idx = char_to_token(starts, np.arange(len(text)))
+        assert idx.tolist() == c2t
+
+
+@given(texts(max_words=120), st.integers(3, 20))
+@settings(max_examples=150, deadline=None)
+def test_split_points_match_reference_loop(text, max_len):
+    tokens, c2t, _ = naive_token_maps(text)
+    if not tokens:
+        return
+    starts, _ = token_spans(text)
+    expect = naive_split_points(text, c2t, len(tokens), max_len)
+    got = split_points(text, starts, max_len=max_len)
+    assert list(got) == list(expect)
+
+
+@given(
+    st.text(alphabet="abc @$\n\tXY", min_size=10, max_size=60),
+    st.data(),
+)
+@settings(max_examples=150, deadline=None)
+def test_mask_window_matches_sequential_replacement(win_text, data):
+    n = len(win_text)
+    s1 = data.draw(st.integers(0, n - 2))
+    e1 = data.draw(st.integers(s1 + 1, n - 1))
+    # disjoint second span after the first
+    s2 = data.draw(st.integers(e1, n - 1))
+    e2 = data.draw(st.integers(s2 + 1, n))
+    subj = ("T1", "Drug", s1, e1, win_text[s1:e1])
+    obj = ("T2", "Strength", s2, e2, win_text[s2:e2])
+    # reference semantics: replace later entity first, then scrub
+    if e1 < e2:
+        t = win_text[:s2] + "@Strength$" + win_text[e2:]
+        t = t[:s1] + "@Drug$" + t[e1:]
+    else:
+        t = win_text[:s1] + "@Drug$" + win_text[e1:]
+        t = t[:s2] + "@Strength$" + t[e2:]
+    expect = t.replace("\n", " ").replace("\t", " ")
+    assert mask_window(win_text, 0, subj, obj) == expect
+
+
+@given(texts(max_words=40), st.data())
+@settings(max_examples=100, deadline=None)
+def test_iob_roundtrip(text, data):
+    starts, ends = token_spans(text)
+    if len(starts) < 2:
+        return
+    # pick a random aligned mention over whole tokens
+    i = data.draw(st.integers(0, len(starts) - 2))
+    j = data.draw(st.integers(i, min(i + 3, len(starts) - 1)))
+    ments = [("Drug", int(starts[i]), int(ends[j]))]
+    labels = iob_labels(text, ments)
+    assert labels[i] == "B-DRUG"
+    assert all(l == "I-DRUG" for l in labels[i + 1 : j + 1])
+    assert all(l == "O" for k, l in enumerate(labels) if not (i <= k <= j))
+    # conll text roundtrip preserves (token, label) pairs
+    toks = tokens_of(text)
+    block = "\n".join(f"{t} {l}" for t, l in zip(toks, labels))
+    seqs = parse_conll(block)
+    assert seqs[0]["tokens"] == toks
+    assert seqs[0]["labels"] == labels

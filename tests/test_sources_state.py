@@ -334,3 +334,56 @@ def test_hash_sampling_deterministic_and_calibrated():
     assert abs(m1[neg_nonade].mean() - 0.25) < 0.03
     assert abs(m1[pos_ade].mean() - 0.5) < 0.03
     assert m1[~neg_nonade & ~pos_ade].all()
+
+
+def test_poison_document_quarantine(tmp_path):
+    """A document that makes the generator raise is skipped and recorded;
+    the rest of the corpus processes normally."""
+    import pyarrow as pa
+
+    from ehr_relation_extraction_ray.stages import candidates
+    from ehr_relation_extraction_ray.state.quarantine import read_errors
+
+    good = (
+        "patient took aspirin 81 mg daily and developed rash after dose .\n\n"
+    ) * 30
+    # dense window: many drugs x many others -> exceeds max_pairs cap inside
+    # window_candidates -> ValueError for this doc only
+    poison = ("aspirin 81 mg metformin 500 mg " * 40 + ".\n\n") * 10
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["good-1", "poison", "good-2"]),
+                "text": pa.array([good, poison, good], pa.large_string()),
+            }
+        )
+    )
+    errors_dir = str(tmp_path / "errors")
+
+    # without quarantine: the job dies on the dense-window cap
+    with pytest.raises(Exception):
+        docs.map_batches(
+            candidates.CandidateGenerator,
+            fn_constructor_kwargs={"max_pairs_per_window": 500},
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=1,
+        ).count()
+
+    # with quarantine: good docs flow, poison recorded
+    cands = docs.map_batches(
+        candidates.CandidateGenerator,
+        fn_constructor_kwargs={
+            "max_pairs_per_window": 500,
+            "errors_dir": errors_dir,
+        },
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=1,
+    )
+    out = cands.to_pandas()
+    assert set(out["doc_id"]) == {"good-1", "good-2"}
+    errs = read_errors(errors_dir).to_pandas()
+    assert list(errs["doc_id"]) == ["poison"]
+    assert "ValueError" in errs["error"].iloc[0]
+    assert (errs["stage"] == "candidates").all()
