@@ -41,3 +41,70 @@ def wide_relation_table(triples: "ray.data.Dataset") -> "ray.data.Dataset":
         return out
 
     return triples.groupby("doc_id").map_groups(collect, batch_format="pandas")
+
+
+# -- driver-side renderers (debug sinks, not part of the data plane) --------
+
+# entity colors (utils.py:24-28)
+COLORS = {
+    "Drug": "#aa9cfc", "Strength": "#ff9561", "Form": "#7aecec",
+    "Frequency": "#9cc9cc", "Route": "#ffeb80", "Dosage": "#bfe1d9",
+    "Reason": "#e4e7d2", "ADE": "#ff8197", "Duration": "#97c4f5",
+}
+
+_TPL_SPAN = (
+    '<span style="background-color:{color};border-radius:5px;'
+    'padding:2px">{content}</span>'
+)
+
+
+def render_doc_html(text: str, mentions: "pa.Table") -> str:
+    """Span-highlight HTML for one document (display_ehr, utils.py:66-145):
+    mentions sorted by start char; a later span overlapping an already-
+    rendered one is dropped (utils.py:121-122); newlines -> <br>."""
+    rows = sorted(
+        zip(
+            mentions["start"].to_pylist(),
+            mentions["end"].to_pylist(),
+            mentions["ent_type"].to_pylist(),
+        )
+    )
+    out = []
+    idx = 0
+    for s, e, ent_type in rows:
+        if idx > s:
+            continue  # overlap-drop rule
+        out.append(text[idx:s])
+        out.append(
+            _TPL_SPAN.format(
+                content=text[s:e], color=COLORS.get(ent_type, "#dddddd")
+            )
+        )
+        idx = e
+    out.append(text[idx:])
+    return "".join(out).replace("\n", "<br>")
+
+
+def render_wide_html(wide: "pd.DataFrame") -> str:
+    """Wide relation table -> HTML blob (get_relation_table, utils.py:533-581):
+    grouped index (Drug ID, Drug, Entity Type), newline-joined entity texts
+    rendered as <br>."""
+    df = wide.rename(
+        columns={
+            "subj_id": "Drug ID",
+            "subj": "Drug",
+            "pred": "Entity Type",
+            "args": "Entity Text",
+        }
+    )
+    df = df.set_index(["Drug ID", "Drug", "Entity Type"])[["Entity Text"]]
+    empty_header = (
+        '    <tr style="text-align: right;">\n      <th></th>\n'
+        "      <th></th>\n      <th></th>\n      <th>Entity Text</th>\n    </tr>\n"
+    )
+    return (
+        df.to_html(classes=["table"], border=0)
+        .replace("\\n", "<br>")
+        .replace(empty_header, "")
+        .replace("<th></th>", "<th>Entity Text</th>")
+    )

@@ -387,3 +387,33 @@ def test_poison_document_quarantine(tmp_path):
     assert list(errs["doc_id"]) == ["poison"]
     assert "ValueError" in errs["error"].iloc[0]
     assert (errs["stage"] == "candidates").all()
+
+
+def test_html_renderers():
+    """S12/S13 driver-side renders: overlap-drop + grouped wide HTML."""
+    import pyarrow as pa
+
+    from ehr_relation_extraction_ray.stages import graph
+
+    text = "took aspirin 81 mg\nnow"
+    ments = pa.table(
+        {
+            "start": pa.array([5, 13, 7], pa.int64()),   # 7 overlaps aspirin
+            "end": pa.array([12, 18, 15], pa.int64()),
+            "ent_type": pa.array(["Drug", "Strength", "Drug"]),
+        }
+    )
+    html = graph.render_doc_html(text, ments)
+    assert html.count("<span") == 2  # overlapping span dropped
+    assert "aspirin" in html and "81 mg" in html and "<br>" in html
+    assert "#aa9cfc" in html and "#ff9561" in html
+
+    wide = pd.DataFrame(
+        {
+            "doc_id": ["d"], "subj_id": ["T1"], "subj": ["aspirin"],
+            "pred": ["Strength"], "args": ["81 mg\n500 mg"], "n_args": [2],
+        }
+    )
+    out = graph.render_wide_html(wide)
+    assert "81 mg<br>500 mg" in out
+    assert "<th>Entity Text</th>" in out and "Drug ID" in out
