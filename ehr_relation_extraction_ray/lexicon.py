@@ -144,3 +144,46 @@ DEFAULT_LEXICON: Dict[str, List[str]] = {
 
 def default_compiled() -> Dict[str, "re.Pattern[str]"]:
     return compile_patterns(fit_patterns(DEFAULT_LEXICON))
+
+
+def fit_from_mentions(
+    mentions: "ray.data.Dataset",  # noqa: F821 - forward ref, no ray import at module load
+    type_col: str = "ent_type",
+    text_col: str = "text",
+) -> Dict[str, str]:
+    """Distributed ``DictNER.fit`` (G5): per-type distinct surfaces from an
+    annotated mentions Dataset -> alternation regexes.
+
+    Shape: batch-local distinct (combiner) -> one ``groupby`` over the
+    vocabulary-sized (type, surface) rows -> driver compiles and the caller
+    broadcasts the compiled dict via the detector's constructor (A4).
+    First-seen order is not reconstructible under parallelism, so surfaces
+    are ordered lexicographically — alternation semantics are unchanged for
+    delimited whole-surface matches.
+    """
+    import pyarrow as pa
+
+    def local_distinct(batch: "pa.Table") -> "pa.Table":
+        t = pa.table(
+            {
+                "ent_type": batch[type_col],
+                "surface": pa.array(
+                    [(s or "").lower() for s in batch[text_col].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+        return t.group_by(["ent_type", "surface"], use_threads=False).aggregate([])
+
+    distinct = (
+        mentions.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(["ent_type", "surface"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .to_pandas()
+    )
+    by_type: Dict[str, List[str]] = {}
+    for r in distinct.itertuples(index=False):
+        by_type.setdefault(r.ent_type, []).append(r.surface)
+    for t in by_type:
+        by_type[t] = sorted(by_type[t])
+    return fit_patterns(by_type)

@@ -417,3 +417,37 @@ def test_html_renderers():
     out = graph.render_wide_html(wide)
     assert "81 mg<br>500 mg" in out
     assert "<th>Entity Text</th>" in out and "Drug ID" in out
+
+
+def test_distributed_dict_fit_and_empty_input():
+    """G5 distributed fit reproduces the detector's surfaces; empty
+    transcripts flow through the whole pipeline without crashing."""
+    import pyarrow as pa
+
+    from ehr_relation_extraction_ray import lexicon
+    from ehr_relation_extraction_ray.pipelines import kg
+    from ehr_relation_extraction_ray.schemas import TRANSCRIPTS
+    from ehr_relation_extraction_ray.stages import assembly, candidates, relations
+
+    ments = ray.data.from_items(
+        [
+            {"doc_id": "a", "ent_type": "Drug", "text": "Aspirin"},
+            {"doc_id": "b", "ent_type": "Drug", "text": "aspirin"},
+            {"doc_id": "a", "ent_type": "ADE", "text": "rash"},
+            {"doc_id": "a", "ent_type": "Strength", "text": "81 mg"},
+        ]
+    )
+    pats = lexicon.fit_from_mentions(ments)
+    assert pats["Strength"] == lexicon.STRENGTH_PATTERN
+    assert "aspirin" in pats["Drug"] and pats["Drug"].count("aspirin") == 1
+    compiled = lexicon.compile_patterns(pats)
+    found = lexicon.find_mentions(" took aspirin and rash appeared ", compiled)
+    assert {t for t, _, _ in found} == {"Drug", "ADE"}
+
+    # empty input end-to-end
+    empty = ray.data.from_arrow(TRANSCRIPTS.empty_table())
+    docs = assembly.assemble(empty)
+    trip = relations.distinct_triples(
+        relations.triples(relations.score(candidates.generate(docs)))
+    )
+    assert trip.count() == 0
