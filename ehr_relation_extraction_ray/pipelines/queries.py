@@ -193,10 +193,7 @@ def embeddings_topk(sf_dir: str) -> pd.DataFrame:
 
     vecs = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qdf = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "embeddings.parquet"),
-        )
-        .filter(lambda r: r["vec_id"] in (0, 1, 2))
+        vecs.filter(expr="vec_id <= 2")  # pushed-down expr, not a row lambda
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -215,9 +212,7 @@ def embeddings_ivf_topk(sf_dir: str) -> pd.DataFrame:
     vecs = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     cent = similarity.train_centroids(vecs, nlist=8)
     assigned = similarity.ivf_assign(vecs, cent)
-    qdf = (
-        vecs.filter(lambda r: r["vec_id"] in (0, 1, 2)).to_pandas().sort_values("vec_id")
-    )
+    qdf = vecs.filter(expr="vec_id <= 2").to_pandas().sort_values("vec_id")
     queries = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
     out = similarity.ivf_topk(assigned, cent, queries, k=5, nprobe=3)
     return out[["query_id", "vec_id", "rank"]].astype("int64").sort_values(

@@ -123,15 +123,25 @@ def attach_mentions(
             "ent_type", pa.nulls(t.num_rows, pa.string())
         ).append_column(
             "start", pa.nulls(t.num_rows, pa.int64())
-        ).append_column("end", pa.nulls(t.num_rows, pa.int64())),
+        ).append_column(
+            "end", pa.nulls(t.num_rows, pa.int64())
+        ).append_column("ent_ord", pa.nulls(t.num_rows, pa.int64())),
         batch_format="pyarrow",
     )
+
+    def tag_mentions(t: pa.Table) -> pa.Table:
+        # detection order = numeric part of ent_id ("T%d", assigned in
+        # DictNER detection order) — get_labels iterates the entity dict in
+        # insertion order (ehr.py:322-351), so overlap overwrites must
+        # happen in that order, NOT char order (ADVICE round 1).
+        ent_ord = pc.cast(pc.utf8_slice_codeunits(t["ent_id"], 1, 2**31 - 1), pa.int64())
+        return t.select(["doc_id", "ent_type", "start", "end"]).add_column(
+            1, "text", pa.nulls(t.num_rows, pa.large_string())
+        ).append_column("ent_ord", ent_ord)
+
     ment_side = mentions.select_columns(
-        ["doc_id", "ent_type", "start", "end"]
-    ).map_batches(
-        lambda t: t.add_column(1, "text", pa.nulls(t.num_rows, pa.large_string())),
-        batch_format="pyarrow",
-    )
+        ["doc_id", "ent_id", "ent_type", "start", "end"]
+    ).map_batches(tag_mentions, batch_format="pyarrow")
 
     def merge(group: pa.Table) -> pa.Table:
         text_rows = group.filter(pc.is_valid(group["text"]))
@@ -139,7 +149,7 @@ def attach_mentions(
             return _ATTACHED.empty_table()  # mentions without a document
         ments = group.filter(pc.is_valid(group["ent_type"]))
         order = (
-            pc.sort_indices(ments["start"]) if ments.num_rows else None
+            pc.sort_indices(ments["ent_ord"]) if ments.num_rows else None
         )
         return pa.table(
             {

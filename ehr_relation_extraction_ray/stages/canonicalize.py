@@ -101,8 +101,19 @@ def build_nodes(
         .groupby(["ent_type", "norm"])
         .aggregate(Sum("n", alias_name="n_mentions"))
     )
-    tables = ray.get(surface_stats.to_arrow_refs())
-    small = pa.concat_tables(tables).combine_chunks()
+    # Ray groupby may emit zero-row blocks whose schema is empty/degenerate;
+    # concat only the non-empty ones (regression: CORRECTNESS_r01 kg_nodes).
+    tables = [t for t in ray.get(surface_stats.to_arrow_refs()) if t.num_rows]
+    if tables:
+        small = pa.concat_tables(tables).combine_chunks()
+    else:
+        small = pa.table(
+            {
+                "ent_type": pa.array([], pa.string()),
+                "norm": pa.array([], pa.string()),
+                "n_mentions": pa.array([], pa.int64()),
+            }
+        )
 
     uf = _UnionFind()
     keys = list(

@@ -117,8 +117,12 @@ class CheckpointedPipeline:
         shutil.rmtree(stage_dir, ignore_errors=True)
         os.makedirs(stage_dir)
         os.rename(tmp, data_dir)
+        # want_fp is folded in so ANY recompute of this stage (params or
+        # upstream change) invalidates downstream stages even when rows and
+        # schema happen to be unchanged (ADVICE round 1: content can differ
+        # at identical row count + schema).
         out_fp = hashlib.md5(
-            f"{rows}|{_schema_fingerprint(schema)}".encode()
+            f"{rows}|{_schema_fingerprint(schema)}|{want_fp}".encode()
         ).hexdigest()
         with open(self._manifest_path(name), "w") as f:
             json.dump(
