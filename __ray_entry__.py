@@ -107,6 +107,51 @@ FROM m GROUP BY ent_type ORDER BY ent_type
 """
 
 
+def _fixture(name: str) -> str:
+    """Parquet fixture computed by the serial reference-semantics oracle
+    (ehr_relation_extraction_ray/serial_oracle.py): for pipelines whose
+    semantics are not SQL-expressible (chunker state machine, surrogate
+    scorer cascade, union-find, simhash, IVF), the oracle SQL reads a
+    fixture produced by an independent single-process naive implementation
+    — the hash compare then verifies the distributed execution against the
+    serial semantics."""
+    from ehr_relation_extraction_ray import serial_oracle
+
+    return serial_oracle.fixture_path(name, SF_CORRECTNESS_DIR)
+
+
+_NGRAM_JACCARD_SQL = r"""
+WITH words AS (SELECT doc_id::VARCHAR AS doc_id, string_split_regex(lower(text), '\s+') AS w
+               FROM documents WHERE length(trim(text)) > 0),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+                   i -> array_to_string(w[i:i+4], ' '))) AS shingle
+    FROM words)
+),
+df_ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64),
+shf AS (SELECT sh.* FROM sh JOIN df_ok USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM shf a JOIN shf b USING (shingle) WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+_COSINE_DUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     tp = _transcripts_sql_path()
     mp = _media_sql_path()
@@ -184,28 +229,12 @@ SELECT doc_id,
        md5(text) AS md5
 FROM documents ORDER BY doc_id
 """,
-        "docs_ngram_jaccard": r"""
-WITH words AS (SELECT doc_id::VARCHAR AS doc_id, string_split_regex(lower(text), '\s+') AS w
-               FROM documents WHERE length(trim(text)) > 0),
-sh AS (
-  SELECT DISTINCT doc_id, shingle FROM (
-    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
-                   i -> array_to_string(w[i:i+4], ' '))) AS shingle
-    FROM words)
-),
-df_ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64),
-shf AS (SELECT sh.* FROM sh JOIN df_ok USING (shingle)),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-          FROM shf a JOIN shf b USING (shingle) WHERE a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
-ORDER BY doc_a, doc_b
-""",
+        "docs_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        # MinHash-LSH candidates + exact-Jaccard verify at the same
+        # threshold must equal the exhaustive exact result whenever LSH
+        # recall is 1 — asserted here by using the exact SQL as the oracle
+        # (VERDICT r1 item 2b).
+        "docs_minhash_pairs": _NGRAM_JACCARD_SQL,
         "embeddings_topk": """
 WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
 sims AS (
@@ -223,17 +252,61 @@ WHERE rank <= 5 ORDER BY query_id, rank
 SELECT kind, count(*) AS n_media, sum(octet_length(payload))::BIGINT AS sum_bytes
 FROM read_parquet('{mp}') GROUP BY kind ORDER BY kind
 """,
-        "embeddings_cosine_dup": """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
-ORDER BY id_a, id_b
+        "embeddings_cosine_dup": _COSINE_DUP_SQL,
+        # SRP-LSH blocked near-dup: recall is 1 at this sf/threshold, so
+        # the exact-cosine SQL is the oracle (recall vs the exact path is
+        # additionally asserted in tests).
+        "embeddings_cosine_dup_lsh": _COSINE_DUP_SQL,
+        # serial-oracle fixtures (see _fixture): independent single-process
+        # naive implementations of the non-SQL-expressible semantics
+        "kg_triples": f"""
+SELECT doc_id, subj_id, subj, pred, obj
+FROM read_parquet('{_fixture("kg_triples")}')
+ORDER BY doc_id, subj_id, subj, pred, obj
 """,
-        # kg_windows / kg_triples / kg_wide_table / kg_nodes, docs_quality,
-        # docs_minhash_pairs, docs_simhash_pairs, embeddings_ivf_topk:
-        # non-SQL-expressible (chunker state machine, surrogate scorer,
-        # union-find, LSH, heuristics) -> driver rows-only check; their
-        # semantics are conformance-tested against the serial reference
-        # oracle in tests/.
+        "kg_wide_table": f"""
+SELECT doc_id, subj_id, subj, pred,
+       string_agg(obj, chr(10) ORDER BY obj) AS args,
+       count(*) AS n_args
+FROM read_parquet('{_fixture("kg_triples")}')
+GROUP BY doc_id, subj_id, subj, pred
+ORDER BY doc_id, subj_id, pred
+""",
+        "kg_windows": f"""
+SELECT doc_id, n_windows FROM read_parquet('{_fixture("kg_windows")}')
+ORDER BY doc_id
+""",
+        "kg_nodes": f"""
+SELECT node_id, ent_type, canonical_text, n_aliases, n_mentions
+FROM read_parquet('{_fixture("kg_nodes")}') ORDER BY node_id
+""",
+        "docs_quality": f"""
+SELECT doc_id, lang_pred, bpe_tokens, stopword_ratio, punct_ratio,
+       digit_ratio, fingerprint
+FROM read_parquet('{_fixture("docs_quality")}') ORDER BY doc_id
+""",
+        "docs_simhash_pairs": f"""
+SELECT doc_a, doc_b, hamming
+FROM read_parquet('{_fixture("docs_simhash_pairs")}') ORDER BY doc_a, doc_b
+""",
+        "embeddings_ivf_topk": f"""
+SELECT query_id, vec_id, rank
+FROM read_parquet('{_fixture("embeddings_ivf_topk")}') ORDER BY query_id, rank
+""",
+        "media_resize_frames": f"""
+SELECT * FROM (
+  SELECT 'frames' AS stage,
+         CAST(COALESCE(sum(floor(greatest(duration_ms, 0) / 250) + 1), 0) AS BIGINT) AS n_rows,
+         CAST(COALESCE(sum((floor(greatest(duration_ms, 0) / 250) + 1) * 256), 0) AS BIGINT) AS n_bytes
+  FROM read_parquet('{mp}') WHERE kind = 'video'
+  UNION ALL
+  SELECT 'resize' AS stage, count(*) AS n_rows,
+         CAST(count(*) * 16 * 16 AS BIGINT) AS n_bytes
+  FROM read_parquet('{mp}') WHERE kind = 'image'
+) ORDER BY stage
+""",
+        # still rows-only (no oracle): kg_conll_export / kg_re_export
+        # (export-roundtrip digests over shard files) and
+        # kg_eval_invariance (P/R/F1 invariance harness) — their semantics
+        # are covered by unit/roundtrip tests in tests/.
     }

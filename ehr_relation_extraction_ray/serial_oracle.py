@@ -1,0 +1,528 @@
+"""Serial reference-semantics oracle (NOT part of the data plane).
+
+A deliberately naive, per-document transcription of the reference's
+semantics, used in two places:
+
+* conformance tests (``tests/refsem.py`` re-exports this module), and
+* the driver's correctness gate: for pipelines whose semantics are not
+  SQL-expressible (chunker state machine, surrogate scorer cascade,
+  union-find canonicalization, simhash), ``__ray_entry__.oracle_sql``
+  points DuckDB at a parquet *fixture* computed here — a serial,
+  single-process, O(chars)-Python-loop implementation that shares only
+  primitives/config (lexicon patterns, SurrogateScorer, word-hash kernel,
+  alias table) with the engine, never its distributed code. The oracle
+  check then verifies the distributed execution (partitioning, shuffles,
+  actor pools, combiners) against the serial semantics.
+
+Reference transcriptions cite file:line into /root/reference:
+* char<->token maps: literal char walk (ehr.py:196-249)
+* split points: literal per-char loop (ehr.py:353-432)
+* dictionary NER: DictNER.predict (rule_based_ner/dict_ner.py:82-119)
+* non-alnum filter (predict.py:345)
+* RE char windows + candidate loop (biobert_re/utils_re.py:369-439)
+* masking (utils_re.py:210-230); long-table projection + drop_duplicates
+  (utils.py:497-530, utils.py:553)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Set, Tuple
+
+import numpy as np
+import pandas as pd
+
+from .functions.rescore import SurrogateScorer
+from .lexicon import DEFAULT_LEXICON, compile_patterns, fit_patterns
+
+NEW_LINE_IND = ["[", "#", "-", ">", " "]
+SENT_END_IND = [".", "?", "!"]
+
+
+def naive_token_maps(text: str):
+    """Literal whitespace-tokenizer char walk (ehr.py:196-249 semantics)."""
+    tokens = text.split()
+    char_to_token: List[int] = []
+    token_to_char: List[Tuple[int, int]] = []
+    j = 0
+    for i, tok in enumerate(tokens):
+        while j < len(text) and text[j] != tok[0]:
+            char_to_token.append(char_to_token[-1] if char_to_token else 0)
+            j += 1
+        start = j
+        for _ in tok:
+            char_to_token.append(i)
+            j += 1
+        token_to_char.append((start, j))
+    while j < len(text):
+        char_to_token.append(char_to_token[-1] if char_to_token else 0)
+        j += 1
+    return tokens, char_to_token, token_to_char
+
+
+def naive_split_points(text: str, char_to_token, n_tokens: int, max_len: int):
+    """Literal per-char loop of get_split_points (ehr.py:396-432)."""
+    split_idx = [0]
+    last_par_end_idx = 0
+    last_line_end_idx = 0
+    for i in range(len(text)):
+        curr_counter = char_to_token[i] - split_idx[-1]
+        if curr_counter >= max_len:
+            if last_par_end_idx == 0 and last_line_end_idx != 0:
+                split_idx.append(last_line_end_idx)
+            elif last_par_end_idx != 0:
+                split_idx.append(last_par_end_idx)
+            else:
+                split_idx.append(char_to_token[i])
+            last_par_end_idx = 0
+            last_line_end_idx = 0
+        if i < len(text) - 2 and text[i] == "\n":
+            if text[i + 1] == "\n":
+                last_par_end_idx = char_to_token[i - 1]  # i-1 may wrap: parity
+            if text[i + 1] == "." or text[i + 1] == "*":
+                last_par_end_idx = char_to_token[i + 1]
+            if (
+                text[i + 1] in NEW_LINE_IND
+                or text[i + 1].isdigit()
+                or text[i - 1] in SENT_END_IND
+            ):
+                last_line_end_idx = char_to_token[i]
+    split_idx.append(n_tokens)
+    return split_idx
+
+
+def naive_dict_ner(text: str, compiled) -> List[Tuple[str, str, int, int, str]]:
+    """DictNER.predict + get_ner_predictions post-filter, serial."""
+    mentions = []
+    k = 1
+    for ent_type, pat in compiled.items():
+        for m in pat.finditer(text):
+            s, e = m.start(0) + 1, m.end(0) - 1
+            surface = text[s:e]
+            if not any(c.isalnum() for c in surface):
+                continue
+            mentions.append((f"T{k}", ent_type, s, e, surface))
+            k += 1
+    return mentions
+
+
+def naive_char_windows(text: str, max_len: int):
+    tokens, c2t, t2c = naive_token_maps(text)
+    if not tokens:
+        return []
+    split = naive_split_points(text, c2t, len(tokens), max_len)
+    csp = [t2c[p][1] for p in split[:-1]]
+    if len(csp) > 1:
+        csp = csp[1:]
+    # the reference loop processes len(csp) windows over [0]+csp bounds
+    # (utils_re.py:404-435); the tail after csp[-1] is never reached.
+    bounds = [0] + csp
+    return list(zip(bounds[:-1], bounds[1:]))
+
+
+def naive_triples(text: str, doc_id: str, compiled, scorer) -> Set[Tuple]:
+    """One document -> deduped (doc_id, subj_id, subj, pred, obj) set."""
+    mentions = naive_dict_ner(text, compiled)
+    windows = naive_char_windows(text, max_len=128)
+    masked, meta = [], []
+    for start, end in windows:
+        in_win = [m for m in mentions if m[2] >= start and m[3] <= end]
+        drugs = [m for m in in_win if m[1].lower() == "drug"]
+        others = [m for m in in_win if m[1].lower() != "drug"]
+        for d in drugs:
+            for o in others:
+                # inner strict check, utils_re.py:420-421
+                if not (
+                    d[2] >= start and d[3] < end and o[2] >= start and o[3] < end
+                ):
+                    continue
+                split_text = text[start:end]
+                d_s, d_e = d[2] - start, d[3] - start
+                o_s, o_e = o[2] - start, o[3] - start
+                if d_e < o_e:
+                    mt = split_text[:o_s] + "@" + o[1] + "$" + split_text[o_e:]
+                    mt = mt[:d_s] + "@" + d[1] + "$" + mt[d_e:]
+                else:
+                    mt = split_text[:d_s] + "@" + d[1] + "$" + split_text[d_e:]
+                    mt = mt[:o_s] + "@" + o[1] + "$" + mt[o_e:]
+                masked.append(mt.replace("\n", " ").replace("\t", " "))
+                meta.append((d, o))
+    preds = scorer(masked)
+    out: Set[Tuple] = set()
+    for (d, o), p in zip(meta, preds):
+        if p == 1:
+            out.add((doc_id, d[0], d[4], o[1], o[4]))
+    return out
+
+
+def reference_triples(docs: Dict[str, str]) -> Set[Tuple]:
+    """All documents -> the reference-semantics triple set."""
+    compiled = compile_patterns(fit_patterns(DEFAULT_LEXICON))
+    scorer = SurrogateScorer()
+    out: Set[Tuple] = set()
+    for doc_id, text in docs.items():
+        out |= naive_triples(text, doc_id, compiled, scorer)
+    return out
+
+
+def assemble_serial(rows: List[dict]) -> Dict[str, str]:
+    """conv rows -> doc_id -> text, serial reference of the assembly stage."""
+    by_conv: Dict[str, List[Tuple[int, str]]] = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append((r["turn_idx"], r["text"] or ""))
+    return {
+        cid: "\n\n".join(t for _, t in sorted(turns))
+        for cid, turns in by_conv.items()
+    }
+
+
+# -- serial pipelines for driver fixtures ------------------------------------
+
+
+def serial_triples_df(docs: Dict[str, str]) -> pd.DataFrame:
+    """Triples fixture: identical columns/sort as queries.kg_triples."""
+    cols = ["doc_id", "subj_id", "subj", "pred", "obj"]
+    rows = sorted(reference_triples(docs))
+    return pd.DataFrame(rows, columns=cols).sort_values(cols).reset_index(drop=True)
+
+
+def serial_windows_df(docs: Dict[str, str], max_len: int = 126) -> pd.DataFrame:
+    """Per-doc NER window counts (one window per consecutive split pair)."""
+    out = []
+    for doc_id, text in docs.items():
+        tokens, c2t, _ = naive_token_maps(text)
+        if tokens:
+            split = naive_split_points(text, c2t, len(tokens), max_len)
+        else:
+            split = [0, 0]
+        out.append({"doc_id": doc_id, "n_windows": len(split) - 1})
+    return (
+        pd.DataFrame(out, columns=["doc_id", "n_windows"])
+        .astype({"n_windows": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def serial_nodes_df(docs: Dict[str, str]) -> pd.DataFrame:
+    """Canonicalization nodes fixture: naive dict count + serial union-find.
+
+    Shares only config with stages/canonicalize.py (ALIAS_GROUPS, the
+    normalization/variant spec); the clustering is re-implemented with
+    plain dict merges, no union-find class, no Ray.
+    """
+    import re as _re
+
+    from .stages.canonicalize import ALIAS_GROUPS
+
+    ws = _re.compile(r"\s+")
+    paren = _re.compile(r"\s*\([^)]*\)\s*$")
+    compiled = compile_patterns(fit_patterns(DEFAULT_LEXICON))
+
+    counts: Dict[Tuple[str, str], int] = {}
+    for text in docs.values():
+        for _eid, ent_type, _s, _e, surface in naive_dict_ner(text, compiled):
+            norm = ws.sub(" ", surface.strip().lower())
+            counts[(ent_type, norm)] = counts.get((ent_type, norm), 0) + 1
+
+    # cluster membership via repeated merge (tiny vocab: O(V^2) is fine)
+    clusters: Dict[Tuple[str, str], Set[Tuple[str, str]]] = {
+        k: {k} for k in counts
+    }
+
+    def merge(a: Tuple[str, str], b: Tuple[str, str]) -> None:
+        ca, cb = clusters[a], clusters[b]
+        if ca is cb:
+            return
+        union = ca | cb
+        for m in union:
+            clusters[m] = union
+
+    for ent_type, norm in list(counts):
+        vk = paren.sub("", norm) or norm
+        if vk != norm and (ent_type, vk) in counts:
+            merge((ent_type, norm), (ent_type, vk))
+    for grp in ALIAS_GROUPS:
+        gnorm = [ws.sub(" ", g.strip().lower()) for g in grp]
+        for ent_type in {k[0] for k in counts}:
+            members = [g for g in gnorm if (ent_type, g) in counts]
+            for a, b in zip(members, members[1:]):
+                merge((ent_type, a), (ent_type, b))
+
+    seen: Set[int] = set()
+    rows = []
+    for key in counts:
+        cl = clusters[key]
+        if id(cl) in seen:
+            continue
+        seen.add(id(cl))
+        ent_type = key[0]
+        members = sorted(cl)
+        best = min(members, key=lambda k: (-counts[k], k[1]))
+        rows.append(
+            {
+                "node_id": f"N:{ent_type}:{best[1]}",
+                "ent_type": ent_type,
+                "canonical_text": best[1],
+                "n_aliases": len(members),
+                "n_mentions": sum(counts[m] for m in members),
+            }
+        )
+    return (
+        pd.DataFrame(
+            rows,
+            columns=["node_id", "ent_type", "canonical_text", "n_aliases", "n_mentions"],
+        )
+        .astype({"n_aliases": "int64", "n_mentions": "int64"})
+        .sort_values("node_id")
+        .reset_index(drop=True)
+    )
+
+
+def serial_quality_df(doc_ids: List, texts: List[str]) -> pd.DataFrame:
+    """Quality/lang features fixture, per-doc Python loops. Shares only the
+    marker/regex CONFIG with functions/textstats.py; every computation here
+    is an independent naive loop."""
+    from .functions.textstats import _BPE_RE, LANG_MARKERS
+
+    import re as _re
+
+    word_re = _re.compile(r"[a-zA-Z']+")
+    en_stop = LANG_MARKERS["en"]
+    rows = []
+    for doc_id, text in zip(doc_ids, texts):
+        text = text or ""
+        words = word_re.findall(text.lower())
+        best, best_hits = "und", 0
+        for lang, markers in LANG_MARKERS.items():
+            hits = sum(1 for w in words if w in markers)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        n_ws = len(text.split())
+        denom = max(n_ws, 1)
+        n_chars = max(len(text), 1)
+        rows.append(
+            {
+                "doc_id": doc_id,
+                "lang_pred": best,
+                "bpe_tokens": len(_BPE_RE.findall(text)),
+                "stopword_ratio": round(
+                    sum(1 for w in words if w in en_stop) / denom, 6
+                ),
+                "punct_ratio": round(
+                    sum(1 for c in text if not (c.isalnum() or c == "_" or c.isspace()))
+                    / n_chars,
+                    6,
+                ),
+                "digit_ratio": round(
+                    sum(1 for c in text if c.isdigit()) / n_chars, 6
+                ),
+                "fingerprint": _serial_fingerprint(text),
+            }
+        )
+    out = pd.DataFrame(rows).astype(
+        {"bpe_tokens": "int64", "fingerprint": "int64"}
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _serial_fingerprint(text: str, k: int = 9, window: int = 4) -> int:
+    """Naive per-char winnowing fingerprint (spec of
+    textstats.rolling_fingerprint, loop form)."""
+    data = text.encode("utf-8", "surrogatepass")
+    mask = 0xFFFFFFFFFFFFFFFF
+    if len(data) < k:
+        # FNV-1a over the bytes
+        h = 14695981039346656037
+        for b in data:
+            h = ((h ^ b) * 1099511628211) & mask
+        return int(np.uint64(h).astype(np.int64))
+    hashes = []
+    for i in range(len(data) - k + 1):
+        acc = 0
+        for j in range(k):
+            acc = (acc * 257 + data[i + j]) & mask
+        hashes.append(acc)
+    if len(hashes) <= window:
+        out = 0
+        for h in hashes:
+            out ^= h
+        return int(np.uint64(out).astype(np.int64))
+    mins = set()
+    for i in range(len(hashes) - window + 1):
+        mins.add(min(hashes[i : i + window]))
+    out = 0
+    for m in mins:
+        out ^= m
+    return int(np.uint64(out).astype(np.int64))
+
+
+def serial_simhash_pairs_df(
+    doc_ids: List, texts: List[str], max_hamming: int = 3
+) -> pd.DataFrame:
+    """All-pairs simhash Hamming fixture: per-doc bit-vote loop + O(n^2)
+    popcount loop. Shares only the word-hash kernel with stages/dedupe.py
+    (the signature definition); bucketing/pigeonhole is absent — for
+    max_hamming <= 3 the 4x16-bit sub-key blocking is lossless, so the
+    engine's bucketed output must equal this exhaustive set."""
+    from .stages.dedupe import _word_hashes
+
+    sims = {}
+    for doc_id, text in zip(doc_ids, texts):
+        words = (text or "").lower().split()
+        if not words:
+            sims[str(doc_id)] = 0
+            continue
+        hashes = [int(h) for h in _word_hashes(words)]
+        sh = 0
+        for bit in range(64):
+            votes = 0
+            for h in hashes:
+                votes += 1 if (h >> bit) & 1 else -1
+            if votes > 0:
+                sh |= 1 << bit
+        sims[str(doc_id)] = sh
+    ids = sorted(sims)
+    rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin(sims[ids[i]] ^ sims[ids[j]]).count("1")
+            if d <= max_hamming:
+                rows.append({"doc_a": ids[i], "doc_b": ids[j], "hamming": d})
+    return (
+        pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+        .astype({"hamming": "int32"})
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
+def serial_ivf_topk_df(
+    vec_ids: np.ndarray,
+    embeddings: np.ndarray,
+    query_positions: List[int],
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 3,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 13,
+) -> pd.DataFrame:
+    """IVF probe fixture: the same deterministic k-means spec as
+    stages/similarity.train_centroids re-run serially, then a naive
+    per-query probe loop (no Ray, no batch partial-top-k merge)."""
+
+    def norm(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    # precision mirrors the engine exactly: centroids trained/stored in
+    # float32 (train_centroids), corpus matrix normalized in float64
+    # (_batch_matrix), query vectors normalized in float32 (ivf_topk)
+    m32 = norm(embeddings.astype(np.float32))
+    m64 = norm(embeddings.astype(np.float64))
+    sample = m32[:sample_size]
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = norm(cent)
+    cells = np.argmax(m64 @ cent.T, axis=1)
+
+    rows = []
+    for qpos in query_positions:
+        q = m32[vec_ids == qpos][0]
+        probe = np.argsort(-(q @ cent.T))[:nprobe]
+        mask = np.isin(cells, probe)
+        sims = (m64[mask] @ q).astype(np.float64)
+        ids = vec_ids[mask]
+        order = np.lexsort((ids, -sims))[:k]
+        for rank, idx in enumerate(order, start=1):
+            rows.append(
+                {"query_id": qpos, "vec_id": int(ids[idx]), "rank": rank}
+            )
+    return (
+        pd.DataFrame(rows, columns=["query_id", "vec_id", "rank"])
+        .astype("int64")
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+# -- fixture plumbing (driver oracle_sql support) ----------------------------
+
+# bump when any serial semantics above change, so stale /tmp fixtures from a
+# previous code version are never reused
+_FIXTURE_VERSION = 1
+
+
+def _transcript_docs(sf_dir: str) -> Dict[str, str]:
+    import pyarrow.parquet as pq
+
+    from . import synth
+
+    table = pq.read_table(synth.transcripts_path(sf_dir))
+    return assemble_serial(table.to_pylist())
+
+
+def _documents(sf_dir: str):
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    return t["doc_id"].to_pylist(), t["text"].to_pylist()
+
+
+def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
+    import os
+
+    import pyarrow.parquet as pq
+
+    if name == "kg_triples":
+        return serial_triples_df(_transcript_docs(sf_dir))
+    if name == "kg_windows":
+        return serial_windows_df(_transcript_docs(sf_dir))
+    if name == "kg_nodes":
+        return serial_nodes_df(_transcript_docs(sf_dir))
+    if name == "docs_quality":
+        return serial_quality_df(*_documents(sf_dir))
+    if name == "docs_simhash_pairs":
+        return serial_simhash_pairs_df(*_documents(sf_dir))
+    if name == "embeddings_ivf_topk":
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        vec_ids = np.asarray(t["vec_id"])
+        emb = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()])
+        return serial_ivf_topk_df(vec_ids, emb, [0, 1, 2])
+    raise KeyError(name)
+
+
+def fixture_path(name: str, sf_dir: str) -> str:
+    """Compute (once) and return the parquet fixture for ``name``.
+
+    Written atomically (tmp file + rename) under /tmp/graft_oracle, keyed
+    by sf tier and fixture version, so concurrent callers and reruns are
+    safe and DuckDB always sees a complete file.
+    """
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/graft_oracle/{sf}"
+    path = os.path.join(out_dir, f"{name}-v{_FIXTURE_VERSION}.parquet")
+    if os.path.exists(path):
+        return path
+    df = _compute_fixture(name, sf_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".parquet.tmp")
+    os.close(fd)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path
