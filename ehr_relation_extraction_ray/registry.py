@@ -57,9 +57,17 @@ def _register_defaults() -> None:
     from .functions.tokenize import tokens_of
     from .stages.mentions import DictionaryDetector
 
+    from .functions.wordpiece import ToyWordpieceTokenizer
+    from .stages.mentions import HFTokenClassifier, WordpieceNERDetector
+
     _REGISTRIES["tokenizer"].setdefault("default", tokens_of)
+    _REGISTRIES["tokenizer"].setdefault("wordpiece-toy", ToyWordpieceTokenizer())
     _REGISTRIES["detector"].setdefault("dictionary", DictionaryDetector)
+    # model-backed NER cascade (M6-M8 plumbing); pair with HFTokenClassifier
+    # for real BioBERT weights or a surrogate logits_fn in tests
+    _REGISTRIES["detector"].setdefault("wordpiece", WordpieceNERDetector)
     _REGISTRIES["scorer"].setdefault("surrogate", SurrogateScorer)
+    _REGISTRIES["scorer"].setdefault("biobert-ner", HFTokenClassifier)
     try:  # optional heavy backends (import-gated; absent in this container)
         from .functions.rescore import HFScorer
 

@@ -64,6 +64,136 @@ class DictionaryDetector:
         return validate(out, MENTIONS, "mentions")
 
 
+class WordpieceNERDetector:
+    """Actor-pool callable: the BioBERT NER cascade (predict.py:188-261)
+    over documents batches — model-tokenizer windowing, feature conversion,
+    batched logits, alignment, ``##`` re-expansion, IOB decode, char spans
+    (functions/wordpiece.py). Same output columns as DictionaryDetector,
+    so it is a drop-in for every downstream stage.
+
+    ``logits_factory`` builds the model ONCE per actor (heavy ``__init__``
+    — actor pools, SURVEY.md A1); it returns a callable
+    ``features dict -> (n_examples, seq_len, n_labels) logits``. Use
+    :class:`HFTokenClassifier` for real BioBERT weights, or any
+    deterministic surrogate in tests. Failing documents (token/char walk
+    mismatch, ehr.py:232-234) are quarantined, never fatal.
+    """
+
+    def __init__(
+        self,
+        logits_factory,
+        label_list: List[str],
+        tokenizer_factory=None,
+        max_seq_length: int = 128,
+        is_bert: bool = True,
+        errors_dir: Optional[str] = None,
+    ):
+        from ..functions.wordpiece import ToyWordpieceTokenizer
+        from ..state.quarantine import Quarantine
+
+        self.logits_fn = logits_factory()
+        self.tokenizer = (tokenizer_factory or ToyWordpieceTokenizer)()
+        self.label_list = list(label_list)
+        self.max_seq_length = max_seq_length
+        self.is_bert = is_bert
+        self.quarantine = Quarantine(errors_dir, stage="wordpiece_ner")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.wordpiece import ner_predict_document
+
+        cols = {k: [] for k in MENTIONS.names}
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            with self.quarantine.guard(doc_id):
+                spans = ner_predict_document(
+                    text,
+                    self.tokenizer,
+                    self.logits_fn,
+                    self.label_list,
+                    self.max_seq_length,
+                    self.is_bert,
+                )
+                for ent_id, ent_type, s, e, surface in detect_mentions(text, spans):
+                    cols["doc_id"].append(doc_id)
+                    cols["ent_id"].append(ent_id)
+                    cols["ent_type"].append(ent_type)
+                    cols["start"].append(s)
+                    cols["end"].append(e)
+                    cols["text"].append(surface)
+        self.quarantine.flush()
+        arrays = [pa.array(cols[f.name], f.type) for f in MENTIONS]
+        return validate(
+            pa.Table.from_arrays(arrays, schema=MENTIONS), MENTIONS, "mentions"
+        )
+
+
+def detect_wordpiece(
+    documents: "ray.data.Dataset",
+    logits_factory,
+    label_list: List[str],
+    tokenizer_factory=None,
+    concurrency: int = 4,
+    batch_size: int = 16,
+    num_cpus: float = 1,
+    errors_dir: Optional[str] = None,
+) -> "ray.data.Dataset":
+    """documents -> mentions via the model-backed wordpiece NER cascade.
+
+    An actor pool (model loads once per actor); size ``concurrency`` x
+    ``num_cpus`` to leave CPUs free for the assembly shuffle upstream."""
+    return documents.map_batches(
+        WordpieceNERDetector,
+        fn_constructor_kwargs={
+            "logits_factory": logits_factory,
+            "label_list": label_list,
+            "tokenizer_factory": tokenizer_factory,
+            "errors_dir": errors_dir,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+
+
+class HFTokenClassifier:  # pragma: no cover - optional heavy dependency
+    """Real BioBERT token-classification logits (predict.py:37-56 analog),
+    import-gated; constructed once per actor via ``logits_factory``."""
+
+    def __init__(self, model_dir: str, batch_size: int = 32):
+        try:
+            import torch  # noqa: F401
+            from transformers import AutoModelForTokenClassification
+        except ImportError as exc:
+            raise NotImplementedError(
+                "transformers/torch are not available in this environment; "
+                "pass a surrogate logits_factory"
+            ) from exc
+        self.model = AutoModelForTokenClassification.from_pretrained(model_dir)
+        self.model.eval()
+        self.batch_size = batch_size
+
+    def __call__(self, feats):
+        import numpy as np
+        import torch
+
+        outs = []
+        n = len(feats["input_ids"])
+        for i in range(0, n, self.batch_size):
+            enc = {
+                k: torch.as_tensor(feats[k][i : i + self.batch_size])
+                for k in ("input_ids", "attention_mask", "token_type_ids")
+            }
+            with torch.no_grad():
+                outs.append(self.model(**enc).logits.cpu().numpy())
+        return (
+            np.concatenate(outs)
+            if outs
+            else np.zeros((0, feats["input_ids"].shape[1], 1))
+        )
+
+
 _DEFAULT_DETECTOR: Optional[DictionaryDetector] = None
 
 
