@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_windows": q.kg_windows,
         "kg_triples": q.kg_triples,
         "kg_wide_table": q.kg_wide_table,
+        "kg_drug_graph": q.kg_drug_graph,
         "kg_nodes": q.kg_nodes,
         # relational operator core (testdata star schema)
         "agg_lineitem": r.agg_lineitem,
@@ -271,6 +272,14 @@ SELECT doc_id, subj_id, subj, pred,
 FROM read_parquet('{_fixture("kg_triples")}')
 GROUP BY doc_id, subj_id, subj, pred
 ORDER BY doc_id, subj_id, pred
+""",
+        "kg_drug_graph": f"""
+SELECT doc_id, subj_id, subj,
+       count(DISTINCT obj) + 1 AS n_nodes,
+       count(*) AS n_edges,
+       string_agg(pred || ':' || obj, chr(10) ORDER BY pred, obj) AS edges
+FROM read_parquet('{_fixture("kg_triples")}')
+GROUP BY doc_id, subj_id, subj ORDER BY doc_id, subj_id
 """,
         "kg_windows": f"""
 SELECT doc_id, n_windows FROM read_parquet('{_fixture("kg_windows")}')

@@ -64,30 +64,93 @@ def run(
     return relations.distinct_triples(trip) if dedup else trip
 
 
+def run_checkpointed(
+    transcripts_path: str,
+    checkpoint_dir: str,
+    scorer_factory: Optional[Callable] = None,
+    concurrency: "Optional[int]" = None,
+) -> "ray.data.Dataset":
+    """Flagship pipeline with mid-pipeline resume (north rule): every stage
+    is a :class:`state.checkpoint.CheckpointedPipeline` stage writing
+    partitioned Parquet + a manifest; a rerun after a crash skips every
+    completed stage (a killed job resumes from the last finished stage,
+    never from the start).
+
+    The post-checkpoint dedup uses :func:`relations.distinct_triples_global`
+    (explicit hash partition): reloading a checkpoint from Parquet does not
+    preserve the doc-complete-per-task layout the shuffle-free distinct
+    relies on.
+    """
+    from ..state.checkpoint import CheckpointedPipeline
+
+    cp = CheckpointedPipeline(checkpoint_dir)
+    docs = cp.stage(
+        "documents",
+        lambda: documents(transcripts_path),
+        params=transcripts_path,
+    )
+    cands = cp.stage(
+        "candidates",
+        lambda: candidates.generate(docs, concurrency=concurrency),
+        upstream=["documents"],
+    )
+    edges = cp.stage(
+        "edges",
+        lambda: relations.score(
+            cands, scorer_factory=scorer_factory, concurrency=concurrency
+        ),
+        upstream=["candidates"],
+        params="" if scorer_factory is None else repr(scorer_factory),
+    )
+    trip = cp.stage(
+        "triples",
+        lambda: relations.distinct_triples_global(relations.triples(edges)),
+        upstream=["edges"],
+    )
+    cp.flush_lineage()
+    return trip
+
+
 def materialize_graph(
     transcripts_path: str,
     out_dir: str,
     scorer_factory: Optional[Callable] = None,
     concurrency: "Optional[int]" = None,
+    checkpoint_dir: Optional[str] = None,
 ) -> dict:
     """Full graph materialization to partitioned Parquet (SURVEY.md S14
-    analog): ``{out}/triples/``, ``{out}/nodes/``, ``{out}/edges/``.
+    analog): ``{out}/triples/``, ``{out}/nodes/``, ``{out}/mentions/``.
 
-    Output is partitioned by the writer into multiple files (one per block),
-    so a rerun of a failed job can resume per-partition (state/checkpoint).
+    Resumable BY DEFAULT (north rule): the extraction chain runs through
+    :func:`run_checkpointed` (checkpoints under ``{out}/_checkpoints``
+    unless overridden), so a rerun after a crash recomputes only the
+    unfinished stages; the writer emits one file per block, so outputs are
+    partitioned, never one giant file.
     """
-    docs = documents(transcripts_path)
-    cands = candidates.generate(docs, concurrency=concurrency)
-    edges = relations.score(cands, scorer_factory=scorer_factory, concurrency=concurrency)
-    trip = relations.distinct_triples(relations.triples(edges))
+    from ..stages import mentions as mentions_stage
+    from ..state.checkpoint import CheckpointedPipeline
+
+    cp_dir = checkpoint_dir or f"{out_dir}/_checkpoints"
+    trip = run_checkpointed(
+        transcripts_path, cp_dir, scorer_factory=scorer_factory,
+        concurrency=concurrency,
+    )
     trip.write_parquet(f"{out_dir}/triples")
 
-    # mentions for the node table come from the same detector state
-    from ..stages import mentions as mentions_stage
-
-    ment = mentions_stage.detect(docs, concurrency=concurrency)
+    # mentions for the node table come from the same detector state; the
+    # node build itself is vocabulary-sized (cheap to redo on resume)
+    cp = CheckpointedPipeline(cp_dir)
+    docs = cp.stage(
+        "documents", lambda: documents(transcripts_path), params=transcripts_path
+    )
+    ment = cp.stage(
+        "mentions",
+        lambda: mentions_stage.detect(docs, concurrency=concurrency),
+        upstream=["documents"],
+    )
     nodes, surface_map = canonicalize.build_nodes(ment)
     nodes.write_parquet(f"{out_dir}/nodes")
     linked = canonicalize.link_mentions(ment, surface_map)
     linked.write_parquet(f"{out_dir}/mentions")
-    return {"out_dir": out_dir}
+    cp.flush_lineage()
+    return {"out_dir": out_dir, "checkpoint_dir": cp_dir}

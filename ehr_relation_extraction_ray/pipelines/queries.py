@@ -97,6 +97,12 @@ def kg_wide_table(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["doc_id", "subj_id", "pred"]).reset_index(drop=True)
 
 
+def kg_drug_graph(sf_dir: str) -> pd.DataFrame:
+    trip = kg.run(synth.transcripts_path(sf_dir))
+    df = graph.per_drug_graph(trip).to_pandas()
+    return df.sort_values(["doc_id", "subj_id"]).reset_index(drop=True)
+
+
 def kg_nodes(sf_dir: str) -> pd.DataFrame:
     ment = mentions_stage.detect(_docs(sf_dir))
     nodes, _ = canonicalize.build_nodes(ment)

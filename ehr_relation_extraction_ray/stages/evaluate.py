@@ -25,6 +25,7 @@ from typing import Dict
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Max, Sum
@@ -106,6 +107,272 @@ def _span_counts_group(group: pd.DataFrame, strict: bool) -> pd.DataFrame:
             {"doc_id": doc_id, "ent_type": ent_type, "tp": tp, "fp": fp, "fn": fn}
         )
     return pd.DataFrame(out)
+
+
+def _pare_down_counts(gol, sys, equals) -> Dict[str, int]:
+    """The n2c2 evaluator's pare-down + tid-count rule, transcribed
+    literally (Track2-evaluate-ver4.py:283-300): when multiple system tags
+    match one gold tag, only the first survives; then
+    tp = |{sys tags matching some gold}|, fp = |sys| - tp, fn = |gol| - tp.
+    ``gol``/``sys`` are lists in annotation-id (insertion) order; items
+    must be hashable."""
+    gol_matched = []
+    sys_check = list(sys)
+    for s in sys:
+        for g in gol:
+            if equals(g, s):
+                if g not in gol_matched:
+                    gol_matched.append(g)
+                else:
+                    if s in sys_check:
+                        sys_check.remove(s)
+    kept = sys_check
+    tp = len({s for s in kept for g in gol if equals(g, s)})
+    return {"tp": tp, "fp": len(kept) - tp, "fn": len(gol) - tp}
+
+
+def _tag_equals(mode: str):
+    def eq(g, s) -> bool:
+        # g/s: (tid, ent_type, start, end)
+        if g[1] != s[1]:
+            return False
+        if mode == "strict":
+            return g[2] == s[2] and g[3] == s[3]
+        return s[3] > g[2] and s[2] < g[3]  # lenient overlap (Track2:58-61)
+
+    return eq
+
+
+def _detailed_group(group: pd.DataFrame, mode: str) -> pd.DataFrame:
+    """Per-document per-type tp/fp/fn via the exact pare-down semantics.
+
+    Since ``equals`` requires identical types, evaluating per type and
+    summing is identical to the evaluator's all-types pass (key=None) —
+    each (doc, type) cell is independent."""
+    doc_id = group["doc_id"].iloc[0]
+    out = []
+    for ent_type, sub in group.groupby("ent_type"):
+        sub = sub.sort_values("ord")  # annotation-id order (dict insertion)
+        rows = list(
+            zip(sub["ent_id"], sub["ent_type"], sub["start"], sub["end"], sub["side"])
+        )
+        gol = [r[:4] for r in rows if r[4] == "gold"]
+        sys = [r[:4] for r in rows if r[4] == "sys"]
+        c = _pare_down_counts(gol, sys, _tag_equals(mode))
+        out.append({"doc_id": doc_id, "ent_type": ent_type, **c})
+    return pd.DataFrame(out, columns=["doc_id", "ent_type", "tp", "fp", "fn"])
+
+
+def span_prf_detailed(
+    system: "ray.data.Dataset",
+    gold: "ray.data.Dataset",
+    mode: str = "strict",
+) -> pd.DataFrame:
+    """Per-entity-type P/R/F1 + micro/macro rows, n2c2-evaluator semantics
+    (Track2-evaluate-ver4.py:322-338 per-type table; 411-463 micro/macro).
+
+    Inputs use the MENTIONS schema. One ``groupby(doc_id)`` shuffle; the
+    per-doc pare-down is bounded by document size. Macro averages per-DOC
+    P/R/F1 over all documents that appear on either side (Track2:455-458
+    normalizes by the corpus size — here: docs present in the union).
+    Returns rows: (scope, precision, recall, f1) where scope is each
+    ent_type, 'micro', and 'macro'.
+    """
+    assert mode in ("strict", "lenient")
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.select(["doc_id", "ent_id", "ent_type", "start", "end"])
+            ord_col = pc.cast(
+                pc.utf8_slice_codeunits(t["ent_id"], 1, 2**31 - 1), pa.int64()
+            )
+            return t.append_column(
+                "side", pa.array([side] * t.num_rows, pa.string())
+            ).append_column("ord", ord_col)
+
+        return fn
+
+    tagged = system.map_batches(tag("sys"), batch_format="pyarrow").union(
+        gold.map_batches(tag("gold"), batch_format="pyarrow")
+    )
+    per_cell = tagged.groupby("doc_id").map_groups(
+        lambda g: _detailed_group(g, mode), batch_format="pandas"
+    )
+    df = per_cell.to_pandas()
+    rows = []
+    for ent_type, sub in sorted(df.groupby("ent_type"), key=lambda kv: kv[0]):
+        rows.append(
+            {"scope": ent_type, **_prf(sub.tp.sum(), sub.fp.sum(), sub.fn.sum())}
+        )
+    rows.append(
+        {"scope": "micro", **_prf(df.tp.sum(), df.fp.sum(), df.fn.sum())}
+    )
+    by_doc = df.groupby("doc_id")[["tp", "fp", "fn"]].sum()
+    per_doc = [_prf(r.tp, r.fp, r.fn) for r in by_doc.itertuples()]
+    rows.append(
+        {
+            "scope": "macro",
+            "precision": float(np.mean([d["precision"] for d in per_doc])) if per_doc else 0.0,
+            "recall": float(np.mean([d["recall"] for d in per_doc])) if per_doc else 0.0,
+            "f1": float(np.mean([d["f1"] for d in per_doc])) if per_doc else 0.0,
+        }
+    )
+    return pd.DataFrame(rows, columns=["scope", "precision", "recall", "f1"])
+
+
+REL_EVAL_COLS = [
+    "doc_id", "rel_id", "rel_type",
+    "a1_type", "a1_start", "a1_end",
+    "a2_type", "a2_start", "a2_end",
+]
+
+
+def relations_with_spans(
+    edges: "ray.data.Dataset", mentions: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """EDGES + MENTIONS -> REL_EVAL_COLS rows (arg char spans attached).
+
+    One ``groupby(doc_id)`` co-group (tagged-union join pattern): relation
+    rows look up their arg spans in the same document's mention rows."""
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "rel_id": t["rel_id"],
+                "rel_type": t["rel_type"],
+                "subj_id": t["subj_id"],
+                "obj_id": t["obj_id"],
+                "ent_id": pa.nulls(t.num_rows, pa.string()),
+                "ent_type": pa.nulls(t.num_rows, pa.string()),
+                "start": pa.nulls(t.num_rows, pa.int64()),
+                "end": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def tag_mentions(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "rel_id": pa.nulls(t.num_rows, pa.string()),
+                "rel_type": pa.nulls(t.num_rows, pa.string()),
+                "subj_id": pa.nulls(t.num_rows, pa.string()),
+                "obj_id": pa.nulls(t.num_rows, pa.string()),
+                "ent_id": t["ent_id"],
+                "ent_type": t["ent_type"],
+                "start": t["start"],
+                "end": t["end"],
+            }
+        )
+
+    def join_group(group: pd.DataFrame) -> pd.DataFrame:
+        ments = group[group["ent_id"].notna()]
+        lut = {
+            r.ent_id: (r.ent_type, int(r.start), int(r.end))
+            for r in ments.itertuples()
+        }
+        out = []
+        for r in group[group["rel_id"].notna()].itertuples():
+            a1 = lut.get(r.subj_id)
+            a2 = lut.get(r.obj_id)
+            if a1 is None or a2 is None:
+                continue  # dangling arg: mention not present on this side
+            out.append(
+                {
+                    "doc_id": r.doc_id, "rel_id": r.rel_id, "rel_type": r.rel_type,
+                    "a1_type": a1[0], "a1_start": a1[1], "a1_end": a1[2],
+                    "a2_type": a2[0], "a2_start": a2[1], "a2_end": a2[2],
+                }
+            )
+        return pd.DataFrame(out, columns=REL_EVAL_COLS)
+
+    tagged = edges.map_batches(tag_edges, batch_format="pyarrow").union(
+        mentions.map_batches(tag_mentions, batch_format="pyarrow")
+    )
+    return tagged.groupby("doc_id").map_groups(join_group, batch_format="pandas")
+
+
+def _rel_equals(mode: str, symmetric: bool):
+    tag_eq = _tag_equals(mode)
+
+    def eq(g, s) -> bool:
+        # g/s: (rid, rtype, (a1_type,a1s,a1e), (a2_type,a2s,a2e))
+        if g[1] != s[1]:
+            return False
+        fwd = tag_eq(("", *g[2]), ("", *s[2])) and tag_eq(("", *g[3]), ("", *s[3]))
+        if fwd or not symmetric:
+            return fwd
+        # the reference repo's Relation.__eq__ is arg-symmetric
+        # (annotations.py:149-160); the n2c2 evaluator is positional
+        # (Track2-evaluate-ver4.py:86-93) — symmetric=True follows the repo
+        return tag_eq(("", *g[2]), ("", *s[3])) and tag_eq(("", *g[3]), ("", *s[2]))
+
+    return eq
+
+
+def _rel_group(group: pd.DataFrame, mode: str, symmetric: bool) -> pd.DataFrame:
+    doc_id = group["doc_id"].iloc[0]
+    out = []
+    for rel_type, sub in group.groupby("rel_type"):
+        gol, sys = [], []
+        for r in sub.sort_values("rel_id").itertuples():
+            rec = (
+                r.rel_id, r.rel_type,
+                (r.a1_type, int(r.a1_start), int(r.a1_end)),
+                (r.a2_type, int(r.a2_start), int(r.a2_end)),
+            )
+            (gol if r.side == "gold" else sys).append(rec)
+        c = _pare_down_counts(gol, sys, _rel_equals(mode, symmetric))
+        out.append({"doc_id": doc_id, "rel_type": rel_type, **c})
+    return pd.DataFrame(out, columns=["doc_id", "rel_type", "tp", "fp", "fn"])
+
+
+def relation_prf_detailed(
+    system: "ray.data.Dataset",
+    gold: "ray.data.Dataset",
+    mode: str = "strict",
+    symmetric: bool = True,
+) -> pd.DataFrame:
+    """Per-relation-type P/R/F1 + micro/macro rows over REL_EVAL_COLS
+    inputs (build them with :func:`relations_with_spans`), the relation
+    half of the n2c2 evaluator (Track2-evaluate-ver4.py:411-463) with the
+    pare-down rule; ``symmetric`` selects the reference repo's arg-order-
+    insensitive equality (annotations.py:149-160) vs the evaluator's
+    positional one."""
+    assert mode in ("strict", "lenient")
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.select(REL_EVAL_COLS).append_column(
+                "side", pa.array([side] * batch.num_rows, pa.string())
+            )
+
+        return fn
+
+    tagged = system.map_batches(tag("sys"), batch_format="pyarrow").union(
+        gold.map_batches(tag("gold"), batch_format="pyarrow")
+    )
+    per_cell = tagged.groupby("doc_id").map_groups(
+        lambda g: _rel_group(g, mode, symmetric), batch_format="pandas"
+    )
+    df = per_cell.to_pandas()
+    rows = []
+    for rel_type, sub in sorted(df.groupby("rel_type"), key=lambda kv: kv[0]):
+        rows.append(
+            {"scope": rel_type, **_prf(sub.tp.sum(), sub.fp.sum(), sub.fn.sum())}
+        )
+    rows.append({"scope": "micro", **_prf(df.tp.sum(), df.fp.sum(), df.fn.sum())})
+    by_doc = df.groupby("doc_id")[["tp", "fp", "fn"]].sum()
+    per_doc = [_prf(r.tp, r.fp, r.fn) for r in by_doc.itertuples()]
+    rows.append(
+        {
+            "scope": "macro",
+            "precision": float(np.mean([d["precision"] for d in per_doc])) if per_doc else 0.0,
+            "recall": float(np.mean([d["recall"] for d in per_doc])) if per_doc else 0.0,
+            "f1": float(np.mean([d["f1"] for d in per_doc])) if per_doc else 0.0,
+        }
+    )
+    return pd.DataFrame(rows, columns=["scope", "precision", "recall", "f1"])
 
 
 def span_prf(

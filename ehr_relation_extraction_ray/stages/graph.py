@@ -43,6 +43,37 @@ def wide_relation_table(triples: "ray.data.Dataset") -> "ray.data.Dataset":
     return triples.groupby("doc_id").map_groups(collect, batch_format="pandas")
 
 
+def per_drug_graph(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-drug adjacency projection (``display_knowledge_graph``,
+    utils.py:148-236): one row per (doc_id, subj_id) drug node with its
+    edge list — the engine-side data of the reference's per-drug subgraph
+    grid (its matplotlib PNG rendering is a driver/presentation concern;
+    see :func:`render_drug_graph_html`).
+
+    Columns: doc_id, subj_id, subj, n_nodes (drug + distinct args),
+    n_edges, edges ("pred:obj" newline-joined, sorted — deterministic at
+    any parallelism and SQL-expressible for the oracle). Same
+    ``groupby(doc_id)`` partitioning key as every other graph view.
+    """
+
+    def collect(doc_group: pd.DataFrame) -> pd.DataFrame:
+        g = doc_group.sort_values(["pred", "obj"])
+        out = g.groupby(["doc_id", "subj_id", "subj"], as_index=False, sort=True).agg(
+            n_edges=("obj", "size"),
+            n_nodes=("obj", "nunique"),
+            edges=("pred", lambda s: ""),  # placeholder; filled below
+        )
+        joined = g.assign(edge=g["pred"] + ":" + g["obj"]).groupby(
+            ["doc_id", "subj_id", "subj"], sort=True
+        )["edge"].agg("\n".join)
+        out["edges"] = joined.to_numpy()
+        out["n_nodes"] = (out["n_nodes"] + 1).astype("int64")
+        out["n_edges"] = out["n_edges"].astype("int64")
+        return out[["doc_id", "subj_id", "subj", "n_nodes", "n_edges", "edges"]]
+
+    return triples.groupby("doc_id").map_groups(collect, batch_format="pandas")
+
+
 # -- driver-side renderers (debug sinks, not part of the data plane) --------
 
 # entity colors (utils.py:24-28)
@@ -83,6 +114,26 @@ def render_doc_html(text: str, mentions: "pa.Table") -> str:
         idx = e
     out.append(text[idx:])
     return "".join(out).replace("\n", "<br>")
+
+
+def render_drug_graph_html(adj: "pd.DataFrame") -> str:
+    """Per-drug subgraph grid as plain HTML (display_knowledge_graph,
+    utils.py:148-236 — the PNG/networkx rendering is replaced by a
+    dependency-free definition list; node colors follow utils.py:204)."""
+    blocks = []
+    for r in adj.itertuples():
+        edges = "".join(
+            f"<li><span style='color:red'>{e.split(':', 1)[0]}</span> → "
+            f"<span style='background-color:skyblue'>{e.split(':', 1)[1]}</span></li>"
+            for e in r.edges.split("\n")
+            if e
+        )
+        blocks.append(
+            f"<div class='drug-graph' id='{r.doc_id}:{r.subj_id}'>"
+            f"<b style='background-color:{COLORS['Drug']}'>{r.subj}</b>"
+            f"<ul>{edges}</ul></div>"
+        )
+    return "\n".join(blocks)
 
 
 def render_wide_html(wide: "pd.DataFrame") -> str:

@@ -419,6 +419,42 @@ def test_html_renderers():
     assert "<th>Entity Text</th>" in out and "Drug ID" in out
 
 
+def test_per_drug_graph_projection():
+    """Per-drug adjacency (display_knowledge_graph engine side): one row
+    per (doc, drug) with deterministic sorted edge list + HTML render."""
+    import ray.data
+
+    from ehr_relation_extraction_ray.stages import graph
+
+    trip = ray.data.from_items(
+        [
+            {"doc_id": "d1", "subj_id": "T1", "subj": "aspirin",
+             "pred": "Strength", "obj": "81 mg"},
+            {"doc_id": "d1", "subj_id": "T1", "subj": "aspirin",
+             "pred": "Reason", "obj": "pain"},
+            {"doc_id": "d1", "subj_id": "T1", "subj": "aspirin",
+             "pred": "Strength", "obj": "500 mg"},
+            {"doc_id": "d1", "subj_id": "T5", "subj": "statin",
+             "pred": "Frequency", "obj": "daily"},
+            {"doc_id": "d2", "subj_id": "T1", "subj": "statin",
+             "pred": "Frequency", "obj": "daily"},
+        ]
+    )
+    adj = (
+        graph.per_drug_graph(trip)
+        .to_pandas()
+        .sort_values(["doc_id", "subj_id"])
+        .reset_index(drop=True)
+    )
+    assert len(adj) == 3
+    r = adj.iloc[0]
+    assert (r.doc_id, r.subj_id, r.n_nodes, r.n_edges) == ("d1", "T1", 4, 3)
+    assert r.edges == "Reason:pain\nStrength:500 mg\nStrength:81 mg"
+    html = graph.render_drug_graph_html(adj)
+    assert html.count("drug-graph") == 3
+    assert "Reason</span> → " in html and "aspirin" in html
+
+
 def test_distributed_dict_fit_and_empty_input():
     """G5 distributed fit reproduces the detector's surfaces; empty
     transcripts flow through the whole pipeline without crashing."""
