@@ -177,11 +177,22 @@ def _sorted_ids_pairs(ids: List[str]) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def _log_bucket_overflow(
-    overflow_dir: str, stage: str, bucket_key: str, n_ids: int, cap: int
+    overflow_dir: "str | None", stage: str, bucket_key: str, n_ids: int, cap: int
 ) -> None:
-    """Side-output one overflow record (no driver round-trip, no shared
-    state) — the repo's 'no silent caps' rule (see candidates.py
-    max_pairs_per_window)."""
+    """Record a truncated bucket — the repo's 'no silent caps' rule (see
+    candidates.py max_pairs_per_window). With an ``overflow_dir``, one
+    structured row goes to the quarantine side-output (no driver
+    round-trip, no shared state); without one, a logging.warning still
+    fires so the recall loss is never invisible."""
+    if overflow_dir is None:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s bucket %s: size %d > cap %d; pairs truncated "
+            "(pass overflow_dir= to capture structured overflow records)",
+            stage, bucket_key, n_ids, cap,
+        )
+        return
     from ..state.quarantine import Quarantine
 
     q = Quarantine(overflow_dir, stage=stage)
@@ -199,9 +210,8 @@ def _bucket_pairs(
     is quadratic; at that size exact_dedup is the right tool)."""
     ids = sorted(set(group["doc_id"].to_pylist()))
     if len(ids) > cap:
-        if overflow_dir is not None:
-            key = f"{group['band'][0].as_py()}:{group['band_hash'][0].as_py()}"
-            _log_bucket_overflow(overflow_dir, "minhash_bucket", key, len(ids), cap)
+        key = f"{group['band'][0].as_py()}:{group['band_hash'][0].as_py()}"
+        _log_bucket_overflow(overflow_dir, "minhash_bucket", key, len(ids), cap)
         ids = ids[:cap]
     a, b = _sorted_ids_pairs(ids)
     return pa.table(
@@ -546,11 +556,8 @@ def simhash_near_pairs(
         ids, hashes = ids[order], hashes[order]
         n = len(ids)
         if n > bucket_cap:
-            if overflow_dir is not None:
-                key = f"{sub}:{group[sub][0].as_py()}"
-                _log_bucket_overflow(
-                    overflow_dir, "simhash_bucket", key, n, bucket_cap
-                )
+            key = f"{sub}:{group[sub][0].as_py()}"
+            _log_bucket_overflow(overflow_dir, "simhash_bucket", key, n, bucket_cap)
             n = bucket_cap
             ids, hashes = ids[:n], hashes[:n]
         a_out, b_out, d_out = [], [], []

@@ -1,31 +1,88 @@
 """Text-analysis stage over a documents table: one streamed pass adds
-language id, quality features, token counts and fingerprints."""
+language id, quality features, token counts and fingerprints.
+
+Arrow-native hot path (VERDICT r1): counts/ratios run as pyarrow.compute
+regex kernels over the zero-copy batch, language/stopword hits as one
+split->flatten->is_in->bincount chain — no per-row Python regex loops.
+The only per-row loops left are md5 (C-speed hashlib; no vectorized
+kernel exists) and the numpy-vectorized-per-doc winnowing fingerprint.
+"""
 
 from __future__ import annotations
 
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
 from ..functions import textstats
+from ..functions.textstats import LANG_MARKERS
+
+_LANGS = list(LANG_MARKERS)
+_MARKER_ARRAYS = {
+    lang: pa.array(sorted(markers), pa.string())
+    for lang, markers in LANG_MARKERS.items()
+}
 
 
-def annotate_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    texts = df[text_col].fillna("")
-    feats = textstats.quality_features(texts)
-    out = df.copy()
-    for col in feats.columns:
-        out[col] = feats[col].to_numpy()
-    out["lang_pred"] = textstats.lang_id(texts.tolist())
-    out["bpe_tokens"] = textstats.bpe_token_count(texts.tolist())
-    out["md5"] = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
-    out["fingerprint"] = np.array(
-        [textstats.rolling_fingerprint(t) for t in texts], dtype=np.uint64
-    ).astype(np.int64)
+def annotate_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    n = len(texts)
+
+    n_chars = pc.utf8_length(texts)
+    n_tokens = pc.count_substring_regex(texts, r"\S+")
+    n_punct = pc.count_substring_regex(texts, r"[^\w\s]")
+    n_digit = pc.count_substring_regex(texts, r"\d")
+
+    # words per doc, lowercased: one split -> flatten -> is_in per language
+    words = pc.split_pattern_regex(pc.utf8_lower(texts), r"[^a-z']+")
+    flat = pc.list_flatten(words)
+    parents = np.asarray(pc.list_parent_indices(words))
+    hits = np.zeros((len(_LANGS), n), dtype=np.int64)
+    for li, lang in enumerate(_LANGS):
+        mask = np.asarray(pc.is_in(flat, value_set=_MARKER_ARRAYS[lang]))
+        if len(parents):
+            hits[li] = np.bincount(parents, weights=mask, minlength=n)
+    best = hits.argmax(axis=0)  # first max wins == dict-order tie rule
+    lang_pred = np.where(
+        hits.max(axis=0) > 0, np.asarray(_LANGS, dtype=object)[best], "und"
+    )
+
+    nc = np.asarray(n_chars, dtype=np.float64)
+    nt = np.asarray(n_tokens, dtype=np.float64)
+    nc1 = np.maximum(nc, 1.0)
+    nt1 = np.maximum(nt, 1.0)
+
+    py_texts = texts.to_pylist()
+    out = batch
+    cols = {
+        "n_chars": pa.array(nc.astype(np.int64)),
+        "n_tokens": pa.array(nt.astype(np.int64)),
+        "punct_ratio": pa.array(np.asarray(n_punct, np.float64) / nc1),
+        "digit_ratio": pa.array(np.asarray(n_digit, np.float64) / nc1),
+        "stopword_ratio": pa.array(hits[_LANGS.index("en")] / nt1),
+        "mean_token_len": pa.array((nc - nt1 + 1) / nt1),
+        "lang_pred": pa.array(lang_pred, pa.string()),
+        "bpe_tokens": pa.array(textstats.bpe_token_count(py_texts)),
+        "md5": pa.array(
+            [hashlib.md5(t.encode("utf-8")).hexdigest() for t in py_texts],
+            pa.string(),
+        ),
+        "fingerprint": pa.array(
+            np.array(
+                [textstats.rolling_fingerprint(t) for t in py_texts],
+                dtype=np.uint64,
+            ).astype(np.int64)
+        ),
+    }
+    for name, arr in cols.items():
+        out = out.append_column(name, arr)
     return out
 
 
@@ -33,7 +90,7 @@ def annotate(
     docs: "ray.data.Dataset", text_col: str = "text", batch_size: int = 1024
 ) -> "ray.data.Dataset":
     return docs.map_batches(
-        lambda df: annotate_batch(df, text_col),
-        batch_format="pandas",
+        lambda t: annotate_batch(t, text_col),
+        batch_format="pyarrow",
         batch_size=batch_size,
     )
