@@ -179,7 +179,9 @@ def docs_minhash_pairs(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pyarrow",
     )
-    pairs = dedupe.minhash_lsh_pairs(docs)
+    # distinct=False: verify_jaccard dedups internally, saving the
+    # candidate-distinct all-to-all exchange
+    pairs = dedupe.minhash_lsh_pairs(docs, distinct=False)
     verified = dedupe.verify_jaccard(pairs, docs, threshold=0.8).to_pandas()
     verified["jaccard"] = verified["jaccard"].round(4)
     return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -227,12 +227,17 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     bucket_cap: int = 512,
     overflow_dir: str | None = None,
+    distinct: bool = True,
 ) -> "ray.data.Dataset":
     """Candidate near-dup pairs: banded minhash -> groupby bucket -> pairs.
 
     Distinct pairs via a final groupby on (doc_a, doc_b). Buckets above
     ``bucket_cap`` ids truncate WITH an overflow record in ``overflow_dir``
     (state/quarantine side-output) — no silent recall loss.
+
+    ``distinct=False`` skips the distinct shuffle and may emit the same
+    pair once per agreeing band — :func:`verify_jaccard` dedups internally,
+    so the LSH->verify composition saves one all-to-all exchange.
     """
     band_rows = docs.map_batches(
         lambda t: minhash_band_rows(t, num_perm, bands, text_col, id_col),
@@ -242,6 +247,8 @@ def minhash_lsh_pairs(
         lambda g: _bucket_pairs(g, bucket_cap, overflow_dir),
         batch_format="pyarrow",
     )
+    if not distinct:
+        return pairs
     return pairs.groupby(["doc_a", "doc_b"]).map_groups(
         lambda g: g.slice(0, 1), batch_format="pyarrow"
     )
@@ -318,57 +325,111 @@ def verify_jaccard(
         )
     )
 
-    def emit_shingles(group: pa.Table) -> pa.Table:
+    # both co-groups run at PARTITION granularity (hash of the key), not
+    # one Python map_groups call per doc/pair — 64 vectorized calls per
+    # stage instead of millions of micro-groups at corpus scale.
+    num_partitions = 64
+
+    def add_doc_part(t: pa.Table) -> pa.Table:
+        h = content_hash_64([str(x) for x in t[id_col].to_pylist()])
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
+
+    def emit_shingles_partition(group: pa.Table) -> pa.Table:
         members = group.filter(pc.is_valid(group["pair_id"]))
-        if members.num_rows == 0:  # doc in no candidate pair
+        if members.num_rows == 0:  # no candidate pair in this partition
             return _VERIFY_SIDES.empty_table()
         text_rows = group.filter(pc.is_valid(group[text_col]))
-        text = text_rows[text_col][0].as_py() if text_rows.num_rows else ""
-        # 64-bit shingle identities (same kernel as ngram_jaccard_pairs):
-        # collision odds ~n^2/2^64 per pair, so the verified Jaccard equals
-        # the exact string-shingle Jaccard (the SQL oracle's definition).
-        sh = word_shingle_hashes(text, k).astype(np.int64)
-        n = len(sh)
-        pids = members["pair_id"].to_pylist()
-        sides = members["side"].to_pylist()
+        texts = dict(
+            zip(text_rows[id_col].to_pylist(), text_rows[text_col].to_pylist())
+        )
+        pid_parts, side_parts, sh_parts = [], [], []
+        # dedup membership rows: an upstream LSH emitting one pair per
+        # agreeing band (distinct=False) produces identical rows here
+        mem = (
+            members.select([id_col, "pair_id", "side"])
+            .to_pandas()
+            .drop_duplicates()
+        )
+        m_ids = mem[id_col].tolist()
+        m_pids = mem["pair_id"].to_numpy(dtype=object)
+        m_sides = mem["side"].to_numpy()
+        order = np.argsort(np.asarray(m_ids, dtype=object))
+        # one shingle computation per DOC (membership rows grouped by doc)
+        i = 0
+        while i < len(order):
+            j = i
+            doc = m_ids[order[i]]
+            while j < len(order) and m_ids[order[j]] == doc:
+                j += 1
+            # 64-bit shingle identities (same kernel as ngram_jaccard_pairs):
+            # collision odds ~n^2/2^64 per pair, so the verified Jaccard
+            # equals the exact string-shingle Jaccard (the SQL oracle).
+            sh = word_shingle_hashes(texts.get(doc, ""), k).astype(np.int64)
+            idx = order[i:j]
+            pid_parts.append(np.repeat(m_pids[idx], len(sh)))
+            side_parts.append(np.repeat(m_sides[idx], len(sh)))
+            sh_parts.append(np.tile(sh, len(idx)))
+            i = j
         return pa.table(
             {
-                "pair_id": pa.array(np.repeat(pids, n), pa.string()),
-                "side": pa.array(np.repeat(sides, n).astype(np.int8)),
-                "sh": pa.array(np.tile(sh, len(pids))),
+                "pair_id": pa.array(np.concatenate(pid_parts), pa.string()),
+                "side": pa.array(np.concatenate(side_parts).astype(np.int8)),
+                "sh": pa.array(np.concatenate(sh_parts)),
             }
         )
 
-    sides = tagged.groupby(id_col).map_groups(emit_shingles, batch_format="pyarrow")
+    sides = (
+        tagged.map_batches(add_doc_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(emit_shingles_partition, batch_format="pyarrow")
+    )
 
-    def jaccard_of_pair(group: pa.Table) -> pa.Table:
-        pid = group["pair_id"][0].as_py()
-        side = np.asarray(group["side"])
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        h = content_hash_64(t["pair_id"].to_pylist())
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
+
+    def jaccard_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.string()),
+                "doc_b": pa.array([], pa.string()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        cats, codes = np.unique(
+            np.asarray(group["pair_id"].to_pylist(), dtype=object),
+            return_inverse=True,
+        )
         sh = np.asarray(group["sh"])
-        na = int((side == 0).sum())
-        nb = int((side == 1).sum())
-        union = len(np.unique(sh))
-        inter = na + nb - union
-        jac = inter / union if union else 0.0
-        if jac < threshold:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.string()),
-                    "doc_b": pa.array([], pa.string()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
-        a, b = pid.split(_PAIR_SEP, 1)
+        order = np.lexsort((sh, codes))
+        cs, ss = codes[order], sh[order]
+        # a (pair, shingle) appearing twice == one side each -> intersection
+        dup = (cs[1:] == cs[:-1]) & (ss[1:] == ss[:-1])
+        inter = np.bincount(cs[1:][dup], minlength=len(cats))
+        total = np.bincount(cs, minlength=len(cats))
+        union = total - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = jac >= threshold
+        if not keep.any():
+            return empty
+        split = np.char.partition(cats[keep].astype(str), _PAIR_SEP)
         return pa.table(
             {
-                "doc_a": pa.array([a], pa.string()),
-                "doc_b": pa.array([b], pa.string()),
-                "jaccard": pa.array([jac], pa.float64()),
+                "doc_a": pa.array(split[:, 0], pa.string()),
+                "doc_b": pa.array(split[:, 2], pa.string()),
+                "jaccard": pa.array(jac[keep], pa.float64()),
             }
         )
 
-    return sides.groupby("pair_id").map_groups(
-        jaccard_of_pair, batch_format="pyarrow"
+    return (
+        sides.map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(jaccard_partition, batch_format="pyarrow")
     )
 
 

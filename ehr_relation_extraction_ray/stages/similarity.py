@@ -325,13 +325,11 @@ def cosine_dup_pairs_lsh(
             {"id_a": pa.array(ids[iu], pa.int64()), "id_b": pa.array(ids[ju], pa.int64())}
         )
 
-    # distributed distinct over candidates (NOT a driver drop_duplicates:
-    # the candidate set can be corpus-scale on a near-dup-heavy corpus)
-    cand = (
-        sigs.groupby(["band", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    # no candidate-distinct shuffle: the verify join dedups membership rows
+    # inside each partition (duplicates from multiple agreeing bands are
+    # identical rows), saving one all-to-all exchange
+    cand = sigs.groupby(["band", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
     )
 
     # verify via a co-group join: membership rows (vec_id, pair side) union
@@ -373,7 +371,15 @@ def cosine_dup_pairs_lsh(
         )
     )
 
-    def emit_vec_rows(group: pa.Table) -> pa.Table:
+    # partition-granular co-groups (64 vectorized Python calls per stage,
+    # not one per vector/pair — the same shape as dedupe.verify_jaccard)
+    num_partitions = 64
+
+    def add_vec_part(t: pa.Table) -> pa.Table:
+        part = (np.asarray(t[id_col]) % num_partitions).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
+
+    def emit_vec_rows_partition(group: pa.Table) -> pa.Table:
         members = group.filter(pc.is_valid(group["other"]))
         empty = pa.table(
             {
@@ -385,29 +391,56 @@ def cosine_dup_pairs_lsh(
         if members.num_rows == 0:
             return empty
         vec_rows = group.filter(pc.is_null(group["side"]))
-        if vec_rows.num_rows == 0:
+        lut = {
+            i: v
+            for i, v in zip(
+                vec_rows[id_col].to_pylist(), vec_rows[vec_col].to_pylist()
+            )
+        }
+        mem = (
+            members.select([id_col, "other", "side"]).to_pandas().drop_duplicates()
+        )
+        me = mem[id_col].to_numpy()
+        others = mem["other"].to_numpy()
+        sides = mem["side"].to_numpy()
+        pid = np.where(
+            sides == 0,
+            np.char.add(np.char.add(me.astype(str), ":"), others.astype(str)),
+            np.char.add(np.char.add(others.astype(str), ":"), me.astype(str)),
+        )
+        have = np.asarray([int(i) in lut for i in me])
+        if not have.any():
             return empty
-        me = vec_rows[id_col][0].as_py()
-        vec = vec_rows[vec_col][0].as_py()
-        sides = np.asarray(members["side"])
-        others = np.asarray(members["other"])
-        pid = [
-            f"{me}:{o}" if s == 0 else f"{o}:{me}"
-            for s, o in zip(sides, others)
-        ]
         return pa.table(
             {
-                "pair_id": pa.array(pid, pa.string()),
-                "side": pa.array(sides.astype(np.int8)),
-                vec_col: pa.array([vec] * len(pid), pa.list_(pa.float64())),
+                "pair_id": pa.array(pid[have], pa.string()),
+                "side": pa.array(sides[have].astype(np.int8)),
+                vec_col: pa.array(
+                    [lut[int(i)] for i in me[have]], pa.list_(pa.float64())
+                ),
             }
         )
 
-    vec_sides = tagged.groupby(id_col).map_groups(
-        emit_vec_rows, batch_format="pyarrow"
+    vec_sides = (
+        tagged.map_batches(add_vec_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(emit_vec_rows_partition, batch_format="pyarrow")
     )
 
-    def cosine_of_pair(group: pa.Table) -> pa.Table:
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        import zlib
+
+        # crc32, NOT hash(): Python string hashing is salted per process,
+        # which would scatter a pair's two rows into different partitions
+        h = np.asarray(
+            [zlib.crc32(p.encode()) for p in t["pair_id"].to_pylist()],
+            dtype=np.uint64,
+        )
+        return t.append_column(
+            "_part", pa.array((h % num_partitions).astype(np.int32))
+        )
+
+    def cosine_partition(group: pa.Table) -> pa.Table:
         empty = pa.table(
             {
                 "id_a": pa.array([], pa.int64()),
@@ -415,28 +448,40 @@ def cosine_dup_pairs_lsh(
                 "cosine": pa.array([], pa.float64()),
             }
         )
-        if group.num_rows != 2:
+        if group.num_rows == 0:
             return empty
+        cats, codes = np.unique(
+            np.asarray(group["pair_id"].to_pylist(), dtype=object),
+            return_inverse=True,
+        )
+        m = _normalize(_batch_matrix(group, vec_col))
         side = np.asarray(group["side"])
-        va = np.asarray(group[vec_col][int(np.argmin(side))].as_py(), np.float64)
-        vb = np.asarray(group[vec_col][int(np.argmax(side))].as_py(), np.float64)
-        va = va / (np.linalg.norm(va) or 1.0)
-        vb = vb / (np.linalg.norm(vb) or 1.0)
-        cos = float(va @ vb)
-        if cos < threshold:
+        # rows per pair: exactly one side-0 and one side-1 when both vectors
+        # resolved; dot the two matrices row-aligned by pair code
+        a_rows = np.full(len(cats), -1)
+        b_rows = np.full(len(cats), -1)
+        a_rows[codes[side == 0]] = np.nonzero(side == 0)[0]
+        b_rows[codes[side == 1]] = np.nonzero(side == 1)[0]
+        ok = (a_rows >= 0) & (b_rows >= 0)
+        if not ok.any():
             return empty
-        a, b = group["pair_id"][0].as_py().split(":", 1)
+        cos = np.einsum("ij,ij->i", m[a_rows[ok]], m[b_rows[ok]])
+        keep = cos >= threshold
+        if not keep.any():
+            return empty
+        split = np.char.partition(cats[ok][keep].astype(str), ":")
         return pa.table(
             {
-                "id_a": pa.array([int(a)], pa.int64()),
-                "id_b": pa.array([int(b)], pa.int64()),
-                "cosine": pa.array([round(cos, 4)], pa.float64()),
+                "id_a": pa.array(split[:, 0].astype(np.int64)),
+                "id_b": pa.array(split[:, 2].astype(np.int64)),
+                "cosine": pa.array(np.round(cos[keep], 4), pa.float64()),
             }
         )
 
     out = (
-        vec_sides.groupby("pair_id")
-        .map_groups(cosine_of_pair, batch_format="pyarrow")
+        vec_sides.map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(cosine_partition, batch_format="pyarrow")
         .to_pandas()
     )
     if out.empty:
