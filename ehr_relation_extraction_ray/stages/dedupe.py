@@ -144,27 +144,26 @@ def minhash_band_rows(
 ) -> pa.Table:
     a, b = _minhash_params(num_perm)
     rows_per_band = num_perm // bands
-    doc_ids: List[str] = []
-    band_ids: List[int] = []
-    band_hash: List[int] = []
-    for doc_id, text in zip(
-        batch[id_col].to_pylist(), batch[text_col].to_pylist()
-    ):
-        sig = minhash_signature(shingle_hashes(text), a, b)
-        with np.errstate(over="ignore"):
-            P = np.uint64(1099511628211)
-            powers = P ** np.arange(rows_per_band, dtype=np.uint64)
+    ids = [str(x) for x in batch[id_col].to_pylist()]
+    texts = batch[text_col].to_pylist()
+    n = len(ids)
+    hs = np.zeros((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        P = np.uint64(1099511628211)
+        powers = P ** np.arange(rows_per_band, dtype=np.uint64)
+        for i, text in enumerate(texts):
+            sig = minhash_signature(shingle_hashes(text), a, b)
             chunks = sig.reshape(bands, rows_per_band)
-            hs = (chunks * powers[None, :]).sum(axis=1, dtype=np.uint64)
-        for band in range(bands):
-            doc_ids.append(str(doc_id))
-            band_ids.append(band)
-            band_hash.append(int(hs[band]) & 0x7FFFFFFFFFFFFFFF)
+            hs[i] = (chunks * powers[None, :]).sum(axis=1, dtype=np.uint64)
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, pa.string()),
-            "band": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hash, pa.int64()),
+            "doc_id": pa.array(
+                np.repeat(np.asarray(ids, dtype=object), bands), pa.string()
+            ),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(
+                (hs & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64).ravel()
+            ),
         }
     )
 
@@ -219,6 +218,93 @@ def _bucket_pairs(
     )
 
 
+_PAIRS_SCHEMA = pa.schema([("doc_a", pa.string()), ("doc_b", pa.string())])
+
+
+def _distinct_by_pair(
+    ds: "ray.data.Dataset", num_partitions: int = 64
+) -> "ray.data.Dataset":
+    """Distinct rows by (doc_a, doc_b) at PARTITION granularity — one
+    hash-partition groupby with ``num_partitions`` vectorized dedup calls,
+    not one ``map_groups`` call per distinct pair (candidate-count
+    micro-groups at scale). Duplicate rows are identical by construction
+    (a pair re-emitted by another band / sub-key carries the same payload),
+    so keeping the pandas-dedup first row is deterministic."""
+
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        h = content_hash_64(
+            [
+                f"{a}\x1f{b}"
+                for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist())
+            ]
+        )
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
+
+    def distinct_partition(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_part"])
+        if g.num_rows == 0:
+            return g
+        df = g.to_pandas().drop_duplicates(subset=["doc_a", "doc_b"])
+        return pa.Table.from_pandas(df, preserve_index=False).cast(g.schema)
+
+    return (
+        ds.map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(distinct_partition, batch_format="pyarrow")
+    )
+
+
+def _bucket_pairs_partition(
+    part: pa.Table, cap: int = 512, overflow_dir: str | None = None
+) -> pa.Table:
+    """All pairs within every LSH bucket of one hash PARTITION of band rows
+    — one Python call per partition (64 per stage), not one per bucket
+    (which is one per distinct (band, band_hash): corpus x bands calls at
+    scale, the round-1 micro-group bottleneck). Buckets are runs of the
+    lexsorted (band, band_hash) columns; each run >= 2 emits its triangle
+    (same semantics as :func:`_bucket_pairs`, including the cap +
+    overflow record)."""
+    if part.num_rows == 0:
+        return _PAIRS_SCHEMA.empty_table()
+    band = np.asarray(part["band"])
+    bh = np.asarray(part["band_hash"])
+    ids = np.asarray(part["doc_id"].to_pylist(), dtype=object)
+    order = np.lexsort((ids, bh, band))
+    band, bh, ids = band[order], bh[order], ids[order]
+    change = np.flatnonzero((band[1:] != band[:-1]) | (bh[1:] != bh[:-1])) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(band)]))
+    a_parts, b_parts = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        uids = ids[s:e]
+        uids = uids[np.concatenate(([True], uids[1:] != uids[:-1]))]  # sorted dedup
+        if len(uids) < 2:
+            continue
+        if len(uids) > cap:
+            _log_bucket_overflow(
+                overflow_dir,
+                "minhash_bucket",
+                f"{band[s]}:{bh[s]}",
+                len(uids),
+                cap,
+            )
+            uids = uids[:cap]
+        iu, ju = np.triu_indices(len(uids), k=1)
+        a_parts.append(uids[iu])
+        b_parts.append(uids[ju])
+    if not a_parts:
+        return _PAIRS_SCHEMA.empty_table()
+    return pa.table(
+        {
+            "doc_a": pa.array(np.concatenate(a_parts), pa.string()),
+            "doc_b": pa.array(np.concatenate(b_parts), pa.string()),
+        }
+    )
+
+
 def minhash_lsh_pairs(
     docs: "ray.data.Dataset",
     num_perm: int = 64,
@@ -243,15 +329,31 @@ def minhash_lsh_pairs(
         lambda t: minhash_band_rows(t, num_perm, bands, text_col, id_col),
         batch_format="pyarrow",
     )
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        lambda g: _bucket_pairs(g, bucket_cap, overflow_dir),
-        batch_format="pyarrow",
+
+    # bucket at PARTITION granularity: hash (band, band_hash) into a fixed
+    # number of partitions so the groupby makes 64 vectorized Python calls,
+    # not one per distinct bucket (corpus x bands micro-groups at scale).
+    num_partitions = 64
+
+    def add_bucket_part(t: pa.Table) -> pa.Table:
+        bh = np.asarray(t["band_hash"]).astype(np.uint64)
+        bd = np.asarray(t["band"]).astype(np.uint64)
+        part = ((bh * np.uint64(1000003) + bd) % np.uint64(num_partitions)).astype(
+            np.int32
+        )
+        return t.append_column("_part", pa.array(part))
+
+    pairs = (
+        band_rows.map_batches(add_bucket_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: _bucket_pairs_partition(g, bucket_cap, overflow_dir),
+            batch_format="pyarrow",
+        )
     )
     if not distinct:
         return pairs
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return _distinct_by_pair(pairs, num_partitions)
 
 
 # ASCII unit separator: survives numpy unicode arrays (NUL would be
@@ -262,7 +364,7 @@ _VERIFY_SIDES = pa.schema(
     [
         ("pair_id", pa.string()),
         ("side", pa.int8()),
-        ("sh", pa.int64()),
+        ("sh", pa.large_list(pa.int64())),
     ]
 )
 
@@ -274,12 +376,190 @@ def verify_jaccard(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_limit: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Exact k-shingle Jaccard over candidate pairs — fully distributed.
 
-    Nothing (pairs, texts, shingle sets) is ever collected on the driver:
-    on a boilerplate-heavy corpus the candidate set is corpus-scale
-    (VERDICT round 1), so the verify is a dataset co-group join:
+    Texts and shingle sets are NEVER collected on the driver (VERDICT
+    round 1). Two execution paths, picked by candidate-pair count:
+
+    * ``<= broadcast_limit`` pairs (the overwhelmingly common case — LSH
+      candidates are a vanishing fraction of the corpus): the (doc_a,
+      doc_b) id pairs — ids only, never texts — are broadcast via one
+      ``ray.put``, each doc partition emits its shingle set tagged with
+      the pair memberships it appears in, and ONE ``groupby(pair_id)``
+      reduces. One all-to-all instead of two.
+    * above the limit (boilerplate-heavy corpus, corpus-scale candidate
+      set): fall back to the fully distributed co-group join
+      (:func:`_verify_jaccard_cogroup`) — membership rows are unioned
+      with the docs table and co-grouped by doc_id, so nothing bigger
+      than one partition ever sits in one place.
+    """
+    pairs = pairs.materialize()  # consumed twice (count + verify); stays
+    # in the object store — materialize() never collects to the driver
+    if pairs.count() <= broadcast_limit:
+        return _verify_jaccard_broadcast(
+            pairs, docs, threshold, k, text_col, id_col
+        )
+    return _verify_jaccard_cogroup(pairs, docs, threshold, k, text_col, id_col)
+
+
+def _pair_reduce(
+    sides: "ray.data.Dataset", threshold: float, num_partitions: int = 64
+) -> "ray.data.Dataset":
+    """groupby(pair partition) -> per-partition vectorized Jaccard over
+    (pair_id, side, sh list<int64>) rows. Group size is bounded by one
+    partition's pairs x 2 shingle sets, never the corpus."""
+
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        h = content_hash_64(t["pair_id"].to_pylist())
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
+
+    def jaccard_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.string()),
+                "doc_b": pa.array([], pa.string()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        cats, row_codes = np.unique(
+            np.asarray(group["pair_id"].to_pylist(), dtype=object),
+            return_inverse=True,
+        )
+        # flatten the list<int64> payload: one (code, shingle) pair per
+        # shingle, exactly the round-1 exploded layout — but built locally
+        # after the shuffle instead of shuffled row-by-row
+        sh = pc.list_flatten(group["sh"]).to_numpy()
+        lengths = pc.list_value_length(group["sh"]).to_numpy().astype(np.int64)
+        codes = np.repeat(row_codes, lengths)
+        order = np.lexsort((sh, codes))
+        cs, ss = codes[order], sh[order]
+        # a (pair, shingle) appearing twice == one side each -> intersection
+        dup = (cs[1:] == cs[:-1]) & (ss[1:] == ss[:-1])
+        inter = np.bincount(cs[1:][dup], minlength=len(cats))
+        total = np.bincount(cs, minlength=len(cats))
+        union = total - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = jac >= threshold
+        if not keep.any():
+            return empty
+        split = np.char.partition(cats[keep].astype(str), _PAIR_SEP)
+        return pa.table(
+            {
+                "doc_a": pa.array(split[:, 0], pa.string()),
+                "doc_b": pa.array(split[:, 2], pa.string()),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
+
+    return (
+        sides.map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(jaccard_partition, batch_format="pyarrow")
+    )
+
+
+def _shingle_list_table(
+    pids: np.ndarray, sides_arr: np.ndarray, sh_parts, len_parts
+) -> pa.Table:
+    lengths = np.concatenate(len_parts)
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    lists = pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()),
+        pa.array(np.concatenate(sh_parts), pa.int64()),
+    )
+    return pa.table(
+        {
+            "pair_id": pa.array(pids, pa.string()),
+            "side": pa.array(sides_arr.astype(np.int8)),
+            "sh": lists,
+        }
+    )
+
+
+def _verify_jaccard_broadcast(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    threshold: float,
+    k: int,
+    text_col: str,
+    id_col: str,
+) -> "ray.data.Dataset":
+    """Single-shuffle verify: broadcast the candidate ID pairs (bounded by
+    ``broadcast_limit`` — ids only, no texts) via one ``ray.put``; each doc
+    batch emits (pair_id, side, shingle-set) rows for its member docs with
+    NO doc-side shuffle; one groupby(pair partition) reduces."""
+    import ray as _ray
+
+    mem = (
+        pairs.select_columns(["doc_a", "doc_b"])
+        .to_pandas()
+        .drop_duplicates(ignore_index=True)
+    )
+    pid = (mem["doc_a"] + _PAIR_SEP + mem["doc_b"]).to_numpy(dtype=object)
+    doc_ids = np.concatenate(
+        [mem["doc_a"].to_numpy(dtype=object), mem["doc_b"].to_numpy(dtype=object)]
+    )
+    pids2 = np.concatenate([pid, pid])
+    sides2 = np.concatenate(
+        [np.zeros(len(pid), dtype=np.int8), np.ones(len(pid), dtype=np.int8)]
+    )
+    order = np.argsort(doc_ids)
+    doc_ids, pids2, sides2 = doc_ids[order], pids2[order], sides2[order]
+    # run-length index: doc -> slice into the (pid, side) arrays
+    first = np.concatenate(([True], doc_ids[1:] != doc_ids[:-1]))
+    starts = np.flatnonzero(first)
+    ends = np.concatenate((starts[1:], [len(doc_ids)]))
+    index = {
+        doc_ids[s]: (s, e) for s, e in zip(starts, ends)
+    }
+    ref = _ray.put((index, pids2, sides2))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        index, pids2, sides2 = _ray.get(ref)  # plasma-cached per worker
+        pid_parts, side_parts, sh_parts, len_parts = [], [], [], []
+        for doc, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            se = index.get(str(doc))
+            if se is None:
+                continue
+            s, e = se
+            sh = word_shingle_hashes(text or "", k).astype(np.int64)
+            pid_parts.append(pids2[s:e])
+            side_parts.append(sides2[s:e])
+            sh_parts.append(np.tile(sh, e - s))
+            len_parts.append(np.full(e - s, len(sh), dtype=np.int64))
+        if not pid_parts:
+            return _VERIFY_SIDES.empty_table()
+        return _shingle_list_table(
+            np.concatenate(pid_parts),
+            np.concatenate(side_parts),
+            sh_parts,
+            len_parts,
+        )
+
+    sides = docs.select_columns([id_col, text_col]).map_batches(
+        emit, batch_format="pyarrow"
+    )
+    return _pair_reduce(sides, threshold)
+
+
+def _verify_jaccard_cogroup(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    threshold: float = 0.8,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Fully distributed co-group verify (the corpus-scale-candidates
+    path):
 
     1. Pair membership rows (doc_id, pair_id, side) are unioned with the
        docs table and co-grouped by ``doc_id`` (the tagged-union groupby
@@ -343,7 +623,7 @@ def verify_jaccard(
         texts = dict(
             zip(text_rows[id_col].to_pylist(), text_rows[text_col].to_pylist())
         )
-        pid_parts, side_parts, sh_parts = [], [], []
+        pid_parts, side_parts, sh_parts, len_parts = [], [], [], []
         # dedup membership rows: an upstream LSH emitting one pair per
         # agreeing band (distinct=False) produces identical rows here
         mem = (
@@ -355,7 +635,11 @@ def verify_jaccard(
         m_pids = mem["pair_id"].to_numpy(dtype=object)
         m_sides = mem["side"].to_numpy()
         order = np.argsort(np.asarray(m_ids, dtype=object))
-        # one shingle computation per DOC (membership rows grouped by doc)
+        # one shingle computation per DOC (membership rows grouped by doc);
+        # one OUTPUT ROW per (pair, side) carrying the shingle set as a
+        # list<int64> payload — the pair-id/side keys shuffle once per
+        # side, not once per shingle (round-1 exploded one row per
+        # (pair, side, shingle): ~shingles-per-doc x more key bytes).
         i = 0
         while i < len(order):
             j = i
@@ -367,16 +651,16 @@ def verify_jaccard(
             # equals the exact string-shingle Jaccard (the SQL oracle).
             sh = word_shingle_hashes(texts.get(doc, ""), k).astype(np.int64)
             idx = order[i:j]
-            pid_parts.append(np.repeat(m_pids[idx], len(sh)))
-            side_parts.append(np.repeat(m_sides[idx], len(sh)))
+            pid_parts.append(m_pids[idx])
+            side_parts.append(m_sides[idx])
             sh_parts.append(np.tile(sh, len(idx)))
+            len_parts.append(np.full(len(idx), len(sh), dtype=np.int64))
             i = j
-        return pa.table(
-            {
-                "pair_id": pa.array(np.concatenate(pid_parts), pa.string()),
-                "side": pa.array(np.concatenate(side_parts).astype(np.int8)),
-                "sh": pa.array(np.concatenate(sh_parts)),
-            }
+        return _shingle_list_table(
+            np.concatenate(pid_parts),
+            np.concatenate(side_parts),
+            sh_parts,
+            len_parts,
         )
 
     sides = (
@@ -384,53 +668,7 @@ def verify_jaccard(
         .groupby("_part")
         .map_groups(emit_shingles_partition, batch_format="pyarrow")
     )
-
-    def add_pair_part(t: pa.Table) -> pa.Table:
-        h = content_hash_64(t["pair_id"].to_pylist())
-        part = (h % np.uint64(num_partitions)).astype(np.int32)
-        return t.append_column("_part", pa.array(part))
-
-    def jaccard_partition(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "doc_a": pa.array([], pa.string()),
-                "doc_b": pa.array([], pa.string()),
-                "jaccard": pa.array([], pa.float64()),
-            }
-        )
-        if group.num_rows == 0:
-            return empty
-        cats, codes = np.unique(
-            np.asarray(group["pair_id"].to_pylist(), dtype=object),
-            return_inverse=True,
-        )
-        sh = np.asarray(group["sh"])
-        order = np.lexsort((sh, codes))
-        cs, ss = codes[order], sh[order]
-        # a (pair, shingle) appearing twice == one side each -> intersection
-        dup = (cs[1:] == cs[:-1]) & (ss[1:] == ss[:-1])
-        inter = np.bincount(cs[1:][dup], minlength=len(cats))
-        total = np.bincount(cs, minlength=len(cats))
-        union = total - inter
-        with np.errstate(invalid="ignore", divide="ignore"):
-            jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-        keep = jac >= threshold
-        if not keep.any():
-            return empty
-        split = np.char.partition(cats[keep].astype(str), _PAIR_SEP)
-        return pa.table(
-            {
-                "doc_a": pa.array(split[:, 0], pa.string()),
-                "doc_b": pa.array(split[:, 2], pa.string()),
-                "jaccard": pa.array(jac[keep], pa.float64()),
-            }
-        )
-
-    return (
-        sides.map_batches(add_pair_part, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(jaccard_partition, batch_format="pyarrow")
-    )
+    return _pair_reduce(sides, threshold, num_partitions)
 
 
 # -- exact n-gram Jaccard ---------------------------------------------------
@@ -608,35 +846,53 @@ def simhash_near_pairs(
         batch_format="pyarrow",
     ).materialize()  # tiny (id + 5 ints); read by 4 bucket groupbys
 
-    def bucket_verify(group: pa.Table, sub: str) -> pa.Table:
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.string()),
+            "doc_b": pa.array([], pa.string()),
+            "hamming": pa.array([], pa.int32()),
+        }
+    )
+    num_partitions = 64
+
+    def bucket_verify_partition(part: pa.Table, sub: str) -> pa.Table:
+        """Hamming verify for every sub-key bucket in one hash PARTITION —
+        one Python call per partition, not one per distinct 16-bit sub-key
+        value (up to 65k micro-groups per sub-key at scale). Buckets are
+        runs of the sorted sub column."""
+        if part.num_rows == 0:
+            return empty
+        sv = np.asarray(part[sub])
         ids = np.asarray(
-            [str(x) for x in group[id_col].to_pylist()], dtype=object
+            [str(x) for x in part[id_col].to_pylist()], dtype=object
         )
-        hashes = np.asarray(group["simhash"], dtype=np.int64).astype(np.uint64)
-        order = np.argsort(ids)  # doc_a < doc_b by construction
-        ids, hashes = ids[order], hashes[order]
-        n = len(ids)
-        if n > bucket_cap:
-            key = f"{sub}:{group[sub][0].as_py()}"
-            _log_bucket_overflow(overflow_dir, "simhash_bucket", key, n, bucket_cap)
-            n = bucket_cap
-            ids, hashes = ids[:n], hashes[:n]
+        hashes = np.asarray(part["simhash"], dtype=np.int64).astype(np.uint64)
+        order = np.lexsort((ids, sv))  # doc_a < doc_b by construction
+        sv, ids, hashes = sv[order], ids[order], hashes[order]
+        change = np.flatnonzero(sv[1:] != sv[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(sv)]))
         a_out, b_out, d_out = [], [], []
-        for i in range(n - 1):
-            dist = _popcount64(hashes[i + 1 :] ^ hashes[i])
-            hit = np.nonzero(dist <= max_hamming)[0]
-            if len(hit):
-                a_out.append(np.repeat(ids[i], len(hit)))
-                b_out.append(ids[i + 1 + hit])
-                d_out.append(dist[hit])
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            bids, bhashes = ids[s:e], hashes[s:e]
+            if n > bucket_cap:
+                _log_bucket_overflow(
+                    overflow_dir, "simhash_bucket", f"{sub}:{sv[s]}", n, bucket_cap
+                )
+                n = bucket_cap
+                bids, bhashes = bids[:n], bhashes[:n]
+            for i in range(n - 1):
+                dist = _popcount64(bhashes[i + 1 :] ^ bhashes[i])
+                hit = np.nonzero(dist <= max_hamming)[0]
+                if len(hit):
+                    a_out.append(np.repeat(bids[i], len(hit)))
+                    b_out.append(bids[i + 1 + hit])
+                    d_out.append(dist[hit])
         if not a_out:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.string()),
-                    "doc_b": pa.array([], pa.string()),
-                    "hamming": pa.array([], pa.int32()),
-                }
-            )
+            return empty
         return pa.table(
             {
                 "doc_a": pa.array(np.concatenate(a_out), pa.string()),
@@ -647,13 +903,21 @@ def simhash_near_pairs(
             }
         )
 
-    parts = [
-        signed.groupby(f"sub{i}").map_groups(
-            lambda g, s=f"sub{i}": bucket_verify(g, s), batch_format="pyarrow"
+    parts = []
+    for i in range(4):
+        sub = f"sub{i}"
+
+        def add_sub_part(t: pa.Table, s: str = sub) -> pa.Table:
+            p = (np.asarray(t[s]) % num_partitions).astype(np.int32)
+            return t.append_column("_part", pa.array(p))
+
+        parts.append(
+            signed.map_batches(add_sub_part, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(
+                lambda g, s=sub: bucket_verify_partition(g, s),
+                batch_format="pyarrow",
+            )
         )
-        for i in range(4)
-    ]
     all_pairs = parts[0].union(*parts[1:])
-    return all_pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return _distinct_by_pair(all_pairs, num_partitions)
