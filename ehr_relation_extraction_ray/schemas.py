@@ -80,6 +80,12 @@ CANDIDATES = pa.schema(
         # markers (null -> scorer takes the exact regex fallback); lets the
         # surrogate scorer run as pure Arrow kernels (functions/pairs.py)
         ("gap_text", pa.large_string()),
+        # precomputed surrogate-predicate inputs (functions/pairs.py):
+        # gap char length (-1 = no fast-path proof, use masked_text) and
+        # double-space-free flag — let the scorer run with zero string
+        # traffic per candidate
+        ("gap_len", pa.int32()),
+        ("gap_clean", pa.bool_()),
     ]
 )
 

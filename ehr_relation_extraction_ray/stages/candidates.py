@@ -42,6 +42,7 @@ class CandidateGenerator:
         max_len: int = RE_MAX_LEN,
         max_pairs_per_window: int = 10_000,
         errors_dir: Optional[str] = None,
+        emit_masked: bool = True,
     ):
         from ..state.quarantine import Quarantine
 
@@ -49,9 +50,12 @@ class CandidateGenerator:
         self.max_len = max_len
         self.max_pairs = max_pairs_per_window
         self.quarantine = Quarantine(errors_dir, stage="candidates")
+        self.emit_masked = emit_masked
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cols: Dict[str, List] = {k: [] for k in CANDIDATES.names}
+        import numpy as np
+
+        chunks: List[Dict[str, "np.ndarray"]] = []
         for doc_id, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
@@ -63,31 +67,44 @@ class CandidateGenerator:
                 split = split_points(text, starts, max_len=self.max_len)
                 windows = char_windows(text, split, ends)
                 doc_cols = window_candidates(
-                    text, windows, mentions, max_pairs_per_window=self.max_pairs
+                    text,
+                    windows,
+                    mentions,
+                    max_pairs_per_window=self.max_pairs,
+                    emit_masked=self.emit_masked,
                 )
                 n = len(doc_cols["cand_idx"])
                 if not n:
                     continue
-                cols["doc_id"].extend([doc_id] * n)
-                for k, v in doc_cols.items():
-                    cols[k].extend(v)
+                doc_cols["doc_id"] = np.full(n, doc_id, dtype=object)
+                chunks.append(doc_cols)
         self.quarantine.flush()
-        arrays = [pa.array(cols[f.name], f.type) for f in CANDIDATES]
+        if not chunks:
+            arrays = [pa.array([], f.type) for f in CANDIDATES]
+        else:
+            arrays = [
+                pa.array(
+                    np.concatenate([c[f.name] for c in chunks]), f.type
+                )
+                for f in CANDIDATES
+            ]
         return pa.Table.from_arrays(arrays, schema=CANDIDATES)
 
 
-_DEFAULT_GENERATOR: Optional[CandidateGenerator] = None
+_DEFAULT_GENERATORS: Dict[bool, CandidateGenerator] = {}
 
 
-def _default_generator_batch(batch: pa.Table) -> pa.Table:
+def _default_generator_batch(batch: pa.Table, emit_masked: bool = True) -> pa.Table:
     # Stateless-task path: the compiled-regex state is cheap (<1 ms) and
     # cached once per worker *process* (module global), giving actor-style
     # amortization without reserving CPUs — elastic tasks can't starve the
     # shuffle stages. Heavy model detectors use the actor-pool path below.
-    global _DEFAULT_GENERATOR
-    if _DEFAULT_GENERATOR is None:
-        _DEFAULT_GENERATOR = CandidateGenerator()
-    return _DEFAULT_GENERATOR(batch)
+    gen = _DEFAULT_GENERATORS.get(emit_masked)
+    if gen is None:
+        gen = _DEFAULT_GENERATORS.setdefault(
+            emit_masked, CandidateGenerator(emit_masked=emit_masked)
+        )
+    return gen(batch)
 
 
 _QUARANTINED_GENERATORS: Dict[str, "CandidateGenerator"] = {}
@@ -108,6 +125,7 @@ def generate(
     concurrency: Optional[int] = None,
     batch_size: int = 64,
     errors_dir: Optional[str] = None,
+    emit_masked: bool = True,
 ) -> "ray.data.Dataset":
     """documents Dataset -> candidates Dataset (CANDIDATES schema).
 
@@ -117,6 +135,9 @@ def generate(
     reserves every CPU deadlocks the pipeline). ``errors_dir`` enables the
     poison-document quarantine (state/quarantine.py): failing documents are
     skipped and recorded as error rows instead of killing the job.
+    ``emit_masked=False`` nulls ``masked_text`` on surrogate-fast-path rows
+    (see functions/pairs.window_candidates) — only valid when the consumer
+    is the surrogate scorer; exports and model scorers need the default.
     """
     if patterns is None and concurrency is None:
         if errors_dir is not None:
@@ -128,12 +149,17 @@ def generate(
             )
         return documents.map_batches(
             _default_generator_batch,
+            fn_kwargs={"emit_masked": emit_masked},
             batch_format="pyarrow",
             batch_size=batch_size,
         )
     return documents.map_batches(
         CandidateGenerator,
-        fn_constructor_kwargs={"patterns": patterns, "errors_dir": errors_dir},
+        fn_constructor_kwargs={
+            "patterns": patterns,
+            "errors_dir": errors_dir,
+            "emit_masked": emit_masked,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency or 4,

@@ -42,29 +42,46 @@ class RelationScorer:
         self._surrogate_fast = scorer_factory is None
 
     def _surrogate_preds(self, batch: pa.Table) -> np.ndarray:
-        """Surrogate scoring as pure Arrow kernels over the precomputed
-        inter-marker substring (functions/pairs.py fast path); null
-        ``gap_text`` rows take the exact regex scorer. Provably identical
-        output to running ``SurrogateScorer`` on every masked text."""
-        gap = batch["gap_text"]
-        if isinstance(gap, pa.ChunkedArray):
-            gap = gap.combine_chunks()
-        filled = pc.fill_null(gap, "")
-        ok = pc.and_(
-            pc.less_equal(pc.utf8_length(filled), self.scorer.max_gap),
-            pc.invert(pc.match_substring(filled, "  ")),
-        )
-        preds = np.asarray(
-            pc.and_(ok, pc.is_valid(gap)).to_numpy(zero_copy_only=False)
-        ).astype(np.int8)
-        fallback = np.nonzero(np.asarray(pc.is_null(gap)))[0]
+        """Surrogate scoring over the precomputed fast-path columns.
+
+        Preferred: ``gap_len``/``gap_clean`` ints (functions/pairs.py) —
+        a pure numpy compare, zero string traffic. Legacy candidates
+        without those columns score the ``gap_text`` substring with Arrow
+        kernels. Fallback rows (no fast-path proof: overlap or stray
+        marker) take the exact regex scorer on ``masked_text``. Provably
+        identical output to running ``SurrogateScorer`` on every masked
+        text."""
+        if "gap_len" in batch.column_names:
+            gl = batch["gap_len"].combine_chunks().to_numpy(zero_copy_only=False)
+            clean = (
+                batch["gap_clean"].combine_chunks().to_numpy(zero_copy_only=False)
+            )
+            preds = ((gl >= 0) & (gl <= self.scorer.max_gap) & clean).astype(
+                np.int8
+            )
+            fallback = np.nonzero(gl < 0)[0]
+        else:
+            gap = batch["gap_text"]
+            if isinstance(gap, pa.ChunkedArray):
+                gap = gap.combine_chunks()
+            filled = pc.fill_null(gap, "")
+            ok = pc.and_(
+                pc.less_equal(pc.utf8_length(filled), self.scorer.max_gap),
+                pc.invert(pc.match_substring(filled, "  ")),
+            )
+            preds = np.asarray(
+                pc.and_(ok, pc.is_valid(gap)).to_numpy(zero_copy_only=False)
+            ).astype(np.int8)
+            fallback = np.nonzero(np.asarray(pc.is_null(gap)))[0]
         if len(fallback):
             texts = batch["masked_text"].take(pa.array(fallback)).to_pylist()
             preds[fallback] = self.scorer(texts)
         return preds
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self._surrogate_fast and "gap_text" in batch.column_names:
+        if self._surrogate_fast and (
+            "gap_len" in batch.column_names or "gap_text" in batch.column_names
+        ):
             preds = self._surrogate_preds(batch)
         else:
             preds = self.scorer(batch["masked_text"].to_pylist())
