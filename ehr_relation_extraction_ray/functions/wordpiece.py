@@ -98,6 +98,31 @@ class ToyWordpieceTokenizer:
         ]
 
 
+def model_token_spans(
+    text: str, tokenizer: Callable[[str], List[str]], is_bert: bool = True
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) char spans of MODEL-tokenizer tokens (end exclusive).
+
+    The reference windows documents on the model tokenizer, not on
+    whitespace words (``predict.py:31-33``, ``generate_data.py:74-86``):
+    split points are computed over the tokens the model will actually see,
+    so no window exceeds the model's sequence budget after wordpiece
+    explosion. These spans slot directly into ``chunking.split_points`` /
+    ``char_windows`` in place of ``tokenize.token_spans`` — the chunker is
+    span-driven and tokenizer-agnostic (SURVEY.md M3).
+
+    ``is_bert=False`` selects the scispacy walk quirks of
+    :func:`compute_token_maps` (no ``##`` skip, double-space drop).
+    """
+    tokens = tokenizer(text)
+    if not tokens:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty
+    _, tok2char = compute_token_maps(text, tokens, is_bert=is_bert)
+    arr = np.asarray(tok2char, dtype=np.int64)
+    return np.ascontiguousarray(arr[:, 0]), np.ascontiguousarray(arr[:, 1])
+
+
 def compute_token_maps(
     text: str, tokens: List[str], is_bert: bool = True
 ) -> Tuple[List[int], List[Tuple[int, int]]]:

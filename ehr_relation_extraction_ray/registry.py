@@ -52,6 +52,34 @@ def names(kind: str):
     return sorted(_REGISTRIES[kind])
 
 
+_SCISPACY_NLP = None
+
+
+def _scispacy_tokenizer(text: str):
+    """scispacy tokenizer slot (SURVEY.md M3/A5; reference
+    generate_data.py:140-181 tokenizes with ``en_core_sci_sm``'s pipeline).
+
+    Lazily loads the spacy model once per process on first call; pair with
+    ``is_bert_tokenizer=False`` (the scispacy double-space quirk of
+    ehr.py:220-223). Import-gated: scispacy/spacy are not shipped in this
+    environment, so absent installs raise a clear NotImplementedError
+    instead of failing deep inside a Ray task.
+    """
+    global _SCISPACY_NLP
+    if _SCISPACY_NLP is None:
+        try:
+            import spacy
+
+            _SCISPACY_NLP = spacy.load("en_core_sci_sm")
+        except Exception as exc:  # noqa: BLE001 — ImportError or missing model
+            raise NotImplementedError(
+                "tokenizer='scispacy' needs scispacy + the en_core_sci_sm "
+                "model installed (reference generate_data.py:140-181); "
+                "neither ships in this environment"
+            ) from exc
+    return [t.text for t in _SCISPACY_NLP(text)]
+
+
 def _register_defaults() -> None:
     from .functions.rescore import SurrogateScorer
     from .functions.tokenize import tokens_of
@@ -62,6 +90,7 @@ def _register_defaults() -> None:
 
     _REGISTRIES["tokenizer"].setdefault("default", tokens_of)
     _REGISTRIES["tokenizer"].setdefault("wordpiece-toy", ToyWordpieceTokenizer())
+    _REGISTRIES["tokenizer"].setdefault("scispacy", _scispacy_tokenizer)
     _REGISTRIES["detector"].setdefault("dictionary", DictionaryDetector)
     # model-backed NER cascade (M6-M8 plumbing); pair with HFTokenClassifier
     # for real BioBERT weights or a surrogate logits_fn in tests

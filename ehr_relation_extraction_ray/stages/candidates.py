@@ -43,6 +43,8 @@ class CandidateGenerator:
         max_pairs_per_window: int = 10_000,
         errors_dir: Optional[str] = None,
         emit_masked: bool = True,
+        tokenizer: Optional[str] = None,
+        is_bert_tokenizer: bool = True,
     ):
         from ..state.quarantine import Quarantine
 
@@ -51,6 +53,17 @@ class CandidateGenerator:
         self.max_pairs = max_pairs_per_window
         self.quarantine = Quarantine(errors_dir, stage="candidates")
         self.emit_masked = emit_masked
+        # model-tokenizer windowing (SURVEY.md M3): the reference computes
+        # split points over the tokens the MODEL sees (predict.py:31-33,
+        # generate_data.py:74-86), not whitespace words. A registry name
+        # selects the tokenizer; the chunker itself is span-driven.
+        # Resolved once per actor/process — never per batch.
+        self.tokenizer = None
+        self.is_bert_tokenizer = is_bert_tokenizer
+        if tokenizer is not None and tokenizer != "default":
+            from ..registry import get
+
+            self.tokenizer = get("tokenizer", tokenizer)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -63,7 +76,14 @@ class CandidateGenerator:
                 mentions = detect_mentions(text, find_mentions(text, self.compiled))
                 if not mentions:
                     continue
-                starts, ends = token_spans(text)
+                if self.tokenizer is not None:
+                    from ..functions.wordpiece import model_token_spans
+
+                    starts, ends = model_token_spans(
+                        text, self.tokenizer, self.is_bert_tokenizer
+                    )
+                else:
+                    starts, ends = token_spans(text)
                 split = split_points(text, starts, max_len=self.max_len)
                 windows = char_windows(text, split, ends)
                 doc_cols = window_candidates(
@@ -126,6 +146,8 @@ def generate(
     batch_size: int = 64,
     errors_dir: Optional[str] = None,
     emit_masked: bool = True,
+    tokenizer: Optional[str] = None,
+    is_bert_tokenizer: bool = True,
 ) -> "ray.data.Dataset":
     """documents Dataset -> candidates Dataset (CANDIDATES schema).
 
@@ -139,7 +161,7 @@ def generate(
     (see functions/pairs.window_candidates) — only valid when the consumer
     is the surrogate scorer; exports and model scorers need the default.
     """
-    if patterns is None and concurrency is None:
+    if patterns is None and concurrency is None and tokenizer is None:
         if errors_dir is not None:
             return documents.map_batches(
                 _quarantined_generator_batch,
@@ -159,6 +181,8 @@ def generate(
             "patterns": patterns,
             "errors_dir": errors_dir,
             "emit_masked": emit_masked,
+            "tokenizer": tokenizer,
+            "is_bert_tokenizer": is_bert_tokenizer,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

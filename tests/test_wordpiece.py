@@ -208,3 +208,53 @@ def test_detect_wordpiece_stage_matches_serial(ray_session):
     want = pd.DataFrame(rows).sort_values(["doc_id", "start"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
     assert list(got.columns) == ["doc_id", "ent_id", "ent_type", "start", "end", "text"]
+
+
+def test_model_token_spans_reconstruct_text():
+    """model_token_spans spans must exactly cover each token's source chars
+    (M3: windowing on the model tokenizer, predict.py:31-33)."""
+    from ehr_relation_extraction_ray.functions.wordpiece import (
+        ToyWordpieceTokenizer,
+        model_token_spans,
+    )
+
+    tok = ToyWordpieceTokenizer(vocab=["aspirin"])
+    text = "patient took aspirin  today\nand felt fine ."
+    starts, ends = model_token_spans(text, tok)
+    pieces = tok(text)
+    assert len(starts) == len(pieces)
+    for p, s, e in zip(pieces, starts, ends):
+        assert text[s:e].lower() == p.removeprefix("##").lower()
+    # spans are non-overlapping and increasing
+    assert (starts[1:] >= ends[:-1]).all()
+
+
+def test_candidates_window_on_model_tokenizer(ray_session):
+    """CandidateGenerator(tokenizer=...) windows on model tokens: with a
+    wordpiece tokenizer every word explodes into >=1 pieces, so a small
+    max_len must split earlier than the whitespace path."""
+    import ray.data
+    from ehr_relation_extraction_ray.stages.candidates import CandidateGenerator
+    import pyarrow as pa
+
+    text = (
+        "patient took aspirin 100 mg daily for pain . "
+        "later stopped aspirin due to nausea symptoms today . "
+    ) * 4
+    batch = pa.table({"doc_id": ["d1"], "text": [text]})
+    ws = CandidateGenerator(max_len=24)(batch)
+    wp = CandidateGenerator(max_len=24, tokenizer="wordpiece-toy")(batch)
+    # both paths produce candidates; wordpiece path sees more tokens so it
+    # cuts more windows over the same text
+    assert ws.num_rows > 0 and wp.num_rows > 0
+    assert wp["win_idx"].to_pandas().max() > ws["win_idx"].to_pandas().max()
+    # schema identical (the tokenizer only moves window boundaries)
+    assert wp.schema.equals(ws.schema)
+
+
+def test_scispacy_slot_is_gated():
+    from ehr_relation_extraction_ray import registry
+
+    tok = registry.get("tokenizer", "scispacy")
+    with pytest.raises(NotImplementedError):
+        tok("some text")
