@@ -314,8 +314,20 @@ SELECT * FROM (
   FROM read_parquet('{mp}') WHERE kind = 'image'
 ) ORDER BY stage
 """,
-        # still rows-only (no oracle): kg_conll_export / kg_re_export
-        # (export-roundtrip digests over shard files) and
-        # kg_eval_invariance (P/R/F1 invariance harness) — their semantics
-        # are covered by unit/roundtrip tests in tests/.
+        # export roundtrips vs serial fixtures: the Ray query writes
+        # CoNLL / RE-TSV shards and reads them back, so the hash compare
+        # verifies projection + writer + reader against an independent
+        # serial recomputation of the same digests
+        "kg_conll_export": f"""
+SELECT label, n_tokens FROM read_parquet('{_fixture("kg_conll_export")}')
+ORDER BY label
+""",
+        "kg_re_export": f"""
+SELECT split, n_rows FROM read_parquet('{_fixture("kg_re_export")}')
+ORDER BY split
+""",
+        # still rows-only (no oracle): kg_eval_invariance (P/R/F1
+        # invariance harness — the checked property is that two pipeline
+        # configurations agree with EACH OTHER; there is no external
+        # value a SQL oracle could recompute) — covered by unit tests.
     }

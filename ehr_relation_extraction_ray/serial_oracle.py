@@ -185,6 +185,77 @@ def serial_triples_df(docs: Dict[str, str]) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=cols).sort_values(cols).reset_index(drop=True)
 
 
+def serial_conll_label_counts_df(docs: Dict[str, str]) -> pd.DataFrame:
+    """Per-IOB-label token counts over ALL documents — the serial mirror of
+    the kg_conll_export roundtrip digest (train + dev shards together cover
+    every document, so the split assignment cancels out of the counts).
+    IOB projection per get_labels (ehr.py:322-351): B-/I-<SHORT> over the
+    whitespace tokens covering each mention's chars, later mentions
+    overwriting earlier ones in detection (ent-id) order."""
+    from .schemas import ENT_LABEL_MAP
+
+    compiled = compile_patterns(fit_patterns(DEFAULT_LEXICON))
+    counts: Dict[str, int] = {}
+    for _doc_id, text in docs.items():
+        mentions = naive_dict_ner(text, compiled)
+        tokens, c2t, _ = naive_token_maps(text)
+        labels = ["O"] * len(tokens)
+        if tokens:
+            last = len(tokens) - 1
+            for _eid, ent_type, s, e, _surf in mentions:  # detection order
+                short = ENT_LABEL_MAP.get(ent_type, ent_type.upper()[:3])
+                t0 = c2t[s] if s < len(c2t) else last
+                c1 = max(e - 1, s)
+                t1 = c2t[c1] if c1 < len(c2t) else last
+                for idx in range(t0, t1 + 1):
+                    labels[idx] = ("B-" if idx == t0 else "I-") + short
+        for l in labels:
+            counts[l] = counts.get(l, 0) + 1
+    keys = sorted(counts)
+    return pd.DataFrame(
+        {"label": keys, "n_tokens": [counts[k] for k in keys]}
+    ).astype({"n_tokens": "int64"})
+
+
+def serial_re_split_counts_df(docs: Dict[str, str]) -> pd.DataFrame:
+    """Per-split RE TSV row counts — serial mirror of kg_re_export.
+
+    Candidate count per doc: drug x non-drug pairs inside each RE char
+    window passing the strict inner membership check (utils_re.py:420-421).
+    The train/dev assignment is the engine-DEFINED deterministic hash-mod
+    (pipelines/export.split_col) — the oracle reuses the same hash kernel
+    by definition (the reference's order-dependent list slice is not
+    reproducible under parallelism); everything counted around it is
+    independently recomputed."""
+    from .functions.textstats import content_hash_64
+
+    compiled = compile_patterns(fit_patterns(DEFAULT_LEXICON))
+    n = {"train": 0, "dev": 0}
+    total = 0
+    for doc_id, text in docs.items():
+        mentions = naive_dict_ner(text, compiled)
+        windows = naive_char_windows(text, max_len=128)
+        c = 0
+        for start, end in windows:
+            in_win = [
+                m for m in mentions if m[2] >= start and m[3] < end
+            ]
+            drugs = sum(1 for m in in_win if m[1].lower() == "drug")
+            others = len(in_win) - drugs
+            c += drugs * others
+        total += c
+        is_dev = int(content_hash_64([doc_id])[0] % np.uint64(10_000)) < 1_000
+        n["dev" if is_dev else "train"] += c
+    return pd.DataFrame(
+        [
+            {"split": "dev", "n_rows": n["dev"]},
+            {"split": "test", "n_rows": total},
+            {"split": "test_original", "n_rows": total},
+            {"split": "train", "n_rows": n["train"]},
+        ]
+    ).astype({"n_rows": "int64"})
+
+
 def serial_windows_df(docs: Dict[str, str], max_len: int = 126) -> pd.DataFrame:
     """Per-doc NER window counts (one window per consecutive split pair)."""
     out = []
@@ -489,6 +560,10 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_windows_df(_transcript_docs(sf_dir))
     if name == "kg_nodes":
         return serial_nodes_df(_transcript_docs(sf_dir))
+    if name == "kg_conll_export":
+        return serial_conll_label_counts_df(_transcript_docs(sf_dir))
+    if name == "kg_re_export":
+        return serial_re_split_counts_df(_transcript_docs(sf_dir))
     if name == "docs_quality":
         return serial_quality_df(*_documents(sf_dir))
     if name == "docs_simhash_pairs":
