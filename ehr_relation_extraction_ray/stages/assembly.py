@@ -50,10 +50,65 @@ def assemble_group(group: pa.Table) -> pa.Table:
     )
 
 
+def assemble_partition(part: pa.Table) -> pa.Table:
+    """All conversations of one hash partition -> document rows.
+
+    One Arrow sort + one run-walk per PARTITION (128 Python calls per
+    job), not one ``map_groups`` call per conversation (corpus-sized
+    micro-groups at scale — the same fix as the dedup/LSH stages).
+    Per-conversation output is identical to :func:`assemble_group`."""
+    if part.num_rows == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], f.type) for f in DOCUMENTS], schema=DOCUMENTS
+        )
+    if "_part" in part.column_names:
+        part = part.drop_columns(["_part"])
+    part = part.sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    conv = part["conv_id"].to_pylist()
+    texts = part["text"].to_pylist()
+    n = len(conv)
+    doc_ids, doc_texts, n_turns, turn_offsets = [], [], [], []
+    i = 0
+    while i < n:
+        j = i
+        while j < n and conv[j] == conv[i]:
+            j += 1
+        ts = ["" if t is None else t for t in texts[i:j]]
+        lens = np.fromiter((len(t) for t in ts), dtype=np.int64, count=j - i)
+        offs = np.zeros(j - i, dtype=np.int64)
+        if j - i > 1:
+            offs[1:] = np.cumsum(lens[:-1] + len(TURN_SEP))
+        doc_ids.append(conv[i])
+        doc_texts.append(TURN_SEP.join(ts))
+        n_turns.append(j - i)
+        turn_offsets.append(offs.tolist())
+        i = j
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "text": pa.array(doc_texts, pa.large_string()),
+            "n_turns": pa.array(n_turns, pa.int32()),
+            "turn_offsets": pa.array(turn_offsets, pa.list_(pa.int64())),
+        }
+    )
+
+
 def assemble(transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
-    """transcripts Dataset -> documents Dataset (DOCUMENTS schema)."""
-    return transcripts.groupby("conv_id").map_groups(
-        assemble_group, batch_format="pyarrow"
+    """transcripts Dataset -> documents Dataset (DOCUMENTS schema).
+
+    ONE ``sort(conv_id)`` range exchange (the pipeline's single required
+    shuffle) followed by a whole-block run-walk. ``batch_size=None`` hands
+    each sort partition to :func:`assemble_partition` intact, and Ray's
+    sort guarantees equal keys are never split across blocks (the same
+    invariant ``groupby().map_groups`` is built on — see
+    ray.data.grouped_data.GroupedData.map_groups) — so every output block
+    holds only COMPLETE conversations, the doc-complete-per-task property
+    the shuffle-free downstream distinct relies on
+    (stages/relations.distinct_triples)."""
+    return transcripts.sort("conv_id").map_batches(
+        assemble_partition, batch_format="pyarrow", batch_size=None
     )
 
 
