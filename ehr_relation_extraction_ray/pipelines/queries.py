@@ -76,12 +76,14 @@ def kg_mentions(sf_dir: str) -> pd.DataFrame:
         ment.map_batches(local_counts, batch_format="pyarrow")
         .groupby(["ent_type", "text"])
         .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # vocabulary-sized (~90 rows) — bounded by the lexicon
     )
     out = (
-        per_surface.groupby("ent_type")
-        .aggregate(Sum("n", alias_name="n_mentions"), Count(alias_name="n_surfaces"))
-        .to_pandas()
+        per_surface.groupby("ent_type", as_index=False)
+        .agg(n_mentions=("n", "sum"), n_surfaces=("n", "size"))
     )
+    # the per-type rollup of a lexicon-bounded table needs no second
+    # all-to-all exchange (each Ray groupby costs a full sort shuffle)
     return out.sort_values("ent_type").reset_index(drop=True)
 
 

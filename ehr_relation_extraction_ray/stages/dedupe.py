@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
 from ..functions.textstats import content_hash_64
 
@@ -718,11 +718,21 @@ def ngram_jaccard_pairs(
         )
 
     shingles = docs.map_batches(explode, batch_format="pyarrow").materialize()
-    sizes = dict(
-        shingles.groupby("doc_id")
-        .aggregate(Count(alias_name="n"))
+    # doc sizes: per-block combiner counts + driver-side sum — no shuffle.
+    # (A doc's shingles may straddle blocks after dynamic splitting, hence
+    # the final pandas sum; the collected table is one row per (block, doc),
+    # bounded by the per-doc-size dict this operator broadcasts anyway.)
+    sizes = (
+        shingles.map_batches(
+            lambda t: t.group_by("doc_id", use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["doc_id", "n"]),
+            batch_format="pyarrow",
+        )
         .to_pandas()
-        .itertuples(index=False, name=None)
+        .groupby("doc_id")["n"]
+        .sum()
+        .to_dict()
     )
     import ray as _ray
 
@@ -756,12 +766,27 @@ def ngram_jaccard_pairs(
             b_parts.append(mat[:, ju].ravel())
         if not a_parts:
             return pa.table(
-                {"doc_a": pa.array([], pa.string()), "doc_b": pa.array([], pa.string())}
+                {
+                    "doc_a": pa.array([], pa.string()),
+                    "doc_b": pa.array([], pa.string()),
+                    "i": pa.array([], pa.int64()),
+                }
             )
-        a = cats[np.concatenate(a_parts)]
-        b = cats[np.concatenate(b_parts)]
+        # pre-aggregate (combiner): count same-pair hits locally so the
+        # final groupby shuffles one row per distinct pair per partition,
+        # not one row per shared shingle
+        ac = np.concatenate(a_parts)
+        bc = np.concatenate(b_parts)
+        key = ac.astype(np.int64) * len(cats) + bc.astype(np.int64)
+        uk, cnt = np.unique(key, return_counts=True)
+        a = cats[(uk // len(cats)).astype(np.int64)]
+        b = cats[(uk % len(cats)).astype(np.int64)]
         return pa.table(
-            {"doc_a": pa.array(a, pa.string()), "doc_b": pa.array(b, pa.string())}
+            {
+                "doc_a": pa.array(a, pa.string()),
+                "doc_b": pa.array(b, pa.string()),
+                "i": pa.array(cnt.astype(np.int64)),
+            }
         )
 
     parted = shingles.map_batches(
@@ -778,7 +803,7 @@ def ngram_jaccard_pairs(
     pair_rows = parted.groupby("_part").map_groups(
         pairs_in_partition, batch_format="pyarrow"
     )
-    inter = pair_rows.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="i"))
+    inter = pair_rows.groupby(["doc_a", "doc_b"]).aggregate(Sum("i", alias_name="i"))
 
     def finish(batch: pa.Table) -> pa.Table:
         sz = _ray.get(sizes_ref)
