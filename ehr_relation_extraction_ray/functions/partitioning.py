@@ -1,0 +1,89 @@
+"""Partition-granular groupby: the repo-wide fix for per-key micro-groups.
+
+``ds.groupby(key).map_groups(fn)`` makes ONE Python UDF call per distinct
+key — at corpus scale (per-doc keys) that is millions of micro-calls, each
+paying slicing + batch-format conversion overhead (round-1 VERDICT; the
+dedup/LSH/assembly stages were fixed one by one in round 2).
+
+:func:`groupby_partition` runs the same computation at hash-PARTITION
+granularity: one UDF call per partition (``num_partitions`` total), with
+every row of a key guaranteed to be in exactly one partition. The UDF must
+be GROUP-CLOSED: applying it to a union of complete key groups must equal
+the concatenation of applying it per group. Any fn that is itself a keyed
+vectorized aggregation (pandas ``groupby(key).agg``, numpy run-walks over
+sorted keys) satisfies this; a fn that looks at cross-group state does not.
+
+The partition column is ``_part`` and is dropped before the UDF sees the
+batch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Union
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from .textstats import content_hash_64
+
+
+def add_hash_partition(
+    t: pa.Table, key_cols: Sequence[str], num_partitions: int
+) -> pa.Table:
+    """Append an int32 ``_part`` column = hash(key columns) % num_partitions."""
+    if len(key_cols) == 1:
+        keys = [str(x) for x in t[key_cols[0]].to_pylist()]
+    else:
+        cols = [t[c].to_pylist() for c in key_cols]
+        keys = ["\x1f".join(str(x) for x in row) for row in zip(*cols)]
+    h = content_hash_64(keys)
+    part = (h % np.uint64(num_partitions)).astype(np.int32)
+    return t.append_column("_part", pa.array(part))
+
+
+def groupby_partition(
+    ds: "ray.data.Dataset",
+    key_cols: Union[str, Sequence[str]],
+    fn: Callable,
+    num_partitions: int = 64,
+    batch_format: str = "pyarrow",
+    schema: "pa.Schema | None" = None,
+) -> "ray.data.Dataset":
+    """``groupby(key).map_groups(fn)`` with one UDF call per hash partition.
+
+    ``fn`` receives a batch (in ``batch_format``) holding the union of all
+    complete key groups of one partition, WITHOUT the ``_part`` column, and
+    must be group-closed (see module docstring). Pass ``schema`` whenever
+    ``fn`` can return ZERO rows for a non-empty partition — an empty
+    pandas frame loses column types on conversion (object -> null), and
+    blocks with divergent schemas poison downstream concat (the round-1
+    ``kg_nodes`` failure mode).
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    key_cols = list(key_cols)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return add_hash_partition(t, key_cols, num_partitions)
+
+    def run(batch: pa.Table):
+        batch = batch.drop_columns(["_part"])
+        if batch_format == "pandas":
+            out = fn(batch.to_pandas())
+            if not isinstance(out, pa.Table):
+                out = pa.Table.from_pandas(
+                    out, schema=schema, preserve_index=False
+                )
+        else:
+            out = fn(batch)
+        if schema is not None and out.schema != schema:
+            out = out.cast(schema)
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(run, batch_format="pyarrow")
+    )

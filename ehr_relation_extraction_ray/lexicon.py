@@ -175,12 +175,17 @@ def fit_from_mentions(
         )
         return t.group_by(["ent_type", "surface"], use_threads=False).aggregate([])
 
-    distinct = (
-        mentions.map_batches(local_distinct, batch_format="pyarrow")
-        .groupby(["ent_type", "surface"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .to_pandas()
-    )
+    from .functions.partitioning import groupby_partition
+
+    distinct = groupby_partition(
+        mentions.map_batches(local_distinct, batch_format="pyarrow"),
+        ["ent_type", "surface"],
+        # partition-granular distinct: one vectorized call per hash
+        # partition, not one map_groups call per distinct surface
+        lambda g: g.group_by(
+            ["ent_type", "surface"], use_threads=False
+        ).aggregate([]),
+    ).to_pandas()
     by_type: Dict[str, List[str]] = {}
     for r in distinct.itertuples(index=False):
         by_type.setdefault(r.ent_type, []).append(r.surface)

@@ -161,21 +161,30 @@ def sessionize_events(sf_dir: str) -> pd.DataFrame:
     (ray_guide 'Streaming-shaped workloads')."""
     ds = _pq(sf_dir, "events", columns=["user_id", "ts", "event_id"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff().dt.total_seconds().fillna(0.0)
-        new_session = (gaps > SESSION_GAP_MIN * 60).cumsum()
-        sizes = new_session.value_counts()
-        return pd.DataFrame(
+    def sessions_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # all users of one hash partition, fully vectorized (per-user diff
+        # via pandas groupby) — one Ray call per partition, not per user
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        gaps = g.groupby("user_id")["ts"].diff().dt.total_seconds().fillna(0.0)
+        new_session = (gaps > SESSION_GAP_MIN * 60).groupby(
+            g["user_id"]
+        ).cumsum()
+        sizes = g.groupby([g["user_id"], new_session]).size()
+        agg = pd.DataFrame(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_sessions": [int(new_session.nunique())],
-                "n_events": [int(len(g))],
-                "max_session_events": [int(sizes.max())],
+                "n_sessions": new_session.groupby(g["user_id"]).nunique(),
+                "n_events": g.groupby("user_id").size(),
+                "max_session_events": sizes.groupby(level=0).max(),
             }
+        ).reset_index(names="user_id")
+        return agg.astype(
+            {"user_id": "int64", "n_sessions": "int64",
+             "n_events": "int64", "max_session_events": "int64"}
         )
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    from ehr_relation_extraction_ray.functions.partitioning import groupby_partition
+
+    out = groupby_partition(ds, "user_id", sessions_partition, batch_format="pandas")
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 

@@ -143,35 +143,56 @@ def attach_mentions(
         ["doc_id", "ent_id", "ent_type", "start", "end"]
     ).map_batches(tag_mentions, batch_format="pyarrow")
 
-    def merge(group: pa.Table) -> pa.Table:
+    def merge_partition(group: pa.Table) -> pa.Table:
+        """All docs of one hash partition at once (group-closed: every
+        step keys on doc_id) — one Python call per partition, not one
+        per document. Mentions without a document row are dropped (same
+        as the per-group version)."""
+        import pandas as pd
+
         text_rows = group.filter(pc.is_valid(group["text"]))
         if text_rows.num_rows == 0:
-            return _ATTACHED.empty_table()  # mentions without a document
+            return _ATTACHED.empty_table()
         ments = group.filter(pc.is_valid(group["ent_type"]))
-        order = (
-            pc.sort_indices(ments["ent_ord"]) if ments.num_rows else None
+        td = text_rows.select(["doc_id", "text"]).to_pandas()
+        md = (
+            ments.select(["doc_id", "ent_type", "start", "end", "ent_ord"])
+            .to_pandas()
+            .sort_values(["doc_id", "ent_ord"], kind="stable")
         )
+        agg = (
+            md.groupby("doc_id")
+            .agg(
+                ment_types=("ent_type", list),
+                ment_starts=("start", list),
+                ment_ends=("end", list),
+            )
+            .reset_index()
+        )
+        out = td.merge(agg, on="doc_id", how="left")
+        empty = out["ment_types"].isna()
+        for c in ("ment_types", "ment_starts", "ment_ends"):
+            out.loc[empty, c] = out.loc[empty, c].apply(lambda _: [])
         return pa.table(
             {
-                "doc_id": text_rows["doc_id"][:1],
-                "text": text_rows["text"][:1],
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "text": pa.array(out["text"], pa.large_string()),
                 "ment_types": pa.array(
-                    [ments["ent_type"].take(order).to_pylist() if order is not None else []],
-                    pa.list_(pa.string()),
+                    out["ment_types"].tolist(), pa.list_(pa.string())
                 ),
                 "ment_starts": pa.array(
-                    [ments["start"].take(order).to_pylist() if order is not None else []],
-                    pa.list_(pa.int64()),
+                    out["ment_starts"].tolist(), pa.list_(pa.int64())
                 ),
                 "ment_ends": pa.array(
-                    [ments["end"].take(order).to_pylist() if order is not None else []],
-                    pa.list_(pa.int64()),
+                    out["ment_ends"].tolist(), pa.list_(pa.int64())
                 ),
             }
         )
 
-    return docs_side.union(ment_side).groupby("doc_id").map_groups(
-        merge, batch_format="pyarrow"
+    from ..functions.partitioning import groupby_partition
+
+    return groupby_partition(
+        docs_side.union(ment_side), "doc_id", merge_partition
     )
 
 

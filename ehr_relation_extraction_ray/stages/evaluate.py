@@ -30,6 +30,21 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Max, Sum
 
+from ..functions.partitioning import groupby_partition
+
+
+def _per_doc(fn):
+    """Lift a one-document UDF to a partition UDF: apply per doc_id group
+    inside the partition and concat — one Ray call per hash partition, not
+    one per document (functions/partitioning.py). The matcher itself stays
+    per-doc (the n2c2 pare-down is inherently sequential within a doc)."""
+
+    def run(part: pd.DataFrame) -> pd.DataFrame:
+        parts = [fn(sub) for _, sub in part.groupby("doc_id", sort=False)]
+        return pd.concat(parts, ignore_index=True)
+
+    return run
+
 
 def _prf(tp: float, fp: float, fn: float) -> Dict[str, float]:
     p = tp / (tp + fp) if tp + fp else 0.0
@@ -195,8 +210,11 @@ def span_prf_detailed(
     tagged = system.map_batches(tag("sys"), batch_format="pyarrow").union(
         gold.map_batches(tag("gold"), batch_format="pyarrow")
     )
-    per_cell = tagged.groupby("doc_id").map_groups(
-        lambda g: _detailed_group(g, mode), batch_format="pandas"
+    per_cell = groupby_partition(
+        tagged,
+        "doc_id",
+        _per_doc(lambda g: _detailed_group(g, mode)),
+        batch_format="pandas",
     )
     df = per_cell.to_pandas()
     rows = []
@@ -265,31 +283,52 @@ def relations_with_spans(
             }
         )
 
-    def join_group(group: pd.DataFrame) -> pd.DataFrame:
-        ments = group[group["ent_id"].notna()]
-        lut = {
-            r.ent_id: (r.ent_type, int(r.start), int(r.end))
-            for r in ments.itertuples()
-        }
-        out = []
-        for r in group[group["rel_id"].notna()].itertuples():
-            a1 = lut.get(r.subj_id)
-            a2 = lut.get(r.obj_id)
-            if a1 is None or a2 is None:
-                continue  # dangling arg: mention not present on this side
-            out.append(
-                {
-                    "doc_id": r.doc_id, "rel_id": r.rel_id, "rel_type": r.rel_type,
-                    "a1_type": a1[0], "a1_start": a1[1], "a1_end": a1[2],
-                    "a2_type": a2[0], "a2_start": a2[1], "a2_end": a2[2],
-                }
-            )
-        return pd.DataFrame(out, columns=REL_EVAL_COLS)
+    def join_partition(group: pd.DataFrame) -> pd.DataFrame:
+        # group-closed vectorized span attach: two pandas merges keyed by
+        # (doc_id, ent_id) — one Ray call per hash partition, dangling
+        # args dropped by the inner joins (same semantics as the per-doc
+        # dict lookup this replaces; duplicate ent_ids keep the last row,
+        # matching the dict's last-write-wins)
+        ments = (
+            group[group["ent_id"].notna()][
+                ["doc_id", "ent_id", "ent_type", "start", "end"]
+            ]
+            .drop_duplicates(subset=["doc_id", "ent_id"], keep="last")
+            .astype({"start": "int64", "end": "int64"})
+        )
+        rels = group[group["rel_id"].notna()][
+            ["doc_id", "rel_id", "rel_type", "subj_id", "obj_id"]
+        ]
+        m1 = ments.rename(
+            columns={"ent_id": "subj_id", "ent_type": "a1_type",
+                     "start": "a1_start", "end": "a1_end"}
+        )
+        m2 = ments.rename(
+            columns={"ent_id": "obj_id", "ent_type": "a2_type",
+                     "start": "a2_start", "end": "a2_end"}
+        )
+        out = rels.merge(m1, on=["doc_id", "subj_id"], how="inner").merge(
+            m2, on=["doc_id", "obj_id"], how="inner"
+        )
+        return out[REL_EVAL_COLS]
 
     tagged = edges.map_batches(tag_edges, batch_format="pyarrow").union(
         mentions.map_batches(tag_mentions, batch_format="pyarrow")
     )
-    return tagged.groupby("doc_id").map_groups(join_group, batch_format="pandas")
+    rel_schema = pa.schema(
+        [
+            ("doc_id", pa.string()), ("rel_id", pa.string()),
+            ("rel_type", pa.string()),
+            ("a1_type", pa.string()), ("a1_start", pa.int64()),
+            ("a1_end", pa.int64()),
+            ("a2_type", pa.string()), ("a2_start", pa.int64()),
+            ("a2_end", pa.int64()),
+        ]
+    )
+    return groupby_partition(
+        tagged, "doc_id", join_partition,
+        batch_format="pandas", schema=rel_schema,
+    )
 
 
 def _rel_equals(mode: str, symmetric: bool):
@@ -352,8 +391,11 @@ def relation_prf_detailed(
     tagged = system.map_batches(tag("sys"), batch_format="pyarrow").union(
         gold.map_batches(tag("gold"), batch_format="pyarrow")
     )
-    per_cell = tagged.groupby("doc_id").map_groups(
-        lambda g: _rel_group(g, mode, symmetric), batch_format="pandas"
+    per_cell = groupby_partition(
+        tagged,
+        "doc_id",
+        _per_doc(lambda g: _rel_group(g, mode, symmetric)),
+        batch_format="pandas",
     )
     df = per_cell.to_pandas()
     rows = []
@@ -399,8 +441,11 @@ def span_prf(
     tagged = system.map_batches(tag("sys"), batch_format="pyarrow").union(
         gold.map_batches(tag("gold"), batch_format="pyarrow")
     )
-    per_doc = tagged.groupby("doc_id").map_groups(
-        lambda g: _span_counts_group(g, strict), batch_format="pandas"
+    per_doc = groupby_partition(
+        tagged,
+        "doc_id",
+        _per_doc(lambda g: _span_counts_group(g, strict)),
+        batch_format="pandas",
     )
     df = per_doc.to_pandas()
     micro = _prf(df["tp"].sum(), df["fp"].sum(), df["fn"].sum())

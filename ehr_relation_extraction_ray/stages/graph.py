@@ -16,6 +16,8 @@ import pyarrow as pa
 
 import ray.data
 
+from ..functions.partitioning import groupby_partition
+
 
 def wide_relation_table(triples: "ray.data.Dataset") -> "ray.data.Dataset":
     """TRIPLES Dataset -> (doc_id, subj_id, subj, pred, args) rows.
@@ -40,7 +42,9 @@ def wide_relation_table(triples: "ray.data.Dataset") -> "ray.data.Dataset":
         out["n_args"] = out["n_args"].astype("int64")
         return out
 
-    return triples.groupby("doc_id").map_groups(collect, batch_format="pandas")
+    # group-closed (every agg keys on doc_id) -> one call per hash
+    # partition, not one per document (functions/partitioning.py)
+    return groupby_partition(triples, "doc_id", collect, batch_format="pandas")
 
 
 def per_drug_graph(triples: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -71,7 +75,7 @@ def per_drug_graph(triples: "ray.data.Dataset") -> "ray.data.Dataset":
         out["n_edges"] = out["n_edges"].astype("int64")
         return out[["doc_id", "subj_id", "subj", "n_nodes", "n_edges", "edges"]]
 
-    return triples.groupby("doc_id").map_groups(collect, batch_format="pandas")
+    return groupby_partition(triples, "doc_id", collect, batch_format="pandas")
 
 
 # -- driver-side renderers (debug sinks, not part of the data plane) --------

@@ -318,18 +318,53 @@ def cosine_dup_pairs_lsh(
     """
     sigs = srp_signatures(vectors, nbits, bands, seed, id_col, vec_col)
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(np.asarray(group[id_col]))
-        iu, ju = np.triu_indices(len(ids), k=1)
+    def bucket_pairs_partition(part: pa.Table) -> pa.Table:
+        """Pairs for every (band, bucket) of one hash partition — one
+        Python call per partition, not one per distinct bucket (corpus x
+        bands micro-groups at scale). Buckets are runs of the lexsorted
+        (band, bucket) columns."""
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        if part.num_rows == 0:
+            return empty
+        band = np.asarray(part["band"])
+        bucket = np.asarray(part["bucket"])
+        ids = np.asarray(part[id_col])
+        order = np.lexsort((ids, bucket, band))
+        band, bucket, ids = band[order], bucket[order], ids[order]
+        change = np.flatnonzero(
+            (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])
+        ) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(band)]))
+        a_parts, b_parts = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            uids = ids[s:e]
+            uids = uids[np.concatenate(([True], uids[1:] != uids[:-1]))]
+            if len(uids) < 2:
+                continue
+            iu, ju = np.triu_indices(len(uids), k=1)
+            a_parts.append(uids[iu])
+            b_parts.append(uids[ju])
+        if not a_parts:
+            return empty
         return pa.table(
-            {"id_a": pa.array(ids[iu], pa.int64()), "id_b": pa.array(ids[ju], pa.int64())}
+            {
+                "id_a": pa.array(np.concatenate(a_parts), pa.int64()),
+                "id_b": pa.array(np.concatenate(b_parts), pa.int64()),
+            }
         )
 
     # no candidate-distinct shuffle: the verify join dedups membership rows
     # inside each partition (duplicates from multiple agreeing bands are
     # identical rows), saving one all-to-all exchange
-    cand = sigs.groupby(["band", "bucket"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    from ..functions.partitioning import groupby_partition
+
+    cand = groupby_partition(
+        sigs, ["band", "bucket"], bucket_pairs_partition
     )
 
     # verify via a co-group join: membership rows (vec_id, pair side) union
