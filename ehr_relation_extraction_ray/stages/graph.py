@@ -30,21 +30,28 @@ def wide_relation_table(triples: "ray.data.Dataset") -> "ray.data.Dataset":
     layout, and SQL-expressible for the oracle).
     """
 
-    def collect(doc_group: pd.DataFrame) -> pd.DataFrame:
-        # one group per doc_id (bounded); the inner grouping is a single
-        # vectorized pandas groupby-agg, not a Python loop per key.
-        g = doc_group.drop_duplicates(
-            subset=["doc_id", "subj_id", "subj", "pred", "obj"]
-        ).sort_values("obj")
-        out = g.groupby(
-            ["doc_id", "subj_id", "subj", "pred"], as_index=False, sort=True
-        ).agg(args=("obj", "\n".join), n_args=("obj", "size"))
-        out["n_args"] = out["n_args"].astype("int64")
-        return out
-
     # group-closed (every agg keys on doc_id) -> one call per hash
     # partition, not one per document (functions/partitioning.py)
-    return groupby_partition(triples, "doc_id", collect, batch_format="pandas")
+    return groupby_partition(
+        triples, "doc_id", wide_table_rows, batch_format="pandas"
+    )
+
+
+def wide_table_rows(triples: "pd.DataFrame | pa.Table") -> pd.DataFrame:
+    """The wide-table projection itself, on a plain in-memory batch —
+    shared by the Dataset operator above (per partition) and the
+    single-document serving path (pipelines/serve.py), so the two cannot
+    diverge. Vectorized pandas groupby-agg, no Python loop per key."""
+    if isinstance(triples, pa.Table):
+        triples = triples.to_pandas()
+    g = triples.drop_duplicates(
+        subset=["doc_id", "subj_id", "subj", "pred", "obj"]
+    ).sort_values("obj")
+    out = g.groupby(
+        ["doc_id", "subj_id", "subj", "pred"], as_index=False, sort=True
+    ).agg(args=("obj", "\n".join), n_args=("obj", "size"))
+    out["n_args"] = out["n_args"].astype("int64")
+    return out
 
 
 def per_drug_graph(triples: "ray.data.Dataset") -> "ray.data.Dataset":
