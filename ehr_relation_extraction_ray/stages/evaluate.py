@@ -53,6 +53,77 @@ def _prf(tp: float, fp: float, fn: float) -> Dict[str, float]:
     return {"precision": p, "recall": r, "f1": f1}
 
 
+
+def _prf_batch(t: pa.Table) -> pa.Table:
+    """Vectorized _prf over (tp, fp, fn) rows."""
+    tp = np.asarray(t["tp"], dtype=np.float64)
+    fp = np.asarray(t["fp"], dtype=np.float64)
+    fn = np.asarray(t["fn"], dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        p = np.where(tp + fp > 0, tp / np.maximum(tp + fp, 1e-300), 0.0)
+        r = np.where(tp + fn > 0, tp / np.maximum(tp + fn, 1e-300), 0.0)
+        f1 = np.where(p + r > 0, 2 * p * r / np.maximum(p + r, 1e-300), 0.0)
+    return pa.table(
+        {
+            "precision": pa.array(p),
+            "recall": pa.array(r),
+            "f1": pa.array(f1),
+        }
+    )
+
+
+def _reduce_prf_rows(per_cell: "ray.data.Dataset", type_col: str) -> pd.DataFrame:
+    """Distributed final reduction over per-(doc, type) counter cells.
+
+    Per-type and micro sums come from one ``groupby(type_col)`` (result is
+    n_types rows — tiny); the macro average needs per-DOC P/R/F1, so the
+    per-doc sums, the P/R/F1 kernel, and the mean all run in Ray — the
+    n_docs-sized counter table never lands on the driver (at corpus scale
+    it is n_docs x n_types rows)."""
+    from ray.data.aggregate import Mean
+
+    by_type = (
+        per_cell.groupby(type_col)
+        .aggregate(
+            Sum("tp", alias_name="tp"),
+            Sum("fp", alias_name="fp"),
+            Sum("fn", alias_name="fn"),
+        )
+        .to_pandas()
+        .sort_values(type_col)
+    )
+    rows = []
+    for r in by_type.itertuples():
+        rows.append({"scope": getattr(r, type_col), **_prf(r.tp, r.fp, r.fn)})
+    rows.append(
+        {
+            "scope": "micro",
+            **_prf(
+                by_type.tp.sum(), by_type.fp.sum(), by_type.fn.sum()
+            ),
+        }
+    )
+    means = (
+        per_cell.groupby("doc_id")
+        .aggregate(
+            Sum("tp", alias_name="tp"),
+            Sum("fp", alias_name="fp"),
+            Sum("fn", alias_name="fn"),
+        )
+        .map_batches(_prf_batch, batch_format="pyarrow")
+        .aggregate(Mean("precision"), Mean("recall"), Mean("f1"))
+    )
+    rows.append(
+        {
+            "scope": "macro",
+            "precision": float(means["mean(precision)"] or 0.0),
+            "recall": float(means["mean(recall)"] or 0.0),
+            "f1": float(means["mean(f1)"] or 0.0),
+        }
+    )
+    return pd.DataFrame(rows, columns=["scope", "precision", "recall", "f1"])
+
+
 def triple_set_prf(
     system: "ray.data.Dataset", gold: "ray.data.Dataset"
 ) -> Dict[str, float]:
@@ -216,26 +287,7 @@ def span_prf_detailed(
         _per_doc(lambda g: _detailed_group(g, mode)),
         batch_format="pandas",
     )
-    df = per_cell.to_pandas()
-    rows = []
-    for ent_type, sub in sorted(df.groupby("ent_type"), key=lambda kv: kv[0]):
-        rows.append(
-            {"scope": ent_type, **_prf(sub.tp.sum(), sub.fp.sum(), sub.fn.sum())}
-        )
-    rows.append(
-        {"scope": "micro", **_prf(df.tp.sum(), df.fp.sum(), df.fn.sum())}
-    )
-    by_doc = df.groupby("doc_id")[["tp", "fp", "fn"]].sum()
-    per_doc = [_prf(r.tp, r.fp, r.fn) for r in by_doc.itertuples()]
-    rows.append(
-        {
-            "scope": "macro",
-            "precision": float(np.mean([d["precision"] for d in per_doc])) if per_doc else 0.0,
-            "recall": float(np.mean([d["recall"] for d in per_doc])) if per_doc else 0.0,
-            "f1": float(np.mean([d["f1"] for d in per_doc])) if per_doc else 0.0,
-        }
-    )
-    return pd.DataFrame(rows, columns=["scope", "precision", "recall", "f1"])
+    return _reduce_prf_rows(per_cell, "ent_type")
 
 
 REL_EVAL_COLS = [
@@ -397,24 +449,7 @@ def relation_prf_detailed(
         _per_doc(lambda g: _rel_group(g, mode, symmetric)),
         batch_format="pandas",
     )
-    df = per_cell.to_pandas()
-    rows = []
-    for rel_type, sub in sorted(df.groupby("rel_type"), key=lambda kv: kv[0]):
-        rows.append(
-            {"scope": rel_type, **_prf(sub.tp.sum(), sub.fp.sum(), sub.fn.sum())}
-        )
-    rows.append({"scope": "micro", **_prf(df.tp.sum(), df.fp.sum(), df.fn.sum())})
-    by_doc = df.groupby("doc_id")[["tp", "fp", "fn"]].sum()
-    per_doc = [_prf(r.tp, r.fp, r.fn) for r in by_doc.itertuples()]
-    rows.append(
-        {
-            "scope": "macro",
-            "precision": float(np.mean([d["precision"] for d in per_doc])) if per_doc else 0.0,
-            "recall": float(np.mean([d["recall"] for d in per_doc])) if per_doc else 0.0,
-            "f1": float(np.mean([d["f1"] for d in per_doc])) if per_doc else 0.0,
-        }
-    )
-    return pd.DataFrame(rows, columns=["scope", "precision", "recall", "f1"])
+    return _reduce_prf_rows(per_cell, "rel_type")
 
 
 def span_prf(
@@ -447,11 +482,17 @@ def span_prf(
         _per_doc(lambda g: _span_counts_group(g, strict)),
         batch_format="pandas",
     )
-    df = per_doc.to_pandas()
-    micro = _prf(df["tp"].sum(), df["fp"].sum(), df["fn"].sum())
-    by_doc = df.groupby("doc_id")[["tp", "fp", "fn"]].sum()
-    per_doc_f1 = [
-        _prf(r.tp, r.fp, r.fn)["f1"] for r in by_doc.itertuples()
-    ]
-    micro["macro_f1"] = float(np.mean(per_doc_f1)) if per_doc_f1 else 0.0
+    from ray.data.aggregate import Mean
+
+    by_doc = per_doc.groupby("doc_id").aggregate(
+        Sum("tp", alias_name="tp"),
+        Sum("fp", alias_name="fp"),
+        Sum("fn", alias_name="fn"),
+    ).materialize()  # consumed twice (micro sums + macro mean); tiny rows
+    tot = by_doc.aggregate(Sum("tp"), Sum("fp"), Sum("fn"))
+    micro = _prf(tot["sum(tp)"] or 0, tot["sum(fp)"] or 0, tot["sum(fn)"] or 0)
+    means = by_doc.map_batches(_prf_batch, batch_format="pyarrow").aggregate(
+        Mean("f1")
+    )
+    micro["macro_f1"] = float(means["mean(f1)"] or 0.0)
     return micro
