@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conll_export": q.kg_conll_export,
         "kg_re_export": q.kg_re_export,
         # distributed evaluator (G3/J3) + parallelism-invariance evidence
+        "kg_eval_detailed": q.kg_eval_detailed,
         "kg_eval_invariance": q.kg_eval_invariance,
     }
 
@@ -325,6 +326,12 @@ ORDER BY label
         "kg_re_export": f"""
 SELECT split, n_rows FROM read_parquet('{_fixture("kg_re_export")}')
 ORDER BY split
+""",
+        # detailed per-type evaluator vs an independent serial
+        # recomputation of the n2c2 pare-down + macro reduction
+        "kg_eval_detailed": f"""
+SELECT scope, precision, recall, f1
+FROM read_parquet('{_fixture("kg_eval_detailed")}') ORDER BY scope
 """,
         # still rows-only (no oracle): kg_eval_invariance (P/R/F1
         # invariance harness — the checked property is that two pipeline

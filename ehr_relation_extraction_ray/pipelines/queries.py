@@ -328,6 +328,28 @@ def kg_re_export(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("split").reset_index(drop=True)
 
 
+def kg_eval_detailed(sf_dir: str) -> pd.DataFrame:
+    """Per-entity-type + micro/macro P/R/F1 (n2c2 pare-down semantics,
+    lenient overlap): full-lexicon dict-NER scored against a
+    deterministically reduced gold lexicon (single-word surfaces only) —
+    non-trivial per-type precision/recall, hash-checked against an
+    independent serial recomputation (serial_oracle fixture)."""
+    from ..lexicon import DEFAULT_LEXICON, fit_patterns
+    from ..stages import evaluate
+
+    docs = _docs(sf_dir)
+    sys_m = mentions_stage.detect(docs)
+    reduced = {
+        t: [s for s in v if " " not in s] for t, v in DEFAULT_LEXICON.items()
+    }
+    reduced = {t: v for t, v in reduced.items() if v}
+    gold_m = mentions_stage.detect(docs, patterns=fit_patterns(reduced))
+    out = evaluate.span_prf_detailed(sys_m, gold_m, mode="lenient")
+    for c in ("precision", "recall", "f1"):
+        out[c] = out[c].astype(float).round(6)
+    return out.sort_values("scope").reset_index(drop=True)
+
+
 def kg_eval_invariance(sf_dir: str) -> pd.DataFrame:
     """Rows-only: distributed triple-set + span P/R/F1 counters (G3/J3)
     scoring one pipeline configuration against another (different read

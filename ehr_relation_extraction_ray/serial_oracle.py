@@ -256,6 +256,78 @@ def serial_re_split_counts_df(docs: Dict[str, str]) -> pd.DataFrame:
     ).astype({"n_rows": "int64"})
 
 
+def serial_eval_detailed_df(docs: Dict[str, str], mode: str = "lenient") -> pd.DataFrame:
+    """Serial mirror of queries.kg_eval_detailed: full-lexicon dict-NER
+    scored against the reduced (single-word surfaces) gold lexicon with the
+    n2c2 pare-down rule (Track2-evaluate-ver4.py:283-300), per-type +
+    micro + macro rows — an independent recomputation of the distributed
+    evaluator chain (tag/union/partition-groupby/Ray-mean)."""
+    full = compile_patterns(fit_patterns(DEFAULT_LEXICON))
+    reduced = {
+        t: [s for s in v if " " not in s] for t, v in DEFAULT_LEXICON.items()
+    }
+    reduced = {t: v for t, v in reduced.items() if v}
+    red = compile_patterns(fit_patterns(reduced))
+
+    def eq(g, s):
+        if g[1] != s[1]:
+            return False
+        if mode == "strict":
+            return g[2] == s[2] and g[3] == s[3]
+        return s[3] > g[2] and s[2] < g[3]
+
+    def pare(gol, sys_l):
+        matched_gold = []
+        kept = list(sys_l)
+        for s in sys_l:
+            for g in gol:
+                if eq(g, s):
+                    if g not in matched_gold:
+                        matched_gold.append(g)
+                    elif s in kept:
+                        kept.remove(s)
+        tp = len({s for s in kept for g in gol if eq(g, s)})
+        return tp, len(kept) - tp, len(gol) - tp
+
+    cells = []  # (doc, type, tp, fp, fn)
+    for doc_id, text in docs.items():
+        sysm = naive_dict_ner(text, full)
+        golm = naive_dict_ner(text, red)
+        for t in sorted({m[1] for m in sysm} | {m[1] for m in golm}):
+            sys_l = [m[:4] for m in sysm if m[1] == t]
+            gol_l = [m[:4] for m in golm if m[1] == t]
+            tp, fp, fn = pare(gol_l, sys_l)
+            cells.append((doc_id, t, tp, fp, fn))
+    cdf = pd.DataFrame(cells, columns=["doc_id", "ent_type", "tp", "fp", "fn"])
+
+    def prf(tp, fp, fn):
+        p = tp / (tp + fp) if tp + fp else 0.0
+        r = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * p * r / (p + r) if p + r else 0.0
+        return p, r, f1
+
+    rows = []
+    for t, sub in sorted(cdf.groupby("ent_type"), key=lambda kv: kv[0]):
+        p, r, f1 = prf(sub.tp.sum(), sub.fp.sum(), sub.fn.sum())
+        rows.append({"scope": t, "precision": p, "recall": r, "f1": f1})
+    p, r, f1 = prf(cdf.tp.sum(), cdf.fp.sum(), cdf.fn.sum())
+    rows.append({"scope": "micro", "precision": p, "recall": r, "f1": f1})
+    by_doc = cdf.groupby("doc_id")[["tp", "fp", "fn"]].sum()
+    per_doc = [prf(r_.tp, r_.fp, r_.fn) for r_ in by_doc.itertuples()]
+    rows.append(
+        {
+            "scope": "macro",
+            "precision": float(np.mean([d[0] for d in per_doc])) if per_doc else 0.0,
+            "recall": float(np.mean([d[1] for d in per_doc])) if per_doc else 0.0,
+            "f1": float(np.mean([d[2] for d in per_doc])) if per_doc else 0.0,
+        }
+    )
+    out = pd.DataFrame(rows, columns=["scope", "precision", "recall", "f1"])
+    for c in ("precision", "recall", "f1"):
+        out[c] = out[c].astype(float).round(6)
+    return out.sort_values("scope").reset_index(drop=True)
+
+
 def serial_windows_df(docs: Dict[str, str], max_len: int = 126) -> pd.DataFrame:
     """Per-doc NER window counts (one window per consecutive split pair)."""
     out = []
@@ -564,6 +636,8 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_conll_label_counts_df(_transcript_docs(sf_dir))
     if name == "kg_re_export":
         return serial_re_split_counts_df(_transcript_docs(sf_dir))
+    if name == "kg_eval_detailed":
+        return serial_eval_detailed_df(_transcript_docs(sf_dir))
     if name == "docs_quality":
         return serial_quality_df(*_documents(sf_dir))
     if name == "docs_simhash_pairs":
