@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_revenue": r.filtered_revenue,
         "sessionize_events": r.sessionize_events,
         "nation_region_join": r.nation_region_join,
+        "part_brand_margin": r.part_brand_margin,
         # training-data ops (documents / embeddings / media)
         "docs_exact_dedup": q.docs_exact_dedup,
         "docs_stats": q.docs_stats,
@@ -164,6 +165,15 @@ SELECT conv_id AS doc_id, count(*) AS n_turns,
 FROM read_parquet('{tp}') GROUP BY conv_id ORDER BY doc_id
 """,
         "kg_mentions": _mentions_sql(tp),
+        "part_brand_margin": """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+       round(sum(p_retailprice * l_quantity), 2) AS sum_retail,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_quantity > 5
+GROUP BY p_brand ORDER BY p_brand
+""",
         "agg_lineitem": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

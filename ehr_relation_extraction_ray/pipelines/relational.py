@@ -152,6 +152,51 @@ def filtered_revenue(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def part_brand_margin(sf_dir: str) -> pd.DataFrame:
+    """3-way star join, Ray-Data-first: part (dim, broadcast via ray.put)
+    joined onto lineitem inside map_batches — the fact table never
+    shuffles — then ONE groupby(p_brand) over pre-thinned columns.
+    Combines a numeric filter pushed into the scan (l_quantity > 5) with a
+    vectorized pandas lookup; the same plan shape a 100 TB fact table
+    needs (dim tables are broadcast-size by construction)."""
+    part = _pq(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_retailprice"]
+    ).to_pandas()
+    brand_ref = ray.put(
+        dict(zip(part["p_partkey"].to_numpy(), part["p_brand"].to_numpy()))
+    )
+    price_ref = ray.put(
+        dict(zip(part["p_partkey"].to_numpy(), part["p_retailprice"].to_numpy()))
+    )
+    li = _pq(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).filter(expr="l_quantity > 5")
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        brands = ray.get(brand_ref)
+        prices = ray.get(price_ref)
+        df["p_brand"] = df["l_partkey"].map(brands)
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        df["retail"] = df["l_partkey"].map(prices) * df["l_quantity"]
+        return df[["p_brand", "revenue", "retail"]]
+
+    out = (
+        li.map_batches(attach, batch_format="pandas")
+        .groupby("p_brand")
+        .aggregate(
+            Sum("revenue", alias_name="sum_revenue"),
+            Sum("retail", alias_name="sum_retail"),
+            Count(alias_name="n_lines"),
+        )
+    )
+    df = out.to_pandas().sort_values("p_brand").reset_index(drop=True)
+    df["sum_revenue"] = df["sum_revenue"].round(2)
+    df["sum_retail"] = df["sum_retail"].round(2)
+    return df
+
+
 SESSION_GAP_MIN = 240  # 4h
 
 
