@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": r.sessionize_events,
         "nation_region_join": r.nation_region_join,
         "part_brand_margin": r.part_brand_margin,
+        "orders_customer_hashjoin": r.orders_customer_hashjoin,
+        "events_asof_join": r.events_asof_join,
         # training-data ops (documents / embeddings / media)
         "docs_exact_dedup": q.docs_exact_dedup,
         "docs_stats": q.docs_stats,
@@ -190,6 +192,25 @@ SELECT c_mktsegment,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+        # same SQL, different engine plan: the Ray side uses the native
+        # hash-SHUFFLE join instead of the broadcast lookup
+        "orders_customer_hashjoin": """
+SELECT c_mktsegment,
+       round(sum(o_totalprice), 2) AS segment_revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+        "events_asof_join": """
+WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+SELECT p.user_id,
+       count(*) AS n_purchases,
+       CAST(sum(CASE WHEN v.ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       round(COALESCE(sum(epoch(p.ts - v.ts)), 0), 2) AS total_gap_s
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+GROUP BY p.user_id ORDER BY p.user_id
 """,
         "topk_orders": """
 SELECT o_orderkey, o_totalprice,

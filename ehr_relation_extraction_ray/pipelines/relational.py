@@ -197,6 +197,81 @@ def part_brand_margin(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def orders_customer_hashjoin(sf_dir: str) -> pd.DataFrame:
+    """Same result as join_orders_customer but via the native hash-SHUFFLE
+    join (stages/joins.hash_join) — the fact-x-fact plan shape for when
+    neither side is broadcast-size. Oracle: the identical SQL."""
+    from ..stages.joins import hash_join
+
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", how="inner",
+        num_partitions=16,
+    )
+    out = joined.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="segment_revenue"),
+        Count(alias_name="n_orders"),
+    )
+    df = out.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
+    df["segment_revenue"] = df["segment_revenue"].round(2)
+    return df
+
+
+def events_asof_join(sf_dir: str) -> pd.DataFrame:
+    """Per-user purchase digest after an AS-OF join: each purchase event is
+    matched to the latest same-user 'view' event at or before it
+    (stages/joins.asof_join, DuckDB ASOF LEFT JOIN oracle); the matched
+    view timestamp is tie-insensitive, so the digest is deterministic."""
+    from ..stages.joins import asof_join
+
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(
+        ["event_type"]
+    )
+    views = (
+        ev.filter(expr="event_type == 'view'")
+        .drop_columns(["event_type", "event_id"])
+        .map_batches(
+            lambda t: t.append_column("view_ts", t["ts"]),
+            batch_format="pyarrow",
+        )
+    )
+    joined = asof_join(
+        purchases, views, by="user_id", on="ts", right_cols=["view_ts"],
+        num_partitions=16,
+    )
+
+    def digest(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        matched = pc.is_valid(t["view_ts_r"])
+        gap = pc.cast(
+            pc.microseconds_between(t["view_ts_r"], t["ts"]), pa.float64()
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "matched": pc.cast(matched, pa.int64()),
+                "gap_s": pc.divide(pc.if_else(matched, gap, 0.0), 1_000_000.0),
+            }
+        )
+
+    out = (
+        joined.map_batches(digest, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Count(alias_name="n_purchases"),
+            Sum("matched", alias_name="n_matched"),
+            Sum("gap_s", alias_name="total_gap_s"),
+        )
+        .to_pandas()
+    )
+    out["total_gap_s"] = out["total_gap_s"].fillna(0.0).round(2)
+    out = out.astype({"user_id": "int64", "n_purchases": "int64", "n_matched": "int64"})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 SESSION_GAP_MIN = 240  # 4h
 
 

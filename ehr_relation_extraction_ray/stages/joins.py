@@ -1,0 +1,147 @@
+"""Join operators beyond broadcast lookups.
+
+The engine's default join is the broadcast-small-side pattern (``ray.put``
+once + vectorized lookup in ``map_batches`` — see
+pipelines/relational.join_orders_customer): zero shuffle, correct whenever
+one side is dimension-sized. This module adds the two shapes that pattern
+cannot cover:
+
+* :func:`hash_join` — both sides fact-sized: Ray Data's native
+  hash-shuffle ``Dataset.join`` (each side partitioned by key hash; one
+  all-to-all per side). ``num_partitions`` is the operator's parallelism
+  AND its skew guard — size it like any shuffle.
+* :func:`asof_join` — the streaming/time-series join Ray Data lacks: for
+  every left row, the latest right row with ``right.on <= left.on`` within
+  the same ``by`` key (``direction="backward"``, the merge_asof/DuckDB
+  ASOF default; left-outer). Implemented as the repo's tagged-union
+  co-group: both sides are hash-partitioned by key through ONE union +
+  groupby, then each partition runs one vectorized ``pandas.merge_asof``
+  over all its keys (group-closed: ``by=`` matches within key only).
+  Partitioning assumption: one key's rows fit in one partition — the same
+  per-key boundedness every keyed operator here relies on.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.partitioning import add_hash_partition
+
+
+def _arrow_schema(ds: "ray.data.Dataset") -> pa.Schema:
+    """Arrow schema of a Dataset regardless of block format (pandas-block
+    datasets report numpy dtypes; map them to Arrow)."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for n, t in zip(sch.names, sch.types):
+        if isinstance(t, pa.DataType):
+            fields.append((n, t))
+        else:
+            try:
+                fields.append((n, pa.from_numpy_dtype(t)))
+            except (pa.ArrowNotImplementedError, TypeError):
+                fields.append((n, pa.string()))
+    return pa.schema(fields)
+
+
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: Union[str, Sequence[str]],
+    right_on: Union[str, Sequence[str], None] = None,
+    how: str = "inner",
+    num_partitions: int = 64,
+    left_suffix: Optional[str] = None,
+    right_suffix: str = "_r",
+) -> "ray.data.Dataset":
+    """Hash-shuffle equi-join of two fact-sized datasets (Ray native)."""
+    if isinstance(on, str):
+        on = (on,)
+    if isinstance(right_on, str):
+        right_on = (right_on,)
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=tuple(on),
+        right_on=tuple(right_on) if right_on else None,
+        left_suffix=left_suffix,
+        right_suffix=right_suffix,
+    )
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    by: str,
+    on: str = "ts",
+    right_cols: Optional[List[str]] = None,
+    right_suffix: str = "_r",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Backward as-of join: latest right row with ``on <= left.on`` per ``by``.
+
+    Left rows with no matching right row survive with nulls (left-outer,
+    merge_asof / DuckDB ``ASOF LEFT JOIN`` semantics).
+    """
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
+    lcols = list(lschema.names)
+    rcols = right_cols or [c for c in rschema.names if c not in (by, on)]
+    rtypes = {f.name: f.type for f in rschema}
+    ltypes = {f.name: f.type for f in lschema}
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        out = t.select(lcols)
+        for c in rcols:
+            out = out.append_column(c + right_suffix, pa.nulls(t.num_rows, rtypes[c]))
+        out = out.append_column("_side", pa.array([0] * t.num_rows, pa.int8()))
+        return add_hash_partition(out, [by], num_partitions)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in lcols:
+            if c in (by, on):
+                cols[c] = t[c].cast(ltypes[c])
+            else:
+                cols[c] = pa.nulls(t.num_rows, ltypes[c])
+        out = pa.table(cols)
+        for c in rcols:
+            out = out.append_column(c + right_suffix, t[c])
+        out = out.append_column("_side", pa.array([1] * t.num_rows, pa.int8()))
+        return add_hash_partition(out, [by], num_partitions)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [(c, ltypes[c]) for c in lcols]
+        + [(c + right_suffix, rtypes[c]) for c in rcols]
+    )
+    out_names = [f.name for f in out_schema]
+
+    def join_partition(part: pa.Table) -> pa.Table:
+        df = part.drop_columns(["_part"]).to_pandas()
+        l = df[df["_side"] == 0][lcols].sort_values([on, by], kind="stable")
+        r = df[df["_side"] == 1][
+            [by, on] + [c + right_suffix for c in rcols]
+        ].sort_values([on, by], kind="stable")
+        merged = pd.merge_asof(
+            l, r, on=on, by=by, direction="backward", allow_exact_matches=True
+        )
+        return pa.Table.from_pandas(
+            merged[out_names], preserve_index=False
+        ).cast(out_schema)
+
+    return tagged.groupby("_part").map_groups(
+        join_partition, batch_format="pyarrow"
+    )

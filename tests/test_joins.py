@@ -1,0 +1,93 @@
+"""stages/joins — hash-shuffle equi-join and as-of join semantics."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from ehr_relation_extraction_ray.stages.joins import asof_join, hash_join
+
+
+def test_hash_join_matches_pandas(ray_session):
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 20, 200), "lv": rng.integers(0, 100, 200)}
+    )
+    right = pd.DataFrame({"k": np.arange(15), "rv": np.arange(15) * 10})
+    got = (
+        hash_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on="k",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, on="k", how="inner")
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "lv", "rv"]], want[["k", "lv", "rv"]], check_dtype=False
+    )
+
+
+def _asof_frames(seed=11, n_keys=9, n_left=300, n_right=200):
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2026-01-01")
+    left = pd.DataFrame(
+        {
+            "user": rng.integers(0, n_keys, n_left).astype("int64"),
+            "ts": base + pd.to_timedelta(rng.integers(0, 10**6, n_left), unit="s"),
+            "lval": rng.integers(0, 100, n_left).astype("int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user": rng.integers(0, n_keys, n_right).astype("int64"),
+            "ts": base + pd.to_timedelta(rng.integers(0, 10**6, n_right), unit="s"),
+            "rval": rng.integers(0, 100, n_right).astype("int64"),
+        }
+    )
+    # drop ts ties within a key on the right so the matched row is unique
+    right = right.drop_duplicates(subset=["user", "ts"]).reset_index(drop=True)
+    return left, right
+
+
+def test_asof_join_matches_global_merge_asof(ray_session):
+    left, right = _asof_frames()
+    got = (
+        asof_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            by="user",
+            on="ts",
+            num_partitions=5,
+        )
+        .to_pandas()
+        .sort_values(["user", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(
+            left.sort_values("ts", kind="stable"),
+            right.sort_values("ts", kind="stable").rename(columns={"rval": "rval_r"}),
+            on="ts",
+            by="user",
+            direction="backward",
+        )
+        .sort_values(["user", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["user", "ts", "lval", "rval_r"]],
+        want[["user", "ts", "lval", "rval_r"]],
+        check_dtype=False,
+    )
+    # left-outer: every left row survives; keys with no right rows -> null
+    assert len(got) == len(left)
+    assert got["rval_r"].isna().any()
