@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_margin": r.part_brand_margin,
         "orders_customer_hashjoin": r.orders_customer_hashjoin,
         "events_asof_join": r.events_asof_join,
+        "events_windowed": r.events_windowed,
+        "events_sliding": r.events_sliding,
         # training-data ops (documents / embeddings / media)
         "docs_exact_dedup": q.docs_exact_dedup,
         "docs_stats": q.docs_stats,
@@ -201,6 +203,19 @@ SELECT c_mktsegment,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+        "events_windowed": """
+SELECT event_type,
+       to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600)::TIMESTAMP AS window_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "events_sliding": """
+SELECT event_type,
+       to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 - i * 900)::TIMESTAMP AS window_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events CROSS JOIN range(4) AS t(i)
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "events_asof_join": """
 WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),

@@ -272,6 +272,37 @@ def events_asof_join(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def events_windowed(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1h window aggregate per event_type (stages/windows):
+    vectorized window assignment + per-batch Arrow combiner + ONE
+    groupby shuffle of pre-thinned partials."""
+    from ..stages import windows
+
+    ev = _pq(sf_dir, "events", columns=["event_type", "ts", "value"])
+    out = windows.tumbling_window_agg(
+        ev, "ts", 3600, key_cols="event_type", value_col="value"
+    ).to_pandas()
+    out["sum_value"] = out["sum_value"].round(2)
+    out["n_events"] = out["n_events"].astype("int64")
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+def events_sliding(sf_dir: str) -> pd.DataFrame:
+    """Sliding 1h window every 15min per event_type (stages/windows):
+    each event expands to its 4 covering buckets vectorized."""
+    from ..stages import windows
+
+    ev = _pq(sf_dir, "events", columns=["event_type", "ts", "value"])
+    out = windows.sliding_window_agg(
+        ev, "ts", 3600, 900, key_cols="event_type", value_col="value"
+    ).to_pandas()
+    out["sum_value"] = out["sum_value"].round(2)
+    out["n_events"] = out["n_events"].astype("int64")
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
 SESSION_GAP_MIN = 240  # 4h
 
 
