@@ -16,7 +16,7 @@ warm-up that a long-running cluster never sees).
 processes at num_cpus=8 and num_cpus=32 on the SAME input and reports both
 plus scaling efficiency — the sandbox stand-in for the north rule's N vs
 4N node clusters. The scaling input is a larger synthesized transcript
-table (``$GRAFT_SCALING_CONVS`` conversations, default 48000) so measured
+table (``$GRAFT_SCALING_CONVS`` conversations, default 72000) so measured
 time is dominated by the work that scales (per-doc extraction), as it
 would be at production scale, not by fixed per-session costs.
 """
@@ -102,6 +102,8 @@ def _run_bench() -> dict:
             "docs_minhash_pairs": lambda: q.docs_minhash_pairs(sf_dir),
             "embeddings_topk": lambda: q.embeddings_topk(sf_dir),
             "sessionize_events": lambda: r.sessionize_events(sf_dir),
+            "events_windowed": lambda: r.events_windowed(sf_dir),
+            "part_brand_margin": lambda: r.part_brand_margin(sf_dir),
         }.items():
             t0 = time.time()
             fn()
@@ -153,12 +155,13 @@ def main() -> None:
         n_convs = int(os.environ.get("GRAFT_SCALING_CONVS", "72000"))
         bench_path = synth.transcripts_path_n(n_convs)
         # N vs 4N CPUs (the driver's sandbox stand-in for two cluster
-        # sizes). Default 8 vs 32 (the full node). Round 1 measured only
-        # 0.56-0.62 here; the fix was not scheduler tuning but cutting the
-        # extraction chain's memory traffic (lazy masked_text, precomputed
-        # gap_len/gap_clean, vectorized candidate emission) — per-task
-        # times are now flat from 8 to 32 concurrent tasks and 8->32
-        # efficiency is back above 0.8. Override with GRAFT_SCALING_LO/HI.
+        # sizes). Default 8 vs 32 (the full node): ~0.71 — bounded by two
+        # measured box-level ceilings (all-core turbo droop 0.885 + shared
+        # DRAM), not pipeline structure; round-1's 0.56-0.62 was fixed by
+        # cutting extraction-chain memory traffic. The 4x jump with
+        # constant per-node contention (GRAFT_SCALING_LO=2 HI=8, the
+        # honest proxy for the rule's N->4N NODES) measures 0.91/0.96.
+        # Full attribution in BASELINE.md. Override with GRAFT_SCALING_LO/HI.
         lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
         hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
         # INTERLEAVED lo/hi child pairs: this VM's throughput drifts by
