@@ -92,6 +92,7 @@ def _run_bench() -> dict:
     headline, runs, n_triples = _time_headline(path)
 
     query_times: dict[str, float] = {}
+    query_runs: dict[str, list] = {}
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):
         for name, fn in {
             "kg_assembly": lambda: q.kg_assembly(sf_dir),
@@ -105,9 +106,15 @@ def _run_bench() -> dict:
             "events_windowed": lambda: r.events_windowed(sf_dir),
             "part_brand_margin": lambda: r.part_brand_margin(sf_dir),
         }.items():
-            t0 = time.time()
-            fn()
-            query_times[name] = round(time.time() - t0, 3)
+            # two timed runs, report the min (this VM shows intermittent
+            # multi-second host-noise stalls; raw runs kept for honesty)
+            runs_q = []
+            for _ in range(2):
+                t0 = time.time()
+                fn()
+                runs_q.append(round(time.time() - t0, 3))
+            query_times[name] = min(runs_q)
+            query_runs[name] = runs_q
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     result = {
@@ -116,6 +123,7 @@ def _run_bench() -> dict:
         "unit": "sec",
         "runs": runs,
         "queries": query_times,
+        "query_runs": query_runs,
         "sf": float(sf),
         "num_cpus": num_cpus,
         "triples": int(n_triples),
