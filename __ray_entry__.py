@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_re_export": q.kg_re_export,
         # distributed evaluator (G3/J3) + parallelism-invariance evidence
         "kg_eval_detailed": q.kg_eval_detailed,
+        "kg_linked_mentions": q.kg_linked_mentions,
         "kg_eval_invariance": q.kg_eval_invariance,
     }
 
@@ -378,6 +379,11 @@ ORDER BY split
         "kg_eval_detailed": f"""
 SELECT scope, precision, recall, f1
 FROM read_parquet('{_fixture("kg_eval_detailed")}') ORDER BY scope
+""",
+        "kg_linked_mentions": f"""
+SELECT ent_type, link_method, n_mentions, sum_score
+FROM read_parquet('{_fixture("kg_linked_mentions")}')
+ORDER BY ent_type, link_method
 """,
         # still rows-only (no oracle): kg_eval_invariance (P/R/F1
         # invariance harness — the checked property is that two pipeline

@@ -328,6 +328,48 @@ def kg_re_export(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("split").reset_index(drop=True)
 
 
+def kg_linked_mentions(sf_dir: str) -> pd.DataFrame:
+    """Scored entity linking (actor-pool ScoredLinker): nodes are built
+    from REDUCED-lexicon detections (single-word surfaces), then ALL
+    full-lexicon mentions link against them — multi-word surfaces exercise
+    the fuzzy char-set-Jaccard fallback. Digest: per (ent_type,
+    link_method) count + rounded score sum, hash-checked against an
+    independent serial recomputation."""
+    from ..lexicon import DEFAULT_LEXICON, fit_patterns
+
+    docs = _docs(sf_dir)
+    reduced = {
+        t: [s for s in v if " " not in s] for t, v in DEFAULT_LEXICON.items()
+    }
+    reduced = {t: v for t, v in reduced.items() if v}
+    red_mentions = mentions_stage.detect(docs, patterns=fit_patterns(reduced))
+    _nodes, map_ref = canonicalize.build_nodes(red_mentions)
+    full_mentions = mentions_stage.detect(docs)
+    linked = canonicalize.link_mentions_scored(full_mentions, map_ref, threshold=0.5)
+
+    def combine(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["ent_type", "link_method", "link_score"])
+            .group_by(["ent_type", "link_method"], use_threads=False)
+            .aggregate([(["link_score"], "sum"), ([], "count_all")])
+            .rename_columns(["ent_type", "link_method", "s", "n"])
+        )
+
+    out = (
+        linked.map_batches(combine, batch_format="pyarrow")
+        .groupby(["ent_type", "link_method"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n_mentions"))
+        .to_pandas()
+    )
+    out["sum_score"] = out.pop("s").round(2)
+    out["n_mentions"] = out["n_mentions"].astype("int64")
+    return (
+        out[["ent_type", "link_method", "n_mentions", "sum_score"]]
+        .sort_values(["ent_type", "link_method"])
+        .reset_index(drop=True)
+    )
+
+
 def kg_eval_detailed(sf_dir: str) -> pd.DataFrame:
     """Per-entity-type + micro/macro P/R/F1 (n2c2 pare-down semantics,
     lenient overlap): full-lexicon dict-NER scored against a

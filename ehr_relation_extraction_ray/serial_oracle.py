@@ -421,6 +421,108 @@ def serial_nodes_df(docs: Dict[str, str]) -> pd.DataFrame:
     )
 
 
+def serial_linked_mentions_df(docs: Dict[str, str], threshold: float = 0.5) -> pd.DataFrame:
+    """Serial mirror of queries.kg_linked_mentions: reduced-lexicon node
+    map (same merge clustering as serial_nodes_df), then every
+    full-lexicon mention linked — exact normalized hit scores 1.0, else
+    best same-type candidate by character-set Jaccard (candidates in
+    sorted-norm order, strict >, threshold cut)."""
+    import re as _re
+
+    from .stages.canonicalize import ALIAS_GROUPS
+
+    ws = _re.compile(r"\s+")
+    paren = _re.compile(r"\s*\([^)]*\)\s*$")
+    reduced_lex = {
+        t: [s for s in v if " " not in s] for t, v in DEFAULT_LEXICON.items()
+    }
+    reduced_lex = {t: v for t, v in reduced_lex.items() if v}
+    red = compile_patterns(fit_patterns(reduced_lex))
+    full = compile_patterns(fit_patterns(DEFAULT_LEXICON))
+
+    counts: Dict[Tuple[str, str], int] = {}
+    for text in docs.values():
+        for _e, t, _s, _x, surf in naive_dict_ner(text, red):
+            norm = ws.sub(" ", surf.strip().lower())
+            counts[(t, norm)] = counts.get((t, norm), 0) + 1
+    clusters: Dict[Tuple[str, str], Set[Tuple[str, str]]] = {k: {k} for k in counts}
+
+    def merge(a, b):
+        ca, cb = clusters[a], clusters[b]
+        if ca is cb:
+            return
+        u = ca | cb
+        for m in u:
+            clusters[m] = u
+
+    for t, norm in list(counts):
+        vk = paren.sub("", norm) or norm
+        if vk != norm and (t, vk) in counts:
+            merge((t, norm), (t, vk))
+    for grp in ALIAS_GROUPS:
+        gnorm = [ws.sub(" ", g.strip().lower()) for g in grp]
+        for t in {k[0] for k in counts}:
+            members = [g for g in gnorm if (t, g) in counts]
+            for a, b in zip(members, members[1:]):
+                merge((t, a), (t, b))
+    surface_to_node: Dict[Tuple[str, str], str] = {}
+    seen: Set[int] = set()
+    for key in counts:
+        cl = clusters[key]
+        if id(cl) in seen:
+            continue
+        seen.add(id(cl))
+        members = sorted(cl)
+        best = min(members, key=lambda k: (-counts[k], k[1]))
+        nid = f"N:{key[0]}:{best[1]}"
+        for m in members:
+            surface_to_node[m] = nid
+
+    by_type: Dict[str, List[Tuple[str, str]]] = {}
+    for (t, norm), nid in sorted(surface_to_node.items()):
+        by_type.setdefault(t, []).append((norm, nid))
+
+    agg: Dict[Tuple[str, str], List[float]] = {}
+    for text in docs.values():
+        for _e, t, _s, _x, surf in naive_dict_ner(text, full):
+            norm = ws.sub(" ", surf.strip().lower())
+            if (t, norm) in surface_to_node:
+                method, score = "exact", 1.0
+            else:
+                sn = set(norm)
+                best_s = 0.0
+                for cnorm, nid in by_type.get(t, []):
+                    cs = set(cnorm)
+                    u = sn | cs
+                    s = len(sn & cs) / len(u) if u else 0.0
+                    if s > best_s:
+                        best_s = s
+                if best_s >= threshold:
+                    method, score = "fuzzy", best_s
+                else:
+                    method, score = "none", best_s
+            cell = agg.setdefault((t, method), [0, 0.0])
+            cell[0] += 1
+            cell[1] += score
+    rows = [
+        {
+            "ent_type": t,
+            "link_method": m,
+            "n_mentions": c[0],
+            "sum_score": round(c[1], 2),
+        }
+        for (t, m), c in sorted(agg.items())
+    ]
+    return (
+        pd.DataFrame(
+            rows, columns=["ent_type", "link_method", "n_mentions", "sum_score"]
+        )
+        .astype({"n_mentions": "int64"})
+        .sort_values(["ent_type", "link_method"])
+        .reset_index(drop=True)
+    )
+
+
 def serial_quality_df(doc_ids: List, texts: List[str]) -> pd.DataFrame:
     """Quality/lang features fixture, per-doc Python loops. Shares only the
     marker/regex CONFIG with functions/textstats.py; every computation here
@@ -638,6 +740,8 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_re_split_counts_df(_transcript_docs(sf_dir))
     if name == "kg_eval_detailed":
         return serial_eval_detailed_df(_transcript_docs(sf_dir))
+    if name == "kg_linked_mentions":
+        return serial_linked_mentions_df(_transcript_docs(sf_dir))
     if name == "docs_quality":
         return serial_quality_df(*_documents(sf_dir))
     if name == "docs_simhash_pairs":

@@ -175,3 +175,90 @@ def link_mentions(
         return batch.append_column("node_id", pa.array(node_ids, pa.string()))
 
     return mentions.map_batches(attach, batch_format="pyarrow")
+
+
+def charset_jaccard(a: str, b: str) -> float:
+    """Character-SET Jaccard (DuckDB ``jaccard()`` definition — the
+    SQL-checkable similarity; the serial oracle mirrors it exactly)."""
+    sa, sb = set(a), set(b)
+    if not sa and not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+class ScoredLinker:
+    """Actor-pool entity-link scorer (north-rule: model actors for
+    'entity-link scoring'): exact normalized lookup first; misses fall
+    back to the best same-type candidate by character-set Jaccard above
+    ``threshold``. The per-type candidate index (vocabulary-sized) is
+    built ONCE per actor in ``__init__`` from the broadcast surface map —
+    never per batch. Determinism: ties break on (score desc, node_id,
+    surface) lexicographically."""
+
+    def __init__(self, surface_map_ref, threshold: float = 0.5):
+        mapping = ray.get(surface_map_ref)
+        self.exact: Dict[Tuple[str, str], str] = mapping
+        by_type: Dict[str, List[Tuple[str, str, frozenset]]] = {}
+        for (t, norm), nid in sorted(mapping.items()):
+            by_type.setdefault(t, []).append((norm, nid, frozenset(norm)))
+        self.by_type = by_type
+        self.threshold = threshold
+
+    def _fuzzy(self, ent_type: str, norm: str) -> Tuple[str, float]:
+        cands = self.by_type.get(ent_type)
+        if not cands:
+            return "", 0.0
+        sn = set(norm)
+        best_id, best_s = "", 0.0
+        # candidates iterate in sorted (norm) order; strict > means the
+        # lexicographically first surface wins score ties — deterministic
+        for cnorm, nid, cset in cands:
+            inter = len(sn & cset)
+            union = len(sn | cset)
+            s = inter / union if union else 0.0
+            if s > best_s:
+                best_id, best_s = nid, s
+        if best_s >= self.threshold:
+            return best_id, best_s
+        return "", best_s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        node_ids, scores, methods = [], [], []
+        for t, s in zip(
+            batch["ent_type"].to_pylist(), batch["text"].to_pylist()
+        ):
+            norm = normalize(s)
+            nid = self.exact.get((t, norm))
+            if nid is not None:
+                node_ids.append(nid)
+                scores.append(1.0)
+                methods.append("exact")
+                continue
+            nid, score = self._fuzzy(t, norm)
+            node_ids.append(nid)
+            scores.append(score)
+            methods.append("fuzzy" if nid else "none")
+        return (
+            batch.append_column("node_id", pa.array(node_ids, pa.string()))
+            .append_column("link_score", pa.array(scores, pa.float64()))
+            .append_column("link_method", pa.array(methods, pa.string()))
+        )
+
+
+def link_mentions_scored(
+    mentions: "ray.data.Dataset",
+    surface_map_ref: "ray.ObjectRef",
+    threshold: float = 0.5,
+    concurrency=(1, 4),
+) -> "ray.data.Dataset":
+    """Scored entity linking as an actor-pool stage (state in ctor)."""
+    return mentions.map_batches(
+        ScoredLinker,
+        fn_constructor_kwargs={
+            "surface_map_ref": surface_map_ref,
+            "threshold": threshold,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
