@@ -29,16 +29,38 @@ import ray.data
 from .textstats import content_hash_64
 
 
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci hashing multiplier
+
+
+def _col_hash(col) -> np.ndarray:
+    """uint64 hash of one column, vectorized: numeric columns avoid the
+    Python stringify round-trip entirely (the original str() path tripled
+    sessionize_events' wall time at sf0.1)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        v = np.asarray(col.cast(pa.int64())).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            v = v * _MIX
+            return v ^ (v >> np.uint64(31))
+    if pa.types.is_timestamp(col.type) or pa.types.is_floating(col.type):
+        v = np.asarray(col.cast(pa.timestamp("us")).cast(pa.int64())
+                       if pa.types.is_timestamp(col.type)
+                       else col.cast(pa.float64())).view(np.uint64)
+        with np.errstate(over="ignore"):
+            v = v * _MIX
+            return v ^ (v >> np.uint64(31))
+    return content_hash_64([str(x) for x in col.to_pylist()])
+
+
 def add_hash_partition(
     t: pa.Table, key_cols: Sequence[str], num_partitions: int
 ) -> pa.Table:
     """Append an int32 ``_part`` column = hash(key columns) % num_partitions."""
-    if len(key_cols) == 1:
-        keys = [str(x) for x in t[key_cols[0]].to_pylist()]
-    else:
-        cols = [t[c].to_pylist() for c in key_cols]
-        keys = ["\x1f".join(str(x) for x in row) for row in zip(*cols)]
-    h = content_hash_64(keys)
+    h = _col_hash(t[key_cols[0]])
+    with np.errstate(over="ignore"):
+        for c in key_cols[1:]:
+            h = h * _MIX + _col_hash(t[c])
     part = (h % np.uint64(num_partitions)).astype(np.int32)
     return t.append_column("_part", pa.array(part))
 
