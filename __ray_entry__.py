@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed evaluator (G3/J3) + parallelism-invariance evidence
         "kg_eval_detailed": q.kg_eval_detailed,
         "kg_linked_mentions": q.kg_linked_mentions,
+        "ade_ingest": q.ade_ingest,
         "kg_eval_invariance": q.kg_eval_invariance,
     }
 
@@ -79,6 +80,12 @@ def _transcripts_sql_path() -> str:
     from ehr_relation_extraction_ray import synth
 
     return synth.transcripts_path(SF_CORRECTNESS_DIR)
+
+
+def _ade_sql_path() -> str:
+    from ehr_relation_extraction_ray.pipelines import queries as q
+
+    return q.ade_path(SF_CORRECTNESS_DIR)
 
 
 def _media_sql_path() -> str:
@@ -163,6 +170,7 @@ ORDER BY id_a, id_b
 def oracle_sql() -> dict[str, str]:
     tp = _transcripts_sql_path()
     mp = _media_sql_path()
+    adep = _ade_sql_path()
     return {
         "kg_assembly": f"""
 SELECT conv_id AS doc_id, count(*) AS n_turns,
@@ -379,6 +387,19 @@ ORDER BY split
         "kg_eval_detailed": f"""
 SELECT scope, precision, recall, f1
 FROM read_parquet('{_fixture("kg_eval_detailed")}') ORDER BY scope
+""",
+        # ADE JSON ingestion digest: unnest entities, reference rename +
+        # token-join-with-trailing-space parity (utils.py:349-419)
+        "ade_ingest": f"""
+WITH recs AS (SELECT tokens, entities FROM read_json_auto('{adep}')),
+m AS (
+  SELECT CASE WHEN e.type = 'Adverse-Effect' THEN 'ADE' ELSE e.type END AS ent_type,
+         length(array_to_string(tokens[e.start + 1 : e."end"], ' ') || ' ') AS text_len
+  FROM recs, unnest(entities) AS t(e)
+)
+SELECT ent_type, CAST(sum(text_len) AS BIGINT) AS text_chars,
+       count(*) AS n_mentions
+FROM m GROUP BY ent_type ORDER BY ent_type
 """,
         "kg_linked_mentions": f"""
 SELECT ent_type, link_method, n_mentions, sum_score

@@ -328,6 +328,95 @@ def kg_re_export(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("split").reset_index(drop=True)
 
 
+def ade_path(sf_dir: str) -> str:
+    """Deterministic ADE-corpus-shaped NDJSON under /tmp (atomic write):
+    rows of (tokens, entities[{type,start,end}], relations[{head,tail}])
+    mirroring the reference's ADE JSON input (utils.py:349-419)."""
+    import json as _json
+    import random
+    import tempfile
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    out_dir = f"/tmp/graft_ade/sf{sf}"
+    out_path = os.path.join(out_dir, "ade.json")
+    if not os.path.exists(out_path):
+        n = max(int(2000 * float(sf)), 40)
+        words = [
+            "patient", "took", "aspirin", "ibuprofen", "daily", "and",
+            "developed", "rash", "nausea", "severe", "dose", "the",
+        ]
+        os.makedirs("/tmp/graft_ade", exist_ok=True)
+        tmp = tempfile.mkdtemp(dir="/tmp/graft_ade")
+        with open(os.path.join(tmp, "ade.json"), "w") as f:
+            for i in range(n):
+                rng = random.Random(7_000 + i)  # per-record seed: stable
+                toks = [rng.choice(words) for _ in range(rng.randint(6, 18))]
+                ents = []
+                k = rng.randint(1, 3)
+                for _ in range(k):
+                    s = rng.randrange(0, len(toks) - 1)
+                    e = min(len(toks), s + rng.randint(1, 2))
+                    ents.append(
+                        {
+                            "type": rng.choice(["Drug", "Adverse-Effect"]),
+                            "start": s,
+                            "end": e,
+                        }
+                    )
+                rels = (
+                    [{"head": 0, "tail": len(ents) - 1}] if len(ents) > 1 else []
+                )
+                f.write(
+                    _json.dumps(
+                        {"tokens": toks, "entities": ents, "relations": rels}
+                    )
+                    + "\n"
+                )
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            pass
+    return out_path
+
+
+def ade_ingest(sf_dir: str) -> pd.DataFrame:
+    """ADE JSON corpus ingestion (S4): read_json -> normalizer map ->
+    per-type mention digest (count + total text length incl. the
+    reference's trailing-space parity quirk)."""
+    from ..sources import ade
+
+    path = ade_path(sf_dir)
+    raw = ade.read_ade(path)
+    ments = ade.mentions(raw)
+
+    def combine(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        loc = pa.table(
+            {
+                "ent_type": t["ent_type"],
+                "text_len": pc.utf8_length(t["text"]).cast(pa.int64()),
+            }
+        )
+        return (
+            loc.group_by("ent_type", use_threads=False)
+            .aggregate([(["text_len"], "sum"), ([], "count_all")])
+            .rename_columns(["ent_type", "text_chars", "n_mentions"])
+        )
+
+    out = (
+        ments.map_batches(combine, batch_format="pyarrow")
+        .groupby("ent_type")
+        .aggregate(
+            Sum("text_chars", alias_name="text_chars"),
+            Sum("n_mentions", alias_name="n_mentions"),
+        )
+        .to_pandas()
+        .astype({"text_chars": "int64", "n_mentions": "int64"})
+    )
+    return out.sort_values("ent_type").reset_index(drop=True)
+
+
 def kg_linked_mentions(sf_dir: str) -> pd.DataFrame:
     """Scored entity linking (actor-pool ScoredLinker): nodes are built
     from REDUCED-lexicon detections (single-word surfaces), then ALL
