@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_eval_detailed": q.kg_eval_detailed,
         "kg_linked_mentions": q.kg_linked_mentions,
         "ade_ingest": q.ade_ingest,
+        "brat_ingest": q.brat_ingest,
         "kg_eval_invariance": q.kg_eval_invariance,
     }
 
@@ -405,6 +406,10 @@ FROM m GROUP BY ent_type ORDER BY ent_type
 SELECT ent_type, link_method, n_mentions, sum_score
 FROM read_parquet('{_fixture("kg_linked_mentions")}')
 ORDER BY ent_type, link_method
+""",
+        "brat_ingest": f"""
+SELECT kind, span_chars, n FROM read_parquet('{_fixture("brat_ingest")}')
+ORDER BY kind
 """,
         # still rows-only (no oracle): kg_eval_invariance (P/R/F1
         # invariance harness — the checked property is that two pipeline

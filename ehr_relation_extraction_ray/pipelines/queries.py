@@ -328,6 +328,98 @@ def kg_re_export(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("split").reset_index(drop=True)
 
 
+def brat_path(sf_dir: str) -> str:
+    """Deterministic brat directory under /tmp (atomic): <id>.txt/<id>.ann
+    pairs with forward-referencing relations to exercise the backlog
+    resolution (ehr.py:163-192)."""
+    import random
+    import tempfile
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    out_dir = f"/tmp/graft_brat/sf{sf}"
+    if not os.path.isdir(out_dir):
+        n = max(int(500 * float(sf)), 20)
+        os.makedirs("/tmp/graft_brat", exist_ok=True)
+        tmp = tempfile.mkdtemp(dir="/tmp/graft_brat")
+        drugs = ["aspirin", "ibuprofen", "metformin"]
+        others = [("Frequency", "daily"), ("ADE", "nausea"), ("Form", "tablet")]
+        for i in range(n):
+            rng = random.Random(9_000 + i)
+            parts, ents = [], []
+            pos = 0
+            for k in range(rng.randint(2, 5)):
+                if k % 2 == 0:
+                    w = rng.choice(drugs)
+                    t = "Drug"
+                else:
+                    t, w = rng.choice(others)
+                lead = "patient took " if k == 0 else "and then "
+                parts.append(lead + w + " ")
+                s = pos + len(lead)
+                ents.append((t, s, s + len(w), w))
+                pos += len(lead) + len(w) + 1
+            text = "".join(parts)
+            ann_lines = []
+            # relations FIRST (forward refs -> backlog path), then tags
+            rels = []
+            for j in range(1, len(ents)):
+                if ents[j][0] != "Drug":
+                    rels.append(
+                        f"R{len(rels)+1}\t{ents[j][0]}-Drug Arg1:T{j+1} Arg2:T1"
+                    )
+            ann_lines.extend(rels)
+            for j, (t, s, e, w) in enumerate(ents, start=1):
+                ann_lines.append(f"T{j}\t{t} {s} {e}\t{w}")
+            with open(os.path.join(tmp, f"doc{i:04d}.txt"), "w") as f:
+                f.write(text)
+            with open(os.path.join(tmp, f"doc{i:04d}.ann"), "w") as f:
+                f.write("\n".join(ann_lines) + "\n")
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            pass
+    return out_dir
+
+
+def brat_ingest(sf_dir: str) -> pd.DataFrame:
+    """brat dir scan/pairing + .ann parse (S2/S3): per-type mention digest
+    plus a relations row — hash-checked against an independent serial
+    line parser (serial_oracle fixture)."""
+    from ..sources import brat
+
+    docs = brat.read_brat_dir(brat_path(sf_dir))
+    ments = docs.map_batches(brat.mentions_batch, batch_format="pyarrow")
+    edges = docs.map_batches(brat.edges_batch, batch_format="pyarrow")
+
+    def combine(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        loc = pa.table(
+            {
+                "kind": t["ent_type"],
+                "span_chars": pc.subtract(t["end"], t["start"]).cast(pa.int64()),
+            }
+        )
+        return (
+            loc.group_by("kind", use_threads=False)
+            .aggregate([(["span_chars"], "sum"), ([], "count_all")])
+            .rename_columns(["kind", "span_chars", "n"])
+        )
+
+    md = (
+        ments.map_batches(combine, batch_format="pyarrow")
+        .groupby("kind")
+        .aggregate(Sum("span_chars", alias_name="span_chars"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n_edges = edges.count()
+    md = pd.concat(
+        [md, pd.DataFrame([{"kind": "_relations", "span_chars": 0, "n": n_edges}])],
+        ignore_index=True,
+    ).astype({"span_chars": "int64", "n": "int64"})
+    return md.sort_values("kind").reset_index(drop=True)
+
+
 def ade_path(sf_dir: str) -> str:
     """Deterministic ADE-corpus-shaped NDJSON under /tmp (atomic write):
     rows of (tokens, entities[{type,start,end}], relations[{head,tail}])

@@ -523,6 +523,45 @@ def serial_linked_mentions_df(docs: Dict[str, str], threshold: float = 0.5) -> p
     )
 
 
+def serial_brat_digest_df(data_dir: str) -> pd.DataFrame:
+    """Independent serial parse of a brat directory: per-type mention
+    (span-char sum, count) + one _relations row — mirrors
+    queries.brat_ingest without touching sources/brat."""
+    import os
+
+    agg: Dict[str, List[int]] = {}
+    n_edges = 0
+    for f in sorted(os.listdir(data_dir)):
+        if not f.endswith(".ann"):
+            continue
+        for line in open(os.path.join(data_dir, f), encoding="utf-8"):
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            if line.startswith("T"):
+                parts = line.split("\t")
+                det = parts[1]
+                tname = det.split()[0]
+                ranges = det[len(tname):].strip().split(";")
+                start = int(ranges[0].split()[0])
+                end = int(ranges[-1].split()[1])
+                cell = agg.setdefault(tname, [0, 0])
+                cell[0] += end - start
+                cell[1] += 1
+            elif line.startswith("R"):
+                n_edges += 1
+    rows = [
+        {"kind": k, "span_chars": v[0], "n": v[1]} for k, v in agg.items()
+    ]
+    rows.append({"kind": "_relations", "span_chars": 0, "n": n_edges})
+    return (
+        pd.DataFrame(rows, columns=["kind", "span_chars", "n"])
+        .astype({"span_chars": "int64", "n": "int64"})
+        .sort_values("kind")
+        .reset_index(drop=True)
+    )
+
+
 def serial_quality_df(doc_ids: List, texts: List[str]) -> pd.DataFrame:
     """Quality/lang features fixture, per-doc Python loops. Shares only the
     marker/regex CONFIG with functions/textstats.py; every computation here
@@ -742,6 +781,10 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_eval_detailed_df(_transcript_docs(sf_dir))
     if name == "kg_linked_mentions":
         return serial_linked_mentions_df(_transcript_docs(sf_dir))
+    if name == "brat_ingest":
+        from .pipelines.queries import brat_path
+
+        return serial_brat_digest_df(brat_path(sf_dir))
     if name == "docs_quality":
         return serial_quality_df(*_documents(sf_dir))
     if name == "docs_simhash_pairs":
