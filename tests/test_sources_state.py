@@ -487,3 +487,39 @@ def test_distributed_dict_fit_and_empty_input():
         relations.triples(relations.score(candidates.generate(docs)))
     )
     assert trip.count() == 0
+
+
+def test_scored_linker_exact_fuzzy_none(ray_session):
+    import ray
+
+    from ehr_relation_extraction_ray.stages.canonicalize import (
+        ScoredLinker,
+        charset_jaccard,
+    )
+    import pyarrow as pa
+
+    mapping = {
+        ("Drug", "aspirin"): "N:Drug:aspirin",
+        ("Drug", "ibuprofen"): "N:Drug:ibuprofen",
+        ("ADE", "nausea"): "N:ADE:nausea",
+    }
+    ref = ray.put(mapping)
+    linker = ScoredLinker(ref, threshold=0.5)
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["d"] * 4),
+            "ent_type": pa.array(["Drug", "Drug", "ADE", "Drug"]),
+            "text": pa.array(["Aspirin", "aspirinn", "zzzz", "qqqq"]),
+        }
+    )
+    out = linker(batch)
+    methods = out["link_method"].to_pylist()
+    nodes = out["node_id"].to_pylist()
+    scores = out["link_score"].to_pylist()
+    assert methods[0] == "exact" and nodes[0] == "N:Drug:aspirin" and scores[0] == 1.0
+    # "aspirinn" char set == "aspirin" char set -> jaccard 1.0 fuzzy hit
+    assert methods[1] == "fuzzy" and nodes[1] == "N:Drug:aspirin"
+    assert scores[1] == charset_jaccard("aspirinn", "aspirin") == 1.0
+    # no character overlap -> below threshold -> unlinked
+    assert methods[2] == "none" and nodes[2] == ""
+    assert methods[3] == "none"
