@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_hashjoin": r.orders_customer_hashjoin,
         "events_asof_join": r.events_asof_join,
         "events_windowed": r.events_windowed,
+        "topk_events_per_type": r.topk_events_per_type,
         "events_sliding": r.events_sliding,
         # training-data ops (documents / embeddings / media)
         "docs_exact_dedup": q.docs_exact_dedup,
@@ -213,6 +214,15 @@ SELECT c_mktsegment,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+        "topk_events_per_type": """
+SELECT event_type, rank, event_id, round(value, 2) AS value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY value DESC, event_id ASC
+         ) AS rank
+  FROM events
+) WHERE rank <= 3 ORDER BY event_type, rank
 """,
         "events_windowed": """
 SELECT event_type,

@@ -328,6 +328,52 @@ def _bget(ref):
     return v
 
 
+def topk_events_per_type(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-group top-k (windowed rank): highest-value k events per
+    event_type. Partition-granular: each batch pre-prunes to its local
+    top-k per key (combiner — at most k x groups rows leave any block),
+    then one hash-partition groupby takes the global top-k per key
+    vectorized. Never a global sort."""
+    from ..functions.partitioning import groupby_partition
+
+    ev = _pq(sf_dir, "events", columns=["event_type", "event_id", "value"])
+
+    def local_prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["event_type", "value", "event_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        return df.groupby("event_type", sort=False).head(k)
+
+    def global_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["event_type", "value", "event_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        out = df.groupby("event_type", sort=False).head(k).copy()
+        out["rank"] = out.groupby("event_type", sort=False).cumcount() + 1
+        return out
+
+    out = (
+        groupby_partition(
+            ev.map_batches(local_prune, batch_format="pandas"),
+            "event_type",
+            global_topk,
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .astype({"event_id": "int64", "rank": "int64"})
+    )
+    out["value"] = out["value"].round(2)
+    return (
+        out[["event_type", "rank", "event_id", "value"]]
+        .sort_values(["event_type", "rank"])
+        .reset_index(drop=True)
+    )
+
+
 SESSION_GAP_MIN = 240  # 4h
 
 
