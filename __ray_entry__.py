@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": r.events_asof_join,
         "events_windowed": r.events_windowed,
         "topk_events_per_type": r.topk_events_per_type,
+        "events_quantiles": r.events_quantiles,
         "events_sliding": r.events_sliding,
         # training-data ops (documents / embeddings / media)
         "docs_exact_dedup": q.docs_exact_dedup,
@@ -214,6 +215,13 @@ SELECT c_mktsegment,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+        "events_quantiles": """
+SELECT event_type, count(*) AS n_events,
+       round(quantile_disc(value, 0.25), 2) AS q25,
+       round(quantile_disc(value, 0.5), 2) AS q50,
+       round(quantile_disc(value, 0.9), 2) AS q90
+FROM events GROUP BY event_type ORDER BY event_type
 """,
         "topk_events_per_type": """
 SELECT event_type, rank, event_id, round(value, 2) AS value FROM (

@@ -374,6 +374,44 @@ def topk_events_per_type(sf_dir: str, k: int = 3) -> pd.DataFrame:
     )
 
 
+def events_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-group exact discrete quantiles (DuckDB quantile_disc
+    convention: element at ceil(q*n)-1 of the sorted values).
+    Partition-granular via groupby_partition; assumes one key's values
+    fit a partition (same per-key boundedness as every keyed operator
+    here — a corpus-scale-per-key deployment would swap in a mergeable
+    sketch, e.g. t-digest, at the combiner)."""
+    import numpy as np
+
+    from ..functions.partitioning import groupby_partition
+
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"])
+    QS = (0.25, 0.5, 0.9)
+
+    def quants(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, sub in df.groupby("event_type", sort=False):
+            v = np.sort(sub["value"].to_numpy())
+            n = len(v)
+            row = {"event_type": t, "n_events": n}
+            import math
+
+            for q in QS:
+                idx = max(math.ceil(q * n) - 1, 0)
+                row[f"q{int(q * 100)}"] = round(float(v[idx]), 2)
+            rows.append(row)
+        return pd.DataFrame(
+            rows, columns=["event_type", "n_events", "q25", "q50", "q90"]
+        )
+
+    out = (
+        groupby_partition(ev, "event_type", quants, batch_format="pandas")
+        .to_pandas()
+        .astype({"n_events": "int64"})
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 SESSION_GAP_MIN = 240  # 4h
 
 
