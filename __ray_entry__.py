@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed evaluator (G3/J3) + parallelism-invariance evidence
         "kg_eval_detailed": q.kg_eval_detailed,
         "kg_linked_mentions": q.kg_linked_mentions,
+        "kg_drug_no_ade_docs": q.kg_drug_no_ade_docs,
         "ade_ingest": q.ade_ingest,
         "brat_ingest": q.brat_ingest,
         "kg_eval_invariance": q.kg_eval_invariance,
@@ -167,6 +168,23 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
 ORDER BY id_a, id_b
+"""
+
+
+def _drug_no_ade_sql(tp: str) -> str:
+    from ehr_relation_extraction_ray.lexicon import DEFAULT_LEXICON, fit_patterns
+
+    pats = fit_patterns(DEFAULT_LEXICON)
+    return f"""
+WITH docs AS (
+  SELECT conv_id AS doc_id,
+         string_agg(COALESCE(text,''), chr(10)||chr(10) ORDER BY turn_idx) AS text
+  FROM read_parquet('{tp}') GROUP BY conv_id
+)
+SELECT doc_id FROM docs
+WHERE regexp_matches(text, $dp${pats["Drug"]}$dp$, 'i')
+  AND NOT regexp_matches(text, $ap${pats["ADE"]}$ap$, 'i')
+ORDER BY doc_id
 """
 
 
@@ -420,6 +438,7 @@ SELECT ent_type, CAST(sum(text_len) AS BIGINT) AS text_chars,
        count(*) AS n_mentions
 FROM m GROUP BY ent_type ORDER BY ent_type
 """,
+        "kg_drug_no_ade_docs": _drug_no_ade_sql(tp),
         "kg_linked_mentions": f"""
 SELECT ent_type, link_method, n_mentions, sum_score
 FROM read_parquet('{_fixture("kg_linked_mentions")}')

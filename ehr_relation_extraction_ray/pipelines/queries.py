@@ -509,6 +509,46 @@ def ade_ingest(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("ent_type").reset_index(drop=True)
 
 
+def kg_drug_no_ade_docs(sf_dir: str) -> pd.DataFrame:
+    """Distributed anti-join / set difference: documents mentioning a Drug
+    but NO adverse event. Per-batch boolean combiner (one row per doc per
+    block) -> one groupby(doc_id) Max reduction -> filter — the EXCEPT
+    shape without materializing either side."""
+    from ray.data.aggregate import Max
+
+    ment = mentions_stage.detect(_docs(sf_dir))
+
+    def flags(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        loc = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "has_drug": pc.cast(
+                    pc.equal(t["ent_type"], "Drug"), pa.int8()
+                ),
+                "has_ade": pc.cast(pc.equal(t["ent_type"], "ADE"), pa.int8()),
+            }
+        )
+        return (
+            loc.group_by("doc_id", use_threads=False)
+            .aggregate([(["has_drug"], "max"), (["has_ade"], "max")])
+            .rename_columns(["doc_id", "has_drug", "has_ade"])
+        )
+
+    out = (
+        ment.map_batches(flags, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Max("has_drug", alias_name="has_drug"),
+            Max("has_ade", alias_name="has_ade"),
+        )
+        .filter(expr="has_drug == 1 and has_ade == 0")
+        .to_pandas()[["doc_id"]]
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def kg_linked_mentions(sf_dir: str) -> pd.DataFrame:
     """Scored entity linking (actor-pool ScoredLinker): nodes are built
     from REDUCED-lexicon detections (single-word surfaces), then ALL
