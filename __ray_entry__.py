@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": q.docs_exact_dedup,
         "docs_stats": q.docs_stats,
         "docs_quality": q.docs_quality,
+        "docs_distinct_tokens": q.docs_distinct_tokens,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_simhash_pairs": q.docs_simhash_pairs,
@@ -381,6 +382,10 @@ ORDER BY doc_id
         "kg_nodes": f"""
 SELECT node_id, ent_type, canonical_text, n_aliases, n_mentions
 FROM read_parquet('{_fixture("kg_nodes")}') ORDER BY node_id
+""",
+        "docs_distinct_tokens": f"""
+SELECT metric, estimate, nonzero_registers
+FROM read_parquet('{_fixture("docs_distinct_tokens")}')
 """,
         "docs_quality": f"""
 SELECT doc_id, lang_pred, bpe_tokens, stopword_ratio, punct_ratio,

@@ -1,0 +1,85 @@
+"""Mergeable sketches for corpus-scale approximate aggregates.
+
+HyperLogLog distinct counting, Ray-Data-first: every batch folds its
+values into a 2^p-register sketch (one vectorized ``np.maximum.at`` —
+this is the COMBINER), each block emits one register-vector row, and the
+final merge is an elementwise max over block rows (register vectors are
+fixed 4 KiB at p=12, so the merge side is blocks x 4 KiB no matter how
+big the corpus — the whole point of a mergeable sketch). Deterministic:
+the value hash is the repo's content_hash_64, so the estimate is
+reproducible at any parallelism and an independent serial recomputation
+hash-matches exactly (the driver-oracle strategy for non-SQL ops).
+
+Estimator: standard HLL (Flajolet et al. 2007) with the small-range
+linear-counting correction; no large-range correction (64-bit hashes make
+collisions irrelevant at any realistic cardinality).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .textstats import content_hash_64
+
+HLL_P = 12
+HLL_M = 1 << HLL_P
+_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)  # alpha_m for m >= 128
+
+
+def hll_registers(values) -> np.ndarray:
+    """Fold an iterable of (string) values into a fresh register vector."""
+    regs = np.zeros(HLL_M, dtype=np.int8)
+    if len(values) == 0:
+        return regs
+    h = content_hash_64([str(v) for v in values])
+    return hll_update(regs, h)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """Murmur3 finalizer (avalanche): content_hash_64 is a positional
+    polynomial whose HIGH bits barely move between similar strings — raw,
+    it collapses every value into a handful of registers. Deterministic."""
+    h = h.copy()
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+    return h
+
+
+def hll_update(regs: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Fold 64-bit hashes into ``regs`` in place (vectorized)."""
+    hashes = _mix64(hashes)
+    idx = (hashes >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = hashes << np.uint64(HLL_P)  # top 52 bits of the remainder
+    # rank = leading zeros of `rest` + 1, capped at 64 - p + 1
+    rank = np.full(len(hashes), 64 - HLL_P + 1, dtype=np.int8)
+    nz = rest != 0
+    if nz.any():
+        # leading zeros via float64 exponent trick is lossy; use bit scan
+        r = rest[nz]
+        lz = np.zeros(len(r), dtype=np.int8)
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = r < (np.uint64(1) << np.uint64(64 - shift))
+            lz[mask] += shift
+            r[mask] = r[mask] << np.uint64(shift)
+        rank[nz] = lz + 1
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_merge(reg_rows: np.ndarray) -> np.ndarray:
+    """Merge block register rows (n x m) -> one register vector."""
+    return reg_rows.max(axis=0).astype(np.int8)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Cardinality estimate with small-range linear counting."""
+    m = float(HLL_M)
+    est = _ALPHA * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)

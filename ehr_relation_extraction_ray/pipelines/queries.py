@@ -198,6 +198,41 @@ def docs_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def docs_distinct_tokens(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct-token count over the corpus via the mergeable
+    HyperLogLog sketch (functions/sketch): each block folds its tokens
+    into a 4 KiB register vector (combiner), the merge is an elementwise
+    max over block rows — merge volume is blocks x 4 KiB regardless of
+    corpus size. Deterministic (content_hash_64), so an independent serial
+    recomputation hash-matches the estimate exactly."""
+    import numpy as np
+
+    from ..functions.sketch import hll_estimate, hll_merge, hll_registers
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def block_regs(t: pa.Table) -> pa.Table:
+        toks: list = []
+        for s in t["text"].to_pylist():
+            toks.extend((s or "").lower().split())
+        regs = hll_registers(toks)
+        return pa.table({"regs": pa.array([regs.tolist()], pa.list_(pa.int8()))})
+
+    rows = docs.map_batches(block_regs, batch_format="pyarrow").to_pandas()
+    merged = hll_merge(np.stack([np.asarray(r, dtype=np.int8) for r in rows["regs"]]))
+    return pd.DataFrame(
+        [
+            {
+                "metric": "distinct_tokens_hll",
+                "estimate": round(hll_estimate(merged), 2),
+                "nonzero_registers": int((merged > 0).sum()),
+            }
+        ]
+    ).astype({"nonzero_registers": "int64"})
+
+
 def embeddings_topk(sf_dir: str) -> pd.DataFrame:
     from ..stages import similarity
 

@@ -562,6 +562,29 @@ def serial_brat_digest_df(data_dir: str) -> pd.DataFrame:
     )
 
 
+def serial_hll_tokens_df(doc_ids: List, texts: List[str]) -> pd.DataFrame:
+    """Serial mirror of queries.docs_distinct_tokens: fold EVERY token of
+    every document through the same deterministic HLL (duplication is a
+    no-op under register max, so block structure cannot matter)."""
+    import numpy as np
+
+    from .functions.sketch import hll_estimate, hll_registers
+
+    toks: List[str] = []
+    for t in texts:
+        toks.extend((t or "").lower().split())
+    regs = hll_registers(toks)
+    return pd.DataFrame(
+        [
+            {
+                "metric": "distinct_tokens_hll",
+                "estimate": round(hll_estimate(regs), 2),
+                "nonzero_registers": int((regs > 0).sum()),
+            }
+        ]
+    ).astype({"nonzero_registers": "int64"})
+
+
 def serial_quality_df(doc_ids: List, texts: List[str]) -> pd.DataFrame:
     """Quality/lang features fixture, per-doc Python loops. Shares only the
     marker/regex CONFIG with functions/textstats.py; every computation here
@@ -787,6 +810,8 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_brat_digest_df(brat_path(sf_dir))
     if name == "docs_quality":
         return serial_quality_df(*_documents(sf_dir))
+    if name == "docs_distinct_tokens":
+        return serial_hll_tokens_df(*_documents(sf_dir))
     if name == "docs_simhash_pairs":
         return serial_simhash_pairs_df(*_documents(sf_dir))
     if name == "embeddings_ivf_topk":

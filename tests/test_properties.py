@@ -171,3 +171,27 @@ def test_lean_and_full_candidates_score_identically(text):
         assert np.array_equal(lens[valid], gl[valid])
         has_ds = np.asarray(pc.match_substring(pc.fill_null(gap, ""), "  "))
         assert np.array_equal(~has_ds[valid], clean[valid])
+
+
+def test_hll_estimate_accuracy_and_merge_invariance():
+    """HLL estimate within ~3 std errors of exact; merging block sketches
+    equals one global sketch (the mergeability the operator relies on)."""
+    import numpy as np
+
+    from ehr_relation_extraction_ray.functions.sketch import (
+        HLL_M,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    values = [f"tok-{i}" for i in range(20_000)]
+    dup = values + values[:5_000]  # duplication must not matter
+    global_regs = hll_registers(dup)
+    est = hll_estimate(global_regs)
+    rel_err = abs(est - 20_000) / 20_000
+    assert rel_err < 3 * 1.04 / np.sqrt(HLL_M), rel_err
+    # merge of arbitrary partitions == global
+    parts = [hll_registers(dup[i::7]) for i in range(7)]
+    merged = hll_merge(np.stack(parts))
+    assert np.array_equal(merged, global_regs)
