@@ -397,7 +397,18 @@ def verify_jaccard(
     """
     pairs = pairs.materialize()  # consumed twice (count + verify); stays
     # in the object store — materialize() never collects to the driver
-    if pairs.count() <= broadcast_limit:
+    n_pairs = pairs.count()
+    if n_pairs == 0:  # empty candidate set: keep the output schema intact
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.string()),
+                    "doc_b": pa.array([], pa.string()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    if n_pairs <= broadcast_limit:
         return _verify_jaccard_broadcast(
             pairs, docs, threshold, k, text_col, id_col
         )
