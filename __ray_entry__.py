@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_distinct_tokens": q.docs_distinct_tokens,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
+        "docs_dup_clusters": q.docs_dup_clusters,
         "docs_simhash_pairs": q.docs_simhash_pairs,
         "embeddings_topk": q.embeddings_topk,
         "embeddings_ivf_topk": q.embeddings_ivf_topk,
@@ -161,6 +162,44 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
 ORDER BY doc_a, doc_b
+"""
+
+# transitive closure over the exact near-dup pairs (same pair set the
+# verified-LSH path emits — see _NGRAM_JACCARD_SQL); cluster_id = component
+# min doc_id, matching hash-min label propagation in stages/clusters.py
+_DUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE words AS (SELECT doc_id::VARCHAR AS doc_id, string_split_regex(lower(text), '\s+') AS w
+               FROM documents WHERE length(trim(text)) > 0),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+                   i -> array_to_string(w[i:i+4], ' '))) AS shingle
+    FROM words)
+),
+df_ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64),
+shf AS (SELECT sh.* FROM sh JOIN df_ok USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM shf a JOIN shf b USING (shingle) WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.node = e.v
+),
+labels AS (SELECT node AS doc_id, min(lab) AS cluster_id
+           FROM reach GROUP BY node)
+SELECT l.doc_id, l.cluster_id, CAST(c.n AS BIGINT) AS cluster_size
+FROM labels l
+JOIN (SELECT cluster_id, count(*) AS n FROM labels GROUP BY cluster_id) c
+  USING (cluster_id)
+ORDER BY doc_id
 """
 
 _COSINE_DUP_SQL = """
@@ -330,6 +369,7 @@ FROM documents ORDER BY doc_id
         # recall is 1 — asserted here by using the exact SQL as the oracle
         # (VERDICT r1 item 2b).
         "docs_minhash_pairs": _NGRAM_JACCARD_SQL,
+        "docs_dup_clusters": _DUP_CLUSTERS_SQL,
         "embeddings_topk": """
 WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
 sims AS (

@@ -24,6 +24,7 @@ from ..stages import (
     assembly,
     candidates,
     canonicalize,
+    clusters,
     dedupe,
     graph,
     mentions as mentions_stage,
@@ -187,6 +188,30 @@ def docs_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     verified = dedupe.verify_jaccard(pairs, docs, threshold=0.8).to_pandas()
     verified["jaccard"] = verified["jaccard"].round(4)
     return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def docs_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Full near-dup chain: minhash LSH -> Jaccard verify -> distributed
+    connected components -> (doc_id, cluster_id, cluster_size).
+
+    Oracle: DuckDB recursive-CTE transitive closure over the exact n-gram
+    Jaccard pairs — valid because verified-LSH recall is 1.0 at this scale
+    (the docs_minhash_pairs oracle establishes pair-set equality)."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    docs = docs.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("doc_id"),
+            "doc_id",
+            t["doc_id"].cast(pa.string()),
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = dedupe.minhash_lsh_pairs(docs, distinct=False)
+    verified = dedupe.verify_jaccard(pairs, docs, threshold=0.8)
+    out = clusters.dup_clusters(verified, with_sizes=True).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def docs_simhash_pairs(sf_dir: str) -> pd.DataFrame:

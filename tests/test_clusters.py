@@ -1,0 +1,101 @@
+"""Distributed connected components (stages/clusters) vs serial union-find."""
+
+import pandas as pd
+import pytest
+
+import ray.data
+
+from ehr_relation_extraction_ray.stages import clusters
+
+
+def _serial_cc(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run(pairs, **kw):
+    ds = ray.data.from_pandas(
+        pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+    )
+    out = clusters.dup_clusters(ds, **kw).to_pandas()
+    return dict(zip(out["doc_id"], out["cluster_id"]))
+
+
+def test_chain_and_islands():
+    pairs = [("b", "a"), ("c", "b"), ("d", "c"), ("f", "e"), ("x9", "x2")]
+    assert _run(pairs, num_partitions=4) == _serial_cc(pairs)
+
+
+def test_long_path_diameter():
+    # 12-node path: exercises multi-round propagation (diameter 11)
+    nodes = [f"n{i:02d}" for i in range(12)]
+    pairs = list(zip(nodes[1:], nodes[:-1]))
+    labels = _run(pairs, num_partitions=8)
+    assert labels == {n: "n00" for n in nodes}
+
+
+def test_random_graph_matches_union_find():
+    import random
+
+    rng = random.Random(41)
+    nodes = [f"d{i:03d}" for i in range(60)]
+    pairs = [
+        tuple(rng.sample(nodes, 2))
+        for _ in range(45)
+    ]
+    assert _run(pairs, num_partitions=16) == _serial_cc(pairs)
+
+
+def test_sizes_and_keep_canonical():
+    pairs = [("b", "a"), ("c", "b"), ("f", "e")]
+    ds = ray.data.from_pandas(
+        pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+    )
+    lab = clusters.dup_clusters(ds, with_sizes=True, num_partitions=4)
+    df = lab.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(df["cluster_size"]) == [3, 3, 3, 2, 2]
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_id": list("abcdefg"), "text": list("ABCDEFG")}
+        )
+    )
+    kept = clusters.keep_canonical(
+        docs, lab.drop_columns(["cluster_size"]), num_partitions=4
+    ).to_pandas()
+    assert sorted(kept["doc_id"]) == ["a", "d", "e", "g"]
+    # text column survives the anti-join untouched
+    assert sorted(kept["text"]) == ["A", "D", "E", "G"]
+
+
+def test_empty_pairs():
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype=str),
+                "doc_b": pd.Series([], dtype=str),
+            }
+        )
+    )
+    assert clusters.dup_clusters(ds).count() == 0
+
+
+def test_max_rounds_raises():
+    nodes = [f"n{i}" for i in range(8)]
+    pairs = list(zip(nodes[1:], nodes[:-1]))
+    ds = ray.data.from_pandas(
+        pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+    )
+    with pytest.raises(RuntimeError, match="no fixed point"):
+        clusters.dup_clusters(ds, max_rounds=2, num_partitions=4)
