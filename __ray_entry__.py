@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_dup_clusters": q.docs_dup_clusters,
+        "docs_tfidf_top_terms": q.docs_tfidf_top_terms,
         "docs_simhash_pairs": q.docs_simhash_pairs,
         "embeddings_topk": q.embeddings_topk,
         "embeddings_ivf_topk": q.embeddings_ivf_topk,
@@ -200,6 +201,25 @@ FROM labels l
 JOIN (SELECT cluster_id, count(*) AS n FROM labels GROUP BY cluster_id) c
   USING (cluster_id)
 ORDER BY doc_id
+"""
+
+_TFIDF_SQL = r"""
+WITH words AS (SELECT doc_id::VARCHAR AS doc_id,
+                      string_split_regex(lower(text), '\s+') AS w
+               FROM documents),
+toks AS (SELECT doc_id, unnest(w) AS term FROM words),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term <> '' GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS nd FROM tf),
+scored AS (SELECT doc_id, term, tf,
+                  round(tf * ln(nd * 1.0 / df), 6) AS tfidf
+           FROM tf JOIN dft USING (term) CROSS JOIN n),
+ranked AS (SELECT *, row_number() OVER
+             (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+           FROM scored)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf
+FROM ranked WHERE rn <= 3 ORDER BY doc_id, term
 """
 
 _COSINE_DUP_SQL = """
@@ -370,6 +390,7 @@ FROM documents ORDER BY doc_id
         # (VERDICT r1 item 2b).
         "docs_minhash_pairs": _NGRAM_JACCARD_SQL,
         "docs_dup_clusters": _DUP_CLUSTERS_SQL,
+        "docs_tfidf_top_terms": _TFIDF_SQL,
         "embeddings_topk": """
 WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
 sims AS (

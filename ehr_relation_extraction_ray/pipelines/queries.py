@@ -190,6 +190,15 @@ def docs_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def docs_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Top-3 TF-IDF terms per document (combiner df + hash join on term)."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = text_analysis.tfidf_top_terms(docs, k=3).to_pandas()
+    return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+
 def docs_dup_clusters(sf_dir: str) -> pd.DataFrame:
     """Full near-dup chain: minhash LSH -> Jaccard verify -> distributed
     connected components -> (doc_id, cluster_id, cluster_size).

@@ -62,11 +62,23 @@ def hash_join(
     left_suffix: Optional[str] = None,
     right_suffix: str = "_r",
 ) -> "ray.data.Dataset":
-    """Hash-shuffle equi-join of two fact-sized datasets (Ray native)."""
+    """Hash-shuffle equi-join of two fact-sized datasets (Ray native).
+
+    ``num_partitions`` is clamped to the cluster CPU count: Ray's join
+    spawns one aggregator actor per partition (up to
+    ``DataContext.max_hash_shuffle_aggregators``) and waits for ALL of
+    them — requesting more aggregator CPUs than the cluster has
+    deadlocks the operator (observed: 64 partitions on an 8-CPU local
+    cluster never schedules). On a multi-node cluster the cap is the
+    fleet-wide CPU count, so large partition counts pass through.
+    """
     if isinstance(on, str):
         on = (on,)
     if isinstance(right_on, str):
         right_on = (right_on,)
+    cpus = ray.cluster_resources().get("CPU")
+    if cpus:
+        num_partitions = max(1, min(num_partitions, int(cpus)))
     return left.join(
         right,
         join_type=how,

@@ -94,3 +94,152 @@ def annotate(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+
+
+# -- TF-IDF -----------------------------------------------------------------
+#
+# Doc-term weighting over the corpus, the workhorse of quality filtering /
+# keyword extraction in training-data pipelines.  Scale shape:
+#
+# * (doc_id, term, tf) is FINAL per batch — each input row is one whole
+#   document, so term counting never needs a cross-batch merge.
+# * document frequency is pre-aggregated per batch (combiner) before the
+#   one groupby(term) shuffle of (term, partial_df) pairs — never the
+#   exploded token stream.
+# * tf |><| df is a native hash-shuffle join on term (both sides fact-sized
+#   at web scale; no broadcast assumption).
+# * top-k per doc runs at hash-partition granularity (one UDF call per
+#   partition, vectorized sort + groupby-head inside).
+
+
+def doc_term_counts(
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Explode docs to (doc_id, term, tf); whitespace tokens, lowercased."""
+
+    def counts(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        words = pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
+        flat = pc.list_flatten(words)
+        parents = np.asarray(pc.list_parent_indices(words))
+        ids = batch[id_col].cast(pa.string())
+        keep = np.asarray(pc.utf8_length(flat)) > 0
+        df = pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids.take(pa.array(parents[keep]))),
+                "term": np.asarray(flat)[keep],
+            }
+        )
+        out = (
+            df.groupby(["doc_id", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "term": pa.array(out["term"], pa.string()),
+                "tf": pa.array(out["tf"].to_numpy(np.int64)),
+            }
+        )
+
+    return docs.map_batches(counts, batch_format="pyarrow")
+
+
+def tfidf_top_terms(
+    docs: "ray.data.Dataset",
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Top-k TF-IDF terms per doc: (doc_id, term, tf, tfidf).
+
+    idf = ln(n_docs / df) over docs with at least one token; ties broken
+    by term asc so the result is deterministic and SQL-reproducible
+    (``row_number() OVER (ORDER BY tfidf DESC, term)``).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.partitioning import groupby_partition
+    from .joins import hash_join
+
+    tf = doc_term_counts(docs, text_col, id_col).materialize()
+
+    # n_docs: every doc is one input row, so per-batch distinct-doc counts
+    # sum exactly (combiner; no global distinct shuffle)
+    nd = tf.map_batches(
+        lambda t: pa.table(
+            {"n": pa.array([len(pc.unique(t["doc_id"]))], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Sum("n"))["sum(n)"]
+
+    # df: per-batch partial (term, docs-in-batch) counts, then one shuffle
+    partial_df = tf.map_batches(
+        lambda t: pa.TableGroupBy(
+            pa.table({"term": t["term"]}), "term"
+        ).aggregate([([], "count_all")]).rename_columns(["term", "pdf"]),
+        batch_format="pyarrow",
+    )
+
+    def sum_df(part: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(part, "term").aggregate([("pdf", "sum")])
+        return agg.rename_columns(["term", "df"])
+
+    df_tbl = groupby_partition(
+        partial_df,
+        "term",
+        sum_df,
+        num_partitions=num_partitions,
+        schema=pa.schema([("term", pa.string()), ("df", pa.int64())]),
+    )
+
+    joined = hash_join(tf, df_tbl, on="term", num_partitions=num_partitions)
+
+    def score(t: pa.Table) -> pa.Table:
+        tfv = np.asarray(t["tf"], np.float64)
+        dfv = np.asarray(t["df"], np.float64)
+        tfidf = np.round(tfv * np.log(float(nd) / dfv), 6)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "term": t["term"],
+                "tf": t["tf"],
+                "tfidf": pa.array(tfidf),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+
+    def topk(part) -> "pa.Table":
+        part = part.sort_values(
+            ["doc_id", "tfidf", "term"], ascending=[True, False, True]
+        )
+        return pa.Table.from_pandas(
+            part.groupby("doc_id", sort=False).head(k),
+            preserve_index=False,
+        )
+
+    return groupby_partition(
+        scored,
+        "doc_id",
+        topk,
+        num_partitions=num_partitions,
+        batch_format="pandas",
+        schema=pa.schema(
+            [
+                ("doc_id", pa.string()),
+                ("term", pa.string()),
+                ("tf", pa.int64()),
+                ("tfidf", pa.float64()),
+            ]
+        ),
+    )
