@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_dup_clusters": q.docs_dup_clusters,
         "docs_tfidf_top_terms": q.docs_tfidf_top_terms,
+        "docs_inverted_index": q.docs_inverted_index,
         "docs_simhash_pairs": q.docs_simhash_pairs,
         "embeddings_topk": q.embeddings_topk,
         "embeddings_ivf_topk": q.embeddings_ivf_topk,
@@ -220,6 +221,17 @@ ranked AS (SELECT *, row_number() OVER
            FROM scored)
 SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf
 FROM ranked WHERE rn <= 3 ORDER BY doc_id, term
+"""
+
+_INVERTED_INDEX_SQL = r"""
+WITH words AS (SELECT doc_id::VARCHAR AS doc_id,
+                      string_split_regex(lower(text), '\s+') AS w
+               FROM documents),
+toks AS (SELECT DISTINCT doc_id, unnest(w) AS term FROM words),
+f AS (SELECT * FROM toks WHERE term <> '')
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS postings_md5
+FROM f GROUP BY term ORDER BY term
 """
 
 _COSINE_DUP_SQL = """
@@ -391,6 +403,7 @@ FROM documents ORDER BY doc_id
         "docs_minhash_pairs": _NGRAM_JACCARD_SQL,
         "docs_dup_clusters": _DUP_CLUSTERS_SQL,
         "docs_tfidf_top_terms": _TFIDF_SQL,
+        "docs_inverted_index": _INVERTED_INDEX_SQL,
         "embeddings_topk": """
 WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
 sims AS (

@@ -199,6 +199,23 @@ def docs_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
 
 
+def docs_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Posting-list digest per term (the small vocab makes the full index
+    driver-collectable here; the operator itself never does)."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = text_analysis.inverted_index(docs).to_pandas()
+    out["postings_md5"] = [
+        hashlib.md5(",".join(p).encode()).hexdigest() for p in out["postings"]
+    ]
+    return (
+        out[["term", "df", "postings_md5"]]
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+
+
 def docs_dup_clusters(sf_dir: str) -> pd.DataFrame:
     """Full near-dup chain: minhash LSH -> Jaccard verify -> distributed
     connected components -> (doc_id, cluster_id, cluster_size).

@@ -243,3 +243,70 @@ def tfidf_top_terms(
             ]
         ),
     )
+
+
+def inverted_index(
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+    max_postings: int | None = None,
+) -> "ray.data.Dataset":
+    """(term, df, postings) — sorted doc-id posting list per term.
+
+    Scale shape: the (doc_id, term) pairs are distinct per batch already
+    (each input row is one whole doc), so the only shuffle is the
+    groupby(term); postings materialize per PARTITION, never on the
+    driver.  ``max_postings`` truncates stop-word-grade lists to the
+    first N doc ids (df stays exact) and, when it truncates anything,
+    logs the count — no silent caps.
+    """
+    import logging
+
+    tf = doc_term_counts(docs, text_col, id_col)
+
+    def build(part) -> pa.Table:
+        part = part.sort_values(["term", "doc_id"])
+        g = part.groupby("term", sort=True)
+        terms = []
+        dfs = []
+        postings = []
+        n_truncated = 0
+        for term, grp in g:
+            ids = grp["doc_id"].tolist()
+            dfs.append(len(ids))
+            if max_postings is not None and len(ids) > max_postings:
+                ids = ids[:max_postings]
+                n_truncated += 1
+            terms.append(term)
+            postings.append(ids)
+        if n_truncated:
+            logging.getLogger(__name__).warning(
+                "inverted_index: %d posting lists truncated to %d ids",
+                n_truncated,
+                max_postings,
+            )
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "df": pa.array(dfs, pa.int64()),
+                "postings": pa.array(postings, pa.list_(pa.string())),
+            }
+        )
+
+    from ..functions.partitioning import groupby_partition
+
+    return groupby_partition(
+        tf.select_columns([id_col, "term"]),
+        "term",
+        build,
+        num_partitions=num_partitions,
+        batch_format="pandas",
+        schema=pa.schema(
+            [
+                ("term", pa.string()),
+                ("df", pa.int64()),
+                ("postings", pa.list_(pa.string())),
+            ]
+        ),
+    )
