@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": r.events_windowed,
         "topk_events_per_type": r.topk_events_per_type,
         "events_quantiles": r.events_quantiles,
+        "events_quantiles_cont": r.events_quantiles_cont,
+        "events_rollup": r.events_rollup,
         "events_sliding": r.events_sliding,
         # training-data ops (documents / embeddings / media)
         "docs_exact_dedup": q.docs_exact_dedup,
@@ -402,6 +404,19 @@ FROM documents ORDER BY doc_id
         # (VERDICT r1 item 2b).
         "docs_minhash_pairs": _NGRAM_JACCARD_SQL,
         "docs_dup_clusters": _DUP_CLUSTERS_SQL,
+        "events_quantiles_cont": """
+SELECT event_type, count(*) AS n_events,
+       round(quantile_cont(value, 0.25), 4) AS qc25,
+       round(quantile_cont(value, 0.50), 4) AS qc50,
+       round(quantile_cont(value, 0.90), 4) AS qc90
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "events_rollup": """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       round(sum(value), 2) AS sum_value,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY ROLLUP(event_type) ORDER BY event_type
+""",
         "docs_tfidf_top_terms": _TFIDF_SQL,
         "docs_inverted_index": _INVERTED_INDEX_SQL,
         "embeddings_topk": """

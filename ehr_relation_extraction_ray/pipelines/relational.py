@@ -474,3 +474,76 @@ def nation_region_join(sf_dir: str) -> pd.DataFrame:
     df = out.to_pandas().sort_values("r_name").reset_index(drop=True)
     df["sum_acctbal"] = df["sum_acctbal"].round(2)
     return df
+
+
+def events_quantiles_cont(sf_dir: str) -> pd.DataFrame:
+    """Interpolated per-group quantiles (DuckDB quantile_cont convention:
+    linear interpolation at h = q*(n-1), identical to numpy 'linear')."""
+    import numpy as np
+
+    from ..functions.partitioning import groupby_partition
+
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"])
+    QS = (0.25, 0.5, 0.9)
+
+    def quants(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, sub in df.groupby("event_type", sort=False):
+            v = sub["value"].to_numpy(dtype=np.float64)
+            qv = np.quantile(v, QS, method="linear")
+            rows.append(
+                {
+                    "event_type": t,
+                    "n_events": len(v),
+                    **{
+                        f"qc{int(q * 100)}": round(float(x), 4)
+                        for q, x in zip(QS, qv)
+                    },
+                }
+            )
+        return pd.DataFrame(
+            rows, columns=["event_type", "n_events", "qc25", "qc50", "qc90"]
+        )
+
+    out = (
+        groupby_partition(ev, "event_type", quants, batch_format="pandas")
+        .to_pandas()
+        .astype({"n_events": "int64"})
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_rollup(sf_dir: str) -> pd.DataFrame:
+    """Grouping-sets aggregate: per-type totals plus the grand-total row
+    (SQL GROUP BY ROLLUP). Combiner shape: one partial-agg pass feeds BOTH
+    grouping sets — the rollup adds zero extra shuffles; the grand total
+    reduces the per-type partials, not the raw rows."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = pa.TableGroupBy(t, "event_type").aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return g.rename_columns(["event_type", "psum", "pn"])
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # per-type partials are tiny (|event types| x #blocks): the final
+    # two-level reduction is driver-side arithmetic, not data motion
+    per_type = (
+        parts.groupby("event_type", as_index=False)
+        .agg(sum_value=("psum", "sum"), n_events=("pn", "sum"))
+        .sort_values("event_type")
+    )
+    total = pd.DataFrame(
+        {
+            "event_type": ["ALL"],
+            "sum_value": [per_type["sum_value"].sum()],
+            "n_events": [per_type["n_events"].sum()],
+        }
+    )
+    out = pd.concat([per_type, total], ignore_index=True)
+    out["sum_value"] = out["sum_value"].round(2)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
