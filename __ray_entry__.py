@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stats": q.docs_stats,
         "docs_quality": q.docs_quality,
         "docs_distinct_tokens": q.docs_distinct_tokens,
+        "docs_stratified_sample": q.docs_stratified_sample,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_dup_clusters": q.docs_dup_clusters,
@@ -396,6 +397,16 @@ SELECT doc_id,
        length(regexp_extract_all(text, '\S+')) AS n_tokens,
        md5(text) AS md5
 FROM documents ORDER BY doc_id
+""",
+        "docs_stratified_sample": """
+SELECT lang, rank, doc_id, sample_key FROM (
+  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS sample_key,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rank
+  FROM documents
+) WHERE rank <= 20 ORDER BY lang, rank
 """,
         "docs_ngram_jaccard": _NGRAM_JACCARD_SQL,
         # MinHash-LSH candidates + exact-Jaccard verify at the same

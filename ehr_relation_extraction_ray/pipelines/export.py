@@ -75,6 +75,58 @@ def sample_mask(
     return keep
 
 
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    n_per_stratum: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Deterministic stratified sample: the ``n`` rows with the smallest
+    ``md5(id)`` per stratum (training-data recipe: "n documents per
+    language"). O4/O5's hash-Bernoulli keeps a *fraction*; this keeps an
+    exact per-stratum COUNT. The sample key is md5 of the stringified row
+    id — uniform, content-addressed, identical at any parallelism, and
+    SQL-expressible (the DuckDB oracle ranks by the same md5).
+
+    Scale shape: each block prunes locally to its own n-smallest keys per
+    stratum (combiner — at most ``n x strata`` rows leave any block), then
+    one partition-granular groupby takes the global per-stratum top-n
+    vectorized. Never a global sort; the shuffle moves only pruned rows.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from ..functions.partitioning import groupby_partition
+
+    def local_prune(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.assign(
+            sample_key=[
+                hashlib.md5(str(i).encode("utf-8")).hexdigest()
+                for i in df[id_col]
+            ]
+        )
+        df = df.sort_values(
+            [strata_col, "sample_key", id_col], kind="stable"
+        )
+        return df.groupby(strata_col, sort=False).head(n_per_stratum)
+
+    def global_topn(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(
+            [strata_col, "sample_key", id_col], kind="stable"
+        )
+        out = df.groupby(strata_col, sort=False).head(n_per_stratum).copy()
+        out["rank"] = out.groupby(strata_col, sort=False).cumcount() + 1
+        return out
+
+    return groupby_partition(
+        ds.map_batches(local_prune, batch_format="pandas"),
+        strata_col,
+        global_topn,
+        batch_format="pandas",
+    )
+
+
 def label_candidates(
     cands: "ray.data.Dataset", gold_edges: Optional["ray.data.Dataset"]
 ) -> "ray.data.Dataset":

@@ -162,6 +162,23 @@ def docs_quality(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_stratified_sample(sf_dir: str, n: int = 20) -> pd.DataFrame:
+    """Deterministic per-language document sample (exact n per stratum,
+    md5-ranked; see export.stratified_sample for the combiner shape)."""
+    from . import export
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    out = export.stratified_sample(docs, n, strata_col="lang").to_pandas()
+    out["rank"] = out["rank"].astype("int64")
+    return (
+        out[["lang", "rank", "doc_id", "sample_key"]]
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+
+
 def docs_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]

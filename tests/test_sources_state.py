@@ -336,6 +336,50 @@ def test_hash_sampling_deterministic_and_calibrated():
     assert m1[~neg_nonade & ~pos_ade].all()
 
 
+def test_stratified_sample_exact_deterministic(ray_session):
+    """stratified_sample: exact n per stratum, md5-rank order, identical
+    result at different parallelisms, equal to the serial computation."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    from ehr_relation_extraction_ray.pipelines.export import stratified_sample
+
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype="int64"),
+            "lang": rng.choice(["en", "fr", "zh"], size=n, p=[0.7, 0.2, 0.1]),
+        }
+    )
+    serial = df.assign(
+        sample_key=[hashlib.md5(str(i).encode()).hexdigest() for i in df["doc_id"]]
+    ).sort_values(["lang", "sample_key", "doc_id"], kind="stable")
+    serial = serial.groupby("lang", sort=False).head(10).copy()
+    serial["rank"] = serial.groupby("lang", sort=False).cumcount() + 1
+
+    for nparts in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        got = (
+            stratified_sample(ds, 10, strata_col="lang")
+            .to_pandas()
+            .sort_values(["lang", "rank"])
+            .reset_index(drop=True)
+        )
+        assert (got.groupby("lang").size() == 10).all()
+        pd.testing.assert_frame_equal(
+            got[["lang", "rank", "doc_id", "sample_key"]],
+            serial[["lang", "rank", "doc_id", "sample_key"]].reset_index(drop=True),
+        )
+    # stratum smaller than n: returns every member, ranked
+    tiny = pd.DataFrame({"doc_id": [1, 2, 3], "lang": ["en", "en", "fr"]})
+    got = stratified_sample(ray.data.from_pandas(tiny), 10).to_pandas()
+    assert len(got) == 3
+    assert set(got.groupby("lang").size().to_dict().items()) == {("en", 2), ("fr", 1)}
+
+
 def test_poison_document_quarantine(tmp_path):
     """A document that makes the generator raise is skipped and recorded;
     the rest of the corpus processes normally."""
