@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": q.docs_quality,
         "docs_distinct_tokens": q.docs_distinct_tokens,
         "docs_stratified_sample": q.docs_stratified_sample,
+        "docs_decontaminate": q.docs_decontaminate,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_dup_clusters": q.docs_dup_clusters,
@@ -407,6 +408,21 @@ SELECT lang, rank, doc_id, sample_key FROM (
          ) AS rank
   FROM documents
 ) WHERE rank <= 20 ORDER BY lang, rank
+""",
+        "docs_decontaminate": r"""
+WITH words AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+               FROM documents WHERE length(trim(text)) > 0),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+                   i -> array_to_string(w[i:i+4], ' '))) AS shingle
+    FROM words)
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM sh s JOIN bench b USING (shingle)
+WHERE s.doc_id % 17 <> 0
+GROUP BY s.doc_id ORDER BY s.doc_id
 """,
         "docs_ngram_jaccard": _NGRAM_JACCARD_SQL,
         # MinHash-LSH candidates + exact-Jaccard verify at the same

@@ -179,6 +179,28 @@ def docs_stratified_sample(sf_dir: str, n: int = 20) -> pd.DataFrame:
     )
 
 
+def docs_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark n-gram decontamination: corpus docs sharing a 5-word
+    shingle with the (deterministic doc_id%17==0) benchmark split."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def _split(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            is_bench = (np.asarray(t["doc_id"]) % 17) == 0
+            return t.filter(pa.array(is_bench if keep_bench else ~is_bench))
+
+        return f
+
+    bench = docs.map_batches(_split(True), batch_format="pyarrow")
+    corpus = docs.map_batches(_split(False), batch_format="pyarrow")
+    ref = dedupe.benchmark_shingle_set(bench)
+    out = dedupe.decontaminate(corpus, ref).to_pandas()
+    out["n_hits"] = out["n_hits"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]

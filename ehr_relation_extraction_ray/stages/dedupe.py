@@ -957,3 +957,87 @@ def simhash_near_pairs(
         )
     all_pairs = parts[0].union(*parts[1:])
     return _distinct_by_pair(all_pairs, num_partitions)
+
+
+# -- decontamination --------------------------------------------------------
+
+
+def benchmark_shingle_set(
+    benchmark: "ray.data.Dataset",
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.ObjectRef":
+    """Distinct shingle hashes of a benchmark/eval corpus as ONE sorted
+    uint64 array in the object store (``ray.put`` once, read per task).
+
+    Contract: the benchmark side of decontamination is SMALL relative to
+    the corpus (eval suites are MBs against a 100 TB training set), so its
+    distinct-shingle set is driver-collectable by design. Each block first
+    reduces to its own distinct hashes (combiner), so the driver merges
+    per-block distinct arrays — never raw shingle streams.
+    """
+
+    def distinct_local(batch: pa.Table) -> pa.Table:
+        hs = [word_shingle_hashes(t, k) for t in batch[text_col].to_pylist()]
+        u = (
+            np.unique(np.concatenate(hs))
+            if hs
+            else np.zeros(0, dtype=np.uint64)
+        )
+        return pa.table({"sh": pa.array(u.astype(np.int64))})
+
+    parts = [
+        np.asarray(t["sh"], dtype=np.int64)
+        for t in ray.get(
+            benchmark.select_columns([id_col, text_col])
+            .map_batches(distinct_local, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    merged = (
+        np.unique(np.concatenate(parts))
+        if parts
+        else np.zeros(0, dtype=np.int64)
+    )
+    return ray.put(merged.astype(np.uint64))
+
+
+def decontaminate(
+    corpus: "ray.data.Dataset",
+    bench_shingles_ref: "ray.ObjectRef",
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Benchmark n-gram decontamination (GPT-3 App. C / PaLM recipe): flag
+    every corpus document sharing >= 1 distinct k-word shingle with the
+    benchmark set. Returns (doc_id, n_hits) for contaminated docs only.
+
+    Scale shape: the benchmark shingle set is broadcast (object store, one
+    copy per node); the corpus pass is a single stateless ``map_batches``
+    with NO shuffle — each doc's distinct shingle hashes are intersected
+    against the sorted benchmark array via ``np.isin`` (vectorized,
+    O(s log B)). At 100 TB this streams: cost is one read + one write.
+    """
+
+    def hits(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_shingles_ref)
+        out_ids, out_hits = [], []
+        for doc_id, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            h = word_shingle_hashes(text, k)
+            n = int(np.isin(h, bench, assume_unique=True).sum()) if len(h) else 0
+            if n:
+                out_ids.append(doc_id)
+                out_hits.append(n)
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, batch[id_col].type),
+                "n_hits": pa.array(out_hits, pa.int64()),
+            }
+        )
+
+    return corpus.map_batches(hits, batch_format="pyarrow")

@@ -46,3 +46,42 @@ def test_no_overflow_below_cap(tmp_path, ray_session):
     docs = _identical_docs(3)
     dedupe.minhash_lsh_pairs(docs, bucket_cap=50, overflow_dir=overflow).to_pandas()
     assert read_errors(overflow).to_pandas().empty
+
+
+def test_decontaminate_constructed_overlap(ray_session):
+    """A corpus doc that embeds a benchmark sentence is flagged with the
+    exact distinct-shared-shingle count; clean docs are absent."""
+    import numpy as np
+    import pandas as pd
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta"
+    bench = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [100], "text": [bench_text]})
+    )
+    corpus = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    # contains the full benchmark text -> every benchmark
+                    # 5-shingle (3 of them) is shared
+                    "intro words then " + bench_text + " trailing words",
+                    "totally unrelated text with other words entirely here",
+                    # shares exactly one 5-word shingle
+                    "alpha beta gamma delta epsilon different suffix now",
+                ],
+            }
+        )
+    )
+    ref = dedupe.benchmark_shingle_set(bench)
+    out = (
+        dedupe.decontaminate(corpus, ref)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 3]
+    assert out["n_hits"].tolist() == [3, 1]
+    # empty benchmark -> nothing flagged
+    empty_ref = dedupe.benchmark_shingle_set(bench.filter(lambda r: False))
+    assert dedupe.decontaminate(corpus, empty_ref).count() == 0
