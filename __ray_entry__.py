@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_distinct_tokens": q.docs_distinct_tokens,
         "docs_stratified_sample": q.docs_stratified_sample,
         "docs_decontaminate": q.docs_decontaminate,
+        "docs_unigram_logprob": q.docs_unigram_logprob,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_dup_clusters": q.docs_dup_clusters,
@@ -423,6 +424,20 @@ SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
 FROM sh s JOIN bench b USING (shingle)
 WHERE s.doc_id % 17 <> 0
 GROUP BY s.doc_id ORDER BY s.doc_id
+""",
+        "docs_unigram_logprob": r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+),
+freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS n FROM freq)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(c / n)), 6) AS avg_logprob
+FROM toks JOIN freq USING (tok), tot
+GROUP BY doc_id ORDER BY doc_id
 """,
         "docs_ngram_jaccard": _NGRAM_JACCARD_SQL,
         # MinHash-LSH candidates + exact-Jaccard verify at the same

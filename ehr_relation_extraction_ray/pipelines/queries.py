@@ -201,6 +201,17 @@ def docs_decontaminate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_unigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Per-doc mean unigram log-prob under a corpus-fit unigram LM."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = text_analysis.unigram_logprob(docs).to_pandas()
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["avg_logprob"] = out["avg_logprob"].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]

@@ -310,3 +310,86 @@ def inverted_index(
             ]
         ),
     )
+
+
+def corpus_term_freq(
+    docs: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Global unigram frequencies (term, c). Combiner shape: each batch
+    pre-sums its own term counts (one row per distinct term per block),
+    then ONE groupby(term).sum of the partials — a hot term ("the") moves
+    at most one row per block through the shuffle, never per occurrence."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        words = pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
+        flat = pc.list_flatten(words)
+        keep = np.asarray(pc.utf8_length(flat)) > 0
+        s = pd.Series(np.asarray(flat)[keep])
+        vc = s.value_counts(sort=False)
+        return pa.table(
+            {
+                "term": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "c": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+
+def unigram_logprob(
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Per-document mean unigram log-probability under a unigram LM fit on
+    the corpus itself (CCNet-style LM quality filter, here with the
+    simplest possible LM so the score is SQL-checkable).
+
+    Scale shape: the LM is the corpus term-frequency table — vocabulary-
+    sized, built with the combiner groupby above, collected once and
+    broadcast as a term->logprob dict (``ray.put``); the scoring pass is a
+    stateless zero-shuffle ``map_batches``. Returns
+    (doc_id, n_tokens, avg_logprob) for docs with >= 1 token.
+    """
+    import pandas as pd
+
+    freq = corpus_term_freq(docs, text_col=text_col).to_pandas()
+    total = float(freq["c"].sum())
+    logp = dict(
+        zip(freq["term"], np.log(freq["c"].to_numpy(np.float64) / total))
+    )
+    lm_ref = ray.put(logp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lm = ray.get(lm_ref)
+        ids, ns, avgs = [], [], []
+        for doc_id, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            toks = (text or "").lower().split()
+            if not toks:
+                continue
+            s = np.fromiter((lm[t] for t in toks), dtype=np.float64, count=len(toks))
+            ids.append(doc_id)
+            ns.append(len(toks))
+            avgs.append(float(s.mean()))
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch[id_col].type),
+                "n_tokens": pa.array(ns, pa.int64()),
+                "avg_logprob": pa.array(avgs, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -1,0 +1,65 @@
+"""Unit tests for corpus-fit text-analysis operators (LM scoring)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from ehr_relation_extraction_ray.stages import text_analysis
+
+
+def test_corpus_term_freq_combiner(ray_session):
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["a b a", "b  c\nA"]}
+        )
+    ).repartition(2)
+    freq = (
+        text_analysis.corpus_term_freq(docs)
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    assert freq["term"].tolist() == ["a", "b", "c"]
+    assert freq["c"].tolist() == [3, 2, 1]
+
+
+def test_unigram_logprob_hand_computed(ray_session):
+    """corpus = 'a b a' + 'b': p(a)=0.5, p(b)=0.5 ... verify means."""
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b a", "b", "   "]})
+    )
+    out = (
+        text_analysis.unigram_logprob(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 3 is whitespace-only -> absent
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_tokens"].tolist() == [3, 1]
+    # counts: a=2, b=2, total=4 -> p(a)=p(b)=1/2
+    assert out["avg_logprob"][0] == pytest.approx(math.log(0.5))
+    assert out["avg_logprob"][1] == pytest.approx(math.log(0.5))
+
+
+def test_unigram_logprob_parallelism_invariant(ray_session):
+    rng = np.random.default_rng(3)
+    texts = [
+        " ".join(rng.choice(["x", "y", "z", "w", "quux"], size=rng.integers(1, 30)))
+        for _ in range(60)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype="int64"), "text": texts})
+    outs = []
+    for nparts in (1, 6):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        outs.append(
+            text_analysis.unigram_logprob(ds)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
