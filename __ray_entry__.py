@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": q.docs_stratified_sample,
         "docs_decontaminate": q.docs_decontaminate,
         "docs_unigram_logprob": q.docs_unigram_logprob,
+        "docs_repetition": q.docs_repetition,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_dup_clusters": q.docs_dup_clusters,
@@ -438,6 +439,33 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        round(avg(ln(c / n)), 6) AS avg_logprob
 FROM toks JOIN freq USING (tok), tot
 GROUP BY doc_id ORDER BY doc_id
+""",
+        "docs_repetition": r"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
+lines AS (
+  SELECT doc_id, line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d
+  ) WHERE length(trim(line)) > 0
+),
+lstats AS (SELECT doc_id, count(*) AS n_lines,
+                  count(DISTINCT line) AS n_distinct
+           FROM lines GROUP BY doc_id),
+words AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM d),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i+1])) AS bigram
+  FROM words WHERE len(w) >= 2
+),
+bstats AS (
+  SELECT doc_id, sum(c) AS nb, max(c) AS maxc FROM (
+    SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+  ) GROUP BY doc_id
+)
+SELECT l.doc_id, CAST(l.n_lines AS BIGINT) AS n_lines,
+       round(1.0 - n_distinct * 1.0 / n_lines, 6) AS dup_line_frac,
+       round(COALESCE(maxc * 1.0 / nb, 0), 6) AS top_bigram_frac
+FROM lstats l LEFT JOIN bstats b ON l.doc_id = b.doc_id
+ORDER BY l.doc_id
 """,
         "docs_ngram_jaccard": _NGRAM_JACCARD_SQL,
         # MinHash-LSH candidates + exact-Jaccard verify at the same

@@ -212,6 +212,18 @@ def docs_unigram_logprob(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality signals per document."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = text_analysis.repetition_signals(docs).to_pandas()
+    out["n_lines"] = out["n_lines"].astype("int64")
+    for c in ("dup_line_frac", "top_bigram_frac"):
+        out[c] = out[c].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]

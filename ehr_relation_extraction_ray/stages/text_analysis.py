@@ -393,3 +393,51 @@ def unigram_logprob(
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def repetition_signals(
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Gopher-style intra-document repetition filters (Rae et al. 2021,
+    table A1): duplicate-line fraction and most-frequent-word-bigram
+    fraction. Pure per-doc signals -> ONE stateless zero-shuffle
+    ``map_batches``; at 100 TB cost is a single streamed read.
+
+    Returns (doc_id, n_lines, dup_line_frac, top_bigram_frac) for docs
+    with non-whitespace text; docs with < 2 words score 0 bigram frac.
+    """
+    from collections import Counter
+
+    def sig(batch: pa.Table) -> pa.Table:
+        ids, n_lines_l, dup_l, top_l = [], [], [], []
+        for doc_id, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            text = text or ""
+            if not text.strip():
+                continue
+            lines = [l for l in text.split("\n") if l.strip()]
+            n_lines = len(lines)
+            dup = 1.0 - len(set(lines)) / n_lines
+            words = text.lower().split()
+            if len(words) >= 2:
+                c = Counter(zip(words, words[1:]))
+                top = max(c.values()) / (len(words) - 1)
+            else:
+                top = 0.0
+            ids.append(doc_id)
+            n_lines_l.append(n_lines)
+            dup_l.append(dup)
+            top_l.append(top)
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch[id_col].type),
+                "n_lines": pa.array(n_lines_l, pa.int64()),
+                "dup_line_frac": pa.array(dup_l, pa.float64()),
+                "top_bigram_frac": pa.array(top_l, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(sig, batch_format="pyarrow")

@@ -63,3 +63,29 @@ def test_unigram_logprob_parallelism_invariant(ray_session):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_repetition_signals_hand_computed(ray_session):
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "same line\nsame line\nother line",  # 1 dup of 3 lines
+                    "go go go go",  # top bigram 'go go' = 3/3
+                    "one",  # single word, single line
+                ],
+            }
+        )
+    )
+    out = (
+        text_analysis.repetition_signals(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_lines"].tolist() == [3, 1, 1]
+    assert out["dup_line_frac"][0] == pytest.approx(1 - 2 / 3)
+    assert out["dup_line_frac"][1] == 0.0
+    # doc 1: 6 words -> 5 bigrams, "same line" occurs twice -> 2/5
+    assert out["top_bigram_frac"].tolist() == pytest.approx([2 / 5, 1.0, 0.0])
