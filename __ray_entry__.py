@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": q.docs_decontaminate,
         "docs_unigram_logprob": q.docs_unigram_logprob,
         "docs_repetition": q.docs_repetition,
+        "docs_pack_bins": q.docs_pack_bins,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_dup_clusters": q.docs_dup_clusters,
@@ -466,6 +467,22 @@ SELECT l.doc_id, CAST(l.n_lines AS BIGINT) AS n_lines,
        round(COALESCE(maxc * 1.0 / nb, 0), 6) AS top_bigram_frac
 FROM lstats l LEFT JOIN bstats b ON l.doc_id = b.doc_id
 ORDER BY l.doc_id
+""",
+        "docs_pack_bins": r"""
+WITH t AS (
+  SELECT doc_id, length(regexp_extract_all(text, '\S+')) AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prefix
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(prefix // 2048 AS BIGINT) AS bin_id
+FROM p ORDER BY doc_id
 """,
         "docs_ngram_jaccard": _NGRAM_JACCARD_SQL,
         # MinHash-LSH candidates + exact-Jaccard verify at the same

@@ -127,6 +127,46 @@ def stratified_sample(
     )
 
 
+def pack_sequences(
+    docs: "ray.data.Dataset",
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Token-budget sequence packing (GPT-style concat-and-chunk): lay the
+    corpus out as one deterministic token stream in ``id_col`` order and
+    assign each document the bin where it STARTS —
+    ``bin_id = exclusive_token_prefix // budget`` (documents may straddle
+    a bin boundary; the trainer's chunker cuts there, as in standard
+    packed pretraining). Built on the distributed prefix-sum scan
+    (functions/scan.py) — the only stage that needs total order; token
+    counting and bin assignment are zero-shuffle ``map_batches``.
+
+    Returns (doc_id, n_tokens, bin_id).
+    """
+    from ..functions.scan import with_prefix_sum
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = [len((t or "").split()) for t in batch[text_col].to_pylist()]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    counted = docs.map_batches(count_tokens, batch_format="pyarrow")
+    scanned = with_prefix_sum(counted, "n_tokens", id_col, out_col="_prefix")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        bins = np.asarray(batch["_prefix"], dtype=np.int64) // budget
+        return batch.drop_columns(["_prefix"]).append_column(
+            "bin_id", pa.array(bins)
+        )
+
+    return scanned.map_batches(assign, batch_format="pyarrow")
+
+
 def label_candidates(
     cands: "ray.data.Dataset", gold_edges: Optional["ray.data.Dataset"]
 ) -> "ray.data.Dataset":

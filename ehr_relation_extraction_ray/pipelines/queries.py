@@ -224,6 +224,20 @@ def docs_repetition(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_pack_bins(sf_dir: str, budget: int = 2048) -> pd.DataFrame:
+    """Token-budget sequence packing over the global doc_id-ordered token
+    stream (distributed prefix-sum scan)."""
+    from . import export
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = export.pack_sequences(docs, budget=budget).to_pandas()
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["bin_id"] = out["bin_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
