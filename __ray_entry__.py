@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_unigram_logprob": q.docs_unigram_logprob,
         "docs_repetition": q.docs_repetition,
         "docs_pack_bins": q.docs_pack_bins,
+        "docs_lang_mix": q.docs_lang_mix,
+        "events_histogram": r.events_histogram,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_dup_clusters": q.docs_dup_clusters,
@@ -483,6 +485,18 @@ p AS (
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(prefix // 2048 AS BIGINT) AS bin_id
 FROM p ORDER BY doc_id
+""",
+        "docs_lang_mix": r"""
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY lang),
+t AS (SELECT sum(n_docs) AS total, count(*) AS k FROM c)
+SELECT lang, n_docs, round(total / (k * n_docs), 6) AS mix_weight
+FROM c, t ORDER BY lang
+""",
+        "events_histogram": r"""
+SELECT bin, round(bin * 25.0, 2) AS bin_lo, CAST(count(*) AS BIGINT) AS n_events
+FROM (SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin FROM events)
+GROUP BY bin ORDER BY bin
 """,
         "docs_ngram_jaccard": _NGRAM_JACCARD_SQL,
         # MinHash-LSH candidates + exact-Jaccard verify at the same

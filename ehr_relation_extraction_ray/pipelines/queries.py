@@ -238,6 +238,34 @@ def docs_pack_bins(sf_dir: str, budget: int = 2048) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_lang_mix(sf_dir: str) -> pd.DataFrame:
+    """Domain-mixing weights: per-language upsampling factor that evens the
+    corpus to a uniform language mix (weight = total / (k * n_lang)).
+    Combiner groupby-count (language-count-sized shuffle) + driver math on
+    the k-row result — the weight table is then broadcast to samplers."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("lang", use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n"])
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    total = float(out["n_docs"].sum())
+    k = len(out)
+    out["mix_weight"] = (total / (k * out["n_docs"].to_numpy(np.float64))).round(6)
+    return out
+
+
 def docs_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]

@@ -547,3 +547,36 @@ def events_rollup(sf_dir: str) -> pd.DataFrame:
     out["sum_value"] = out["sum_value"].round(2)
     out["n_events"] = out["n_events"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_histogram(sf_dir: str, width: float = 25.0) -> pd.DataFrame:
+    """Fixed-width value histogram. Combiner shape: each block bins its own
+    rows vectorized (floor-divide + value_counts) and emits one partial row
+    per occupied bin; ONE groupby of partials merges them — the shuffle
+    moves at most bins x blocks tiny rows regardless of data size."""
+    ds = _pq(sf_dir, "events", columns=["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = np.floor(np.asarray(batch["value"], dtype=np.float64) / width).astype(
+            np.int64
+        )
+        vc = pd.Series(b).value_counts(sort=False)
+        return pa.table(
+            {
+                "bin": pa.array(vc.index.to_numpy(np.int64)),
+                "n": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n_events"))
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    out["bin"] = out["bin"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["bin_lo"] = (out["bin"] * width).round(2)
+    return out[["bin", "bin_lo", "n_events"]]
