@@ -105,6 +105,8 @@ def _run_bench() -> dict:
             "sessionize_events": lambda: r.sessionize_events(sf_dir),
             "events_windowed": lambda: r.events_windowed(sf_dir),
             "part_brand_margin": lambda: r.part_brand_margin(sf_dir),
+            "docs_decontaminate": lambda: q.docs_decontaminate(sf_dir),
+            "docs_pack_bins": lambda: q.docs_pack_bins(sf_dir),
         }.items():
             # two timed runs, report the min (this VM shows intermittent
             # multi-second host-noise stalls; raw runs kept for honesty)
