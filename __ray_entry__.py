@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_bins": q.docs_pack_bins,
         "docs_lang_mix": q.docs_lang_mix,
         "events_histogram": r.events_histogram,
+        "customer_order_counts": r.customer_order_counts,
+        "customers_no_big_orders": r.customers_no_big_orders,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_dup_clusters": q.docs_dup_clusters,
@@ -485,6 +487,17 @@ p AS (
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(prefix // 2048 AS BIGINT) AS bin_id
 FROM p ORDER BY doc_id
+""",
+        "customer_order_counts": """
+SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey ORDER BY c_custkey
+""",
+        "customers_no_big_orders": """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+) ORDER BY c_custkey
 """,
         "docs_lang_mix": r"""
 WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs

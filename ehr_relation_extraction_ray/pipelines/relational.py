@@ -580,3 +580,67 @@ def events_histogram(sf_dir: str, width: float = 25.0) -> pd.DataFrame:
     out["n_events"] = out["n_events"].astype("int64")
     out["bin_lo"] = (out["bin"] * width).round(2)
     return out[["bin", "bin_lo", "n_events"]]
+
+
+def customer_order_counts(sf_dir: str) -> pd.DataFrame:
+    """Native left-outer hash join at fact scale: per-customer order count
+    INCLUDING zero-order customers (null-preserving). Post-join combiner:
+    each block counts its own non-null matches per key, then one groupby
+    of partials."""
+    from ..stages.joins import hash_join
+
+    cust = _pq(sf_dir, "customer", columns=["c_custkey"])
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+    joined = hash_join(
+        cust, orders, on="c_custkey", right_on="o_custkey", how="left_outer"
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "c_custkey": np.asarray(batch["c_custkey"]),
+                "hit": np.asarray(pc.is_valid(batch["o_orderkey"])).astype(np.int64),
+            }
+        )
+        g = df.groupby("c_custkey", sort=False)["hit"].sum().reset_index()
+        return pa.table(
+            {
+                "c_custkey": pa.array(g["c_custkey"].to_numpy(np.int64)),
+                "hit": pa.array(g["hit"].to_numpy(np.int64)),
+            }
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("hit", alias_name="n_orders"))
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+def customers_no_big_orders(sf_dir: str, threshold: float = 400_000.0) -> pd.DataFrame:
+    """Shuffle anti-join (stages/joins.anti_join): customers with NO order
+    above ``threshold``. The right side is filtered at the read, reduced
+    to distinct keys, then one native left_outer + null filter."""
+    from ..stages.joins import anti_join
+
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def big(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["o_totalprice"], threshold)).select(
+            ["o_custkey"]
+        )
+
+    big_orders = orders.map_batches(big, batch_format="pyarrow")
+    out = (
+        anti_join(cust, big_orders, on="c_custkey", right_on="o_custkey")
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    return out[["c_custkey", "c_mktsegment"]]

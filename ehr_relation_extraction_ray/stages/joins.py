@@ -90,6 +90,83 @@ def hash_join(
     )
 
 
+def semi_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: Union[str, Sequence[str]],
+    right_on: Union[str, Sequence[str], None] = None,
+    num_partitions: int = 64,
+    anti: bool = False,
+) -> "ray.data.Dataset":
+    """Hash-shuffle semi (``anti=False``) / anti (``anti=True``) join:
+    keep left rows whose key does / does not appear in ``right``.
+
+    The broadcast variant (collect right keys + ``ray.put`` set lookup,
+    see pipelines/queries.kg_drug_no_ade_docs) is preferred when the key
+    set is dimension-sized; this is the both-sides-fact-sized shape. The
+    right side is reduced to its DISTINCT keys first (per-block distinct
+    combiner, then one groupby) so the join shuffles keys, never right
+    payloads; then one native left_outer join against a marker column
+    filters matches vectorized.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if isinstance(on, str):
+        on = (on,)
+    if isinstance(right_on, str):
+        right_on = (right_on,)
+    rkeys = list(right_on) if right_on else list(on)
+    marker = "_semi_marker"
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        return t.select(rkeys).group_by(rkeys, use_threads=False).aggregate([])
+
+    def add_marker(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            marker, pa.array(np.ones(t.num_rows, dtype=np.int8))
+        )
+
+    from ray.data.aggregate import Count
+
+    keys = (
+        right.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(rkeys if len(rkeys) > 1 else rkeys[0])
+        .aggregate(Count(alias_name="_semi_n"))
+        .drop_columns(["_semi_n"])
+        .map_batches(add_marker, batch_format="pyarrow")
+    )
+    joined = hash_join(
+        left,
+        keys,
+        on=on,
+        right_on=tuple(rkeys),
+        how="left_outer",
+        num_partitions=num_partitions,
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.is_null(t[marker]) if anti else pc.is_valid(t[marker])
+        return t.filter(mask).drop_columns([marker])
+
+    return joined.map_batches(keep, batch_format="pyarrow")
+
+
+def anti_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: Union[str, Sequence[str]],
+    right_on: Union[str, Sequence[str], None] = None,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Left rows with NO key match in right (shuffle variant; see
+    :func:`semi_join`)."""
+    return semi_join(
+        left, right, on, right_on=right_on,
+        num_partitions=num_partitions, anti=True,
+    )
+
+
 def asof_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

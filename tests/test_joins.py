@@ -91,3 +91,31 @@ def test_asof_join_matches_global_merge_asof(ray_session):
     # left-outer: every left row survives; keys with no right rows -> null
     assert len(got) == len(left)
     assert got["rval_r"].isna().any()
+
+
+def test_semi_anti_join_match_pandas(ray_session):
+    from ehr_relation_extraction_ray.stages.joins import anti_join, semi_join
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 50, size=200).astype("int64"),
+         "v": np.arange(200, dtype="int64")}
+    )
+    right = pd.DataFrame({"rk": rng.integers(25, 75, size=300).astype("int64")})
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(3)
+    keys = set(right["rk"])
+    want_semi = left[left["k"].isin(keys)].sort_values("v").reset_index(drop=True)
+    want_anti = left[~left["k"].isin(keys)].sort_values("v").reset_index(drop=True)
+    got_semi = (
+        semi_join(lds, rds, "k", right_on="rk", num_partitions=4)
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    got_anti = (
+        anti_join(lds, rds, "k", right_on="rk", num_partitions=4)
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_semi[["k", "v"]], want_semi)
+    pd.testing.assert_frame_equal(got_anti[["k", "v"]], want_anti)
+    # duplicates on the right never duplicate left rows (semi, not inner)
+    assert len(got_semi) + len(got_anti) == len(left)
