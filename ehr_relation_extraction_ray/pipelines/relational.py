@@ -162,47 +162,74 @@ def part_brand_margin(sf_dir: str) -> pd.DataFrame:
     part = _pq(
         sf_dir, "part", columns=["p_partkey", "p_brand", "p_retailprice"]
     ).to_pandas()
-    brand_ref = ray.put(
-        dict(zip(part["p_partkey"].to_numpy(), part["p_brand"].to_numpy()))
+    # dim encoded as dense positional arrays (p_partkey is 0..n-1): the
+    # per-batch lookup is one numpy take instead of a pandas dict .map
+    # (measured 11 us/row -> sub-us/row), and the broadcast is two flat
+    # buffers plasma can zero-copy instead of a Python dict that
+    # re-deserializes per process
+    n_keys = int(part["p_partkey"].max()) + 1
+    brand_labels, brand_codes_src = np.unique(
+        part["p_brand"].to_numpy(), return_inverse=True
     )
-    price_ref = ray.put(
-        dict(zip(part["p_partkey"].to_numpy(), part["p_retailprice"].to_numpy()))
-    )
+    brand_code_by_key = np.zeros(n_keys, dtype=np.int32)
+    brand_code_by_key[part["p_partkey"].to_numpy()] = brand_codes_src
+    price_by_key = np.zeros(n_keys, dtype=np.float64)
+    price_by_key[part["p_partkey"].to_numpy()] = part["p_retailprice"].to_numpy()
+    dim_ref = ray.put((brand_code_by_key, price_by_key, len(brand_labels)))
     li = _pq(
         sf_dir,
         "lineitem",
         columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def attach_and_combine(df: pd.DataFrame) -> pd.DataFrame:
+    def attach_and_combine(batch: pa.Table) -> pa.Table:
         # row filter fused into the batch fn (a separate filter(expr=)
         # operator measured 3x slower than the vectorized in-batch mask),
-        # then broadcast lookup + per-batch COMBINER: the shuffle moves one
-        # row per brand per batch (~25 rows), never the joined fact rows
-        df = df[df["l_quantity"] > 5].copy()
-        brands = _bget(brand_ref)
-        prices = _bget(price_ref)
-        df["p_brand"] = df["l_partkey"].map(brands)
-        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        df["retail"] = df["l_partkey"].map(prices) * df["l_quantity"]
-        return df.groupby("p_brand", as_index=False).agg(
-            sum_revenue=("revenue", "sum"),
-            sum_retail=("retail", "sum"),
-            n_lines=("revenue", "size"),
+        # then dense-array lookup + per-batch bincount COMBINER: the output
+        # is one row per brand per batch (~25 rows), never joined fact rows
+        codes_by_key, prices_by_key, n_brands = _bget(dim_ref)
+        qty = np.asarray(batch["l_quantity"], dtype=np.float64)
+        m = qty > 5
+        pk = np.asarray(batch["l_partkey"])[m]
+        qty = qty[m]
+        codes = codes_by_key[pk]
+        revenue = np.asarray(batch["l_extendedprice"])[m] * (
+            1.0 - np.asarray(batch["l_discount"])[m]
+        )
+        retail = prices_by_key[pk] * qty
+        return pa.table(
+            {
+                "brand_code": pa.array(np.arange(n_brands, dtype=np.int32)),
+                "sum_revenue": pa.array(
+                    np.bincount(codes, weights=revenue, minlength=n_brands)
+                ),
+                "sum_retail": pa.array(
+                    np.bincount(codes, weights=retail, minlength=n_brands)
+                ),
+                "n_lines": pa.array(
+                    np.bincount(codes, minlength=n_brands).astype(np.int64)
+                ),
+            }
         )
 
-    out = (
-        li.map_batches(attach_and_combine, batch_format="pandas")
-        .groupby("p_brand")
-        .aggregate(
-            Sum("sum_revenue", alias_name="sum_revenue"),
-            Sum("sum_retail", alias_name="sum_retail"),
-            Sum("n_lines", alias_name="n_lines"),
-        )
+    # final merge on the driver: the partials are (brands x blocks)-sized —
+    # dimension-bounded, NOT data-sized (25 brands x 100k blocks = 2.5M tiny
+    # rows at 100 TB) — so summing them here replaces a full groupby shuffle
+    # whose fixed cost dominates this query (measured 6.2 s -> ~2 s)
+    partials = li.map_batches(attach_and_combine, batch_format="pyarrow").to_pandas()
+    df = (
+        partials.groupby("brand_code", as_index=False)
+        .sum()
+        .sort_values("brand_code")
+        .reset_index(drop=True)
     )
-    df = out.to_pandas().sort_values("p_brand").reset_index(drop=True)
+    df["p_brand"] = brand_labels[df["brand_code"].to_numpy()]
+    df = df[df["n_lines"] > 0][
+        ["p_brand", "sum_revenue", "sum_retail", "n_lines"]
+    ].reset_index(drop=True)
     df["sum_revenue"] = df["sum_revenue"].round(2)
     df["sum_retail"] = df["sum_retail"].round(2)
+    df["n_lines"] = df["n_lines"].astype("int64")
     return df
 
 
