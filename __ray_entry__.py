@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_mix": q.docs_lang_mix,
         "events_histogram": r.events_histogram,
         "customer_order_counts": r.customer_order_counts,
+        "events_quantiles_sampled": r.events_quantiles_sampled,
         "customers_no_big_orders": r.customers_no_big_orders,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
@@ -487,6 +488,15 @@ p AS (
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(prefix // 2048 AS BIGINT) AS bin_id
 FROM p ORDER BY doc_id
+""",
+        "events_quantiles_sampled": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
+       round(quantile_disc(value, 0.25), 2) AS q25,
+       round(quantile_disc(value, 0.5), 2) AS q50,
+       round(quantile_disc(value, 0.9), 2) AS q90
+FROM events
+WHERE md5(CAST(event_id AS VARCHAR)) LIKE '0%'
+GROUP BY event_type ORDER BY event_type
 """,
         "customer_order_counts": """
 SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders

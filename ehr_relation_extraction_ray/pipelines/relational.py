@@ -671,3 +671,55 @@ def customers_no_big_orders(sf_dir: str, threshold: float = 400_000.0) -> pd.Dat
         .reset_index(drop=True)
     )
     return out[["c_custkey", "c_mktsegment"]]
+
+
+def events_quantiles_sampled(sf_dir: str) -> pd.DataFrame:
+    """Approximate per-group quantiles via a DETERMINISTIC hash sample —
+    the scale path when one key's values do NOT fit a partition (the
+    caveat on events_quantiles): keep rows whose md5(event_id) starts
+    with '0' (a content-addressed 1/16 Bernoulli — same rows at any
+    parallelism, SQL-reproducible), then run the exact per-group
+    discrete quantile on the sample. Rank error is O(1/sqrt(np)) per
+    group; the sample never exceeds p x corpus and the quantile step
+    inherits events_quantiles' partition-granular shape."""
+    import hashlib
+    import math
+
+    from ..functions.partitioning import groupby_partition
+
+    ev = _pq(sf_dir, "events", columns=["event_type", "event_id", "value"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        keep = [
+            hashlib.md5(str(i).encode()).hexdigest().startswith("0")
+            for i in batch["event_id"].to_pylist()
+        ]
+        return batch.filter(pa.array(keep)).drop_columns(["event_id"])
+
+    QS = (0.25, 0.5, 0.9)
+
+    def quants(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, sub in df.groupby("event_type", sort=False):
+            v = np.sort(sub["value"].to_numpy())
+            n = len(v)
+            row = {"event_type": t, "n_sample": n}
+            for q in QS:
+                idx = max(math.ceil(q * n) - 1, 0)
+                row[f"q{int(q * 100)}"] = round(float(v[idx]), 2)
+            rows.append(row)
+        return pd.DataFrame(
+            rows, columns=["event_type", "n_sample", "q25", "q50", "q90"]
+        )
+
+    out = (
+        groupby_partition(
+            ev.map_batches(sample, batch_format="pyarrow"),
+            "event_type",
+            quants,
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .astype({"n_sample": "int64"})
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
