@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_histogram": r.events_histogram,
         "customer_order_counts": r.customer_order_counts,
         "events_quantiles_sampled": r.events_quantiles_sampled,
+        "events_percent_rank": r.events_percent_rank,
         "customers_no_big_orders": r.customers_no_big_orders,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
@@ -488,6 +489,11 @@ p AS (
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(prefix // 2048 AS BIGINT) AS bin_id
 FROM p ORDER BY doc_id
+""",
+        "events_percent_rank": """
+SELECT event_id, round(value, 2) AS value,
+       round(percent_rank() OVER (ORDER BY value, event_id), 6) AS pct_rank
+FROM events ORDER BY event_id
 """,
         "events_quantiles_sampled": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,

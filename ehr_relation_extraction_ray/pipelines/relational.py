@@ -723,3 +723,43 @@ def events_quantiles_sampled(sf_dir: str) -> pd.DataFrame:
         .astype({"n_sample": "int64"})
     )
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """Global window function (percent_rank over the whole table) via the
+    distributed prefix-sum scan: rank = exclusive prefix count of ones in
+    (value, event_id) order — no driver-side sort, no per-row Python. The
+    tiebreak column makes the order total, so percent_rank degenerates to
+    (row_number-1)/(n-1), exactly SQL's definition under a unique key."""
+    from ..functions.scan import with_prefix_sum
+
+    ev = _pq(sf_dir, "events", columns=["event_id", "value"])
+    n = ev.count()
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
+
+    ranked = with_prefix_sum(
+        ev.map_batches(ones, batch_format="pyarrow"),
+        "_one",
+        ["value", "event_id"],
+        out_col="_rank0",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        pct = np.asarray(batch["_rank0"], dtype=np.float64) / max(n - 1, 1)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "value": pa.array(
+                    np.round(np.asarray(batch["value"], dtype=np.float64), 2)
+                ),
+                "pct_rank": pa.array(np.round(pct, 6)),
+            }
+        )
+
+    out = ranked.map_batches(finish, batch_format="pyarrow").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
