@@ -339,20 +339,8 @@ def events_sliding(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
 
-_BCAST_CACHE: dict = {}
-
-
-def _bget(ref):
-    """ray.get with a per-worker-process deserialization cache: plasma
-    zero-copies buffers, but Python dicts/DataFrames still DESERIALIZE on
-    every get — per-batch gets of a broadcast side turn into a per-task
-    CPU tax (measured ~40% of part_brand_margin). One deserialize per
-    process, keyed by object id."""
-    k = ref.hex() if hasattr(ref, "hex") else id(ref)
-    v = _BCAST_CACHE.get(k)
-    if v is None:
-        v = _BCAST_CACHE.setdefault(k, ray.get(ref))
-    return v
+# cached + retrying broadcast get (shared; see functions/broadcast.py)
+from ..functions.broadcast import bget as _bget  # noqa: E402
 
 
 def topk_events_per_type(sf_dir: str, k: int = 3) -> pd.DataFrame:

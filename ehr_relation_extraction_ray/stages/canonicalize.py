@@ -165,7 +165,9 @@ def link_mentions(
     """Attach ``node_id`` to every mention (broadcast dict lookup)."""
 
     def attach(batch: pa.Table) -> pa.Table:
-        mapping = ray.get(surface_map_ref)
+        from ..functions.broadcast import bget
+
+        mapping = bget(surface_map_ref)  # one deserialize per process
         node_ids = [
             mapping.get((t, normalize(s)), "")
             for t, s in zip(

@@ -1023,7 +1023,9 @@ def decontaminate(
     """
 
     def hits(batch: pa.Table) -> pa.Table:
-        bench = ray.get(bench_shingles_ref)
+        from ..functions.broadcast import bget
+
+        bench = bget(bench_shingles_ref)
         out_ids, out_hits = [], []
         for doc_id, text in zip(
             batch[id_col].to_pylist(), batch[text_col].to_pylist()

@@ -372,7 +372,9 @@ def unigram_logprob(
     lm_ref = ray.put(logp)
 
     def score(batch: pa.Table) -> pa.Table:
-        lm = ray.get(lm_ref)
+        from ..functions.broadcast import bget
+
+        lm = bget(lm_ref)
         ids, ns, avgs = [], [], []
         for doc_id, text in zip(
             batch[id_col].to_pylist(), batch[text_col].to_pylist()

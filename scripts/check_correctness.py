@@ -55,6 +55,8 @@ def main() -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # surface the real UDF exception instead of UserCodeException wrappers
+    DataContext.get_current().raise_original_map_exception = True
 
     import __ray_entry__ as entry_mod
 
