@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": r.customer_order_counts,
         "events_quantiles_sampled": r.events_quantiles_sampled,
         "events_percent_rank": r.events_percent_rank,
+        "event_type_user_counts": r.event_type_user_counts,
         "customers_no_big_orders": r.customers_no_big_orders,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
@@ -489,6 +490,10 @@ p AS (
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(prefix // 2048 AS BIGINT) AS bin_id
 FROM p ORDER BY doc_id
+""",
+        "event_type_user_counts": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
 """,
         "events_percent_rank": """
 SELECT event_id, round(value, 2) AS value,

@@ -751,3 +751,21 @@ def events_percent_rank(sf_dir: str) -> pd.DataFrame:
     out = ranked.map_batches(finish, batch_format="pyarrow").to_pandas()
     out["event_id"] = out["event_id"].astype("int64")
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def event_type_user_counts(sf_dir: str) -> pd.DataFrame:
+    """Exact per-type distinct-user count via the salted holistic
+    aggregate (functions/partitioning.salted_distinct_count) — each of
+    the 5 event_type keys is a deliberate hot key (every block touches
+    every key), exercising the hot-key fan-out path."""
+    from ..functions.partitioning import salted_distinct_count
+
+    ev = _pq(sf_dir, "events", columns=["event_type", "user_id"])
+    out = (
+        salted_distinct_count(ev, "event_type", "user_id", out_col="n_users")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out

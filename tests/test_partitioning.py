@@ -127,3 +127,32 @@ def test_verify_jaccard_paths_agree(ray_session):
     )
     assert len(fast) > 0
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_salted_distinct_count_exact_and_skew_proof(ray_session):
+    """Per-salt value sets are disjoint -> summed shard counts are EXACT;
+    one pathological hot key (90% of rows) gives the same answer as
+    pandas nunique at any parallelism/salt count."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ehr_relation_extraction_ray.functions.partitioning import (
+        salted_distinct_count,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    keys = np.where(rng.random(n) < 0.9, "hot", rng.choice(["a", "b"], size=n))
+    vals = rng.integers(0, 800, size=n).astype("int64")
+    df = pd.DataFrame({"k": keys, "v": vals})
+    want = df.groupby("k")["v"].nunique().sort_index()
+    for nparts, salts in ((2, 4), (8, 16)):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        got = (
+            salted_distinct_count(ds, "k", "v", num_salts=salts)
+            .to_pandas()
+            .sort_values("k")
+            .set_index("k")["n_distinct"]
+        )
+        assert got.to_dict() == want.to_dict()
