@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": q.docs_repetition,
         "docs_pack_bins": q.docs_pack_bins,
         "docs_lang_mix": q.docs_lang_mix,
+        "docs_jsonl_roundtrip": q.docs_jsonl_roundtrip,
         "events_histogram": r.events_histogram,
         "customer_order_counts": r.customer_order_counts,
         "events_quantiles_sampled": r.events_quantiles_sampled,
@@ -108,6 +109,12 @@ def _ade_sql_path() -> str:
     from ehr_relation_extraction_ray.pipelines import queries as q
 
     return q.ade_path(SF_CORRECTNESS_DIR)
+
+
+def _jsonl_sql_glob() -> str:
+    from ehr_relation_extraction_ray.pipelines import queries as q
+
+    return q.jsonl_dir(SF_CORRECTNESS_DIR) + "/*"
 
 
 def _media_sql_path() -> str:
@@ -519,6 +526,11 @@ SELECT c_custkey, c_mktsegment FROM customer
 WHERE c_custkey NOT IN (
   SELECT o_custkey FROM orders WHERE o_totalprice > 400000
 ) ORDER BY c_custkey
+""",
+        "docs_jsonl_roundtrip": f"""
+SELECT doc_id, lang, md5(text) AS text_md5
+FROM read_json_auto('{_jsonl_sql_glob()}')
+ORDER BY doc_id
 """,
         "docs_lang_mix": r"""
 WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs

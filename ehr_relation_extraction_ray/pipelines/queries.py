@@ -270,6 +270,46 @@ def docs_lang_mix(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def jsonl_dir(sf_dir: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    return f"/tmp/graft_jsonl/sf{sf}/documents"
+
+
+def docs_jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """JSONL sink+source roundtrip: write the documents table as sharded
+    JSONL (``Dataset.write_json`` — one file per block, the resumable
+    partitioned-output layout), read it back with ``ray.data.read_json``,
+    and digest per row. The oracle reads the SAME shards with DuckDB's
+    independent JSON parser, so a hash match proves encode/decode
+    fidelity, not just self-consistency."""
+    import shutil
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    out_dir = jsonl_dir(sf_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    docs.write_json(out_dir)
+    back = ray.data.read_json(out_dir)
+
+    def digest(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "lang": df["lang"],
+                "text_md5": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest()
+                    for t in df["text"]
+                ],
+            }
+        )
+
+    out = back.map_batches(digest, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
