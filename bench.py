@@ -180,9 +180,13 @@ def main() -> None:
         # Alternating children and taking the median of per-pair
         # efficiencies cancels the drift; all raw runs are reported.
         pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
-        runs_lo, runs_hi, effs = [], [], []
+        runs_lo, runs_hi, effs, loadavgs = [], [], [], []
         r_lo = r_hi = None
         for _ in range(pairs):
+            # host 1-min load BEFORE each pair: external load >~6 on this
+            # shared VM demonstrably corrupts the comparison (BASELINE.md);
+            # carrying it in the JSON lets a reader judge each pair
+            loadavgs.append(round(os.getloadavg()[0], 1))
             r_lo = _run_child(lo, bench_path)
             r_hi = _run_child(hi, bench_path)
             runs_lo.extend(r_lo["runs"])
@@ -209,6 +213,7 @@ def main() -> None:
                     "scaling_efficiency_steady_state": round(eff_min, 3),
                     "n_convs": n_convs,
                     "triples": r_hi["triples"],
+                    "loadavg_before_pairs": loadavgs,
                 }
             )
         )
