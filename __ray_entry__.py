@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_pairs": q.docs_simhash_pairs,
         "embeddings_topk": q.embeddings_topk,
         "embeddings_ivf_topk": q.embeddings_ivf_topk,
+        "embeddings_cluster_sizes": q.embeddings_cluster_sizes,
         "embeddings_cosine_dup": q.embeddings_cosine_dup,
         "embeddings_cosine_dup_lsh": q.embeddings_cosine_dup_lsh,
         "media_features": q.media_features,
@@ -635,6 +636,10 @@ FROM read_parquet('{_fixture("docs_simhash_pairs")}') ORDER BY doc_a, doc_b
         "embeddings_ivf_topk": f"""
 SELECT query_id, vec_id, rank
 FROM read_parquet('{_fixture("embeddings_ivf_topk")}') ORDER BY query_id, rank
+""",
+        "embeddings_cluster_sizes": f"""
+SELECT cell, n_vecs, mean_sim
+FROM read_parquet('{_fixture("embeddings_cluster_sizes")}') ORDER BY cell
 """,
         "media_resize_frames": f"""
 SELECT * FROM (

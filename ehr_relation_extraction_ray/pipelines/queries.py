@@ -449,6 +449,51 @@ def embeddings_topk(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def embeddings_cluster_sizes(sf_dir: str) -> pd.DataFrame:
+    """K-means cluster profile over the embedding corpus: per-cell vector
+    count + mean cosine to the own centroid. Centroids are sample-fit on
+    the driver and broadcast (similarity.train_centroids); the corpus pass
+    is one zero-shuffle map_batches emitting per-block (cell, n, sum_sim)
+    partials — (nlist x blocks)-bounded, merged on the driver (the
+    driver-partial-merge pattern). Hash-checked against an independent
+    serial k-means recompute (serial_oracle fixture)."""
+    from ..stages import similarity
+
+    vecs = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cent = similarity.train_centroids(vecs, nlist=8)
+    cent_ref = ray.put(np.asarray(cent, dtype=np.float32))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..functions.broadcast import bget
+
+        c = bget(cent_ref)
+        m = similarity._normalize(similarity._batch_matrix(batch, "embedding"))
+        sims = m @ c.T.astype(np.float64)
+        cells = np.argmax(sims, axis=1)
+        own = sims[np.arange(len(cells)), cells]
+        n = np.bincount(cells, minlength=len(c))
+        s = np.bincount(cells, weights=own, minlength=len(c))
+        return pa.table(
+            {
+                "cell": pa.array(np.arange(len(c), dtype=np.int64)),
+                "n": pa.array(n.astype(np.int64)),
+                "s": pa.array(s),
+            }
+        )
+
+    parts = vecs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("cell", as_index=False).sum()
+    g = g[g["n"] > 0].reset_index(drop=True)
+    out = pd.DataFrame(
+        {
+            "cell": g["cell"].astype("int64"),
+            "n_vecs": g["n"].astype("int64"),
+            "mean_sim": (g["s"] / g["n"]).round(6),
+        }
+    )
+    return out.sort_values("cell").reset_index(drop=True)
+
+
 def embeddings_ivf_topk(sf_dir: str) -> pd.DataFrame:
     """Rows-only: IVF probe path (approximate; recall checked in tests)."""
     from ..stages import similarity

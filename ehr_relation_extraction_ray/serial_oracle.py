@@ -760,6 +760,58 @@ def serial_ivf_topk_df(
     )
 
 
+def serial_ivf_cluster_sizes_df(
+    embeddings: np.ndarray,
+    nlist: int = 8,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 13,
+) -> pd.DataFrame:
+    """Cluster-profile fixture: the same deterministic k-means spec as
+    stages/similarity.train_centroids re-run serially, then per-cell
+    count + mean cosine to the own centroid over the full corpus."""
+
+    def norm(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    m32 = norm(embeddings.astype(np.float32))
+    m64 = norm(embeddings.astype(np.float64))
+    sample = m32[:sample_size]
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = norm(cent)
+    sims_all = m64 @ cent.T.astype(np.float64)
+    cells = np.argmax(sims_all, axis=1)
+    own = sims_all[np.arange(len(cells)), cells]
+    rows = []
+    for c in range(len(cent)):
+        mask = cells == c
+        n = int(mask.sum())
+        if n == 0:
+            continue
+        rows.append(
+            {
+                "cell": c,
+                "n_vecs": n,
+                "mean_sim": round(float(own[mask].sum() / n), 6),
+            }
+        )
+    return (
+        pd.DataFrame(rows, columns=["cell", "n_vecs", "mean_sim"])
+        .astype({"cell": "int64", "n_vecs": "int64"})
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+
+
 # -- fixture plumbing (driver oracle_sql support) ----------------------------
 
 # bump when any serial semantics above change, so stale /tmp fixtures from a
@@ -819,6 +871,10 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         vec_ids = np.asarray(t["vec_id"])
         emb = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()])
         return serial_ivf_topk_df(vec_ids, emb, [0, 1, 2])
+    if name == "embeddings_cluster_sizes":
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        emb = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()])
+        return serial_ivf_cluster_sizes_df(emb)
     raise KeyError(name)
 
 
