@@ -151,7 +151,7 @@ def docs_stats(sf_dir: str) -> pd.DataFrame:
 
 
 def docs_quality(sf_dir: str) -> pd.DataFrame:
-    """Rows-only: heuristic quality/lang features (not SQL-expressible)."""
+    """Heuristic quality/lang features (serial-fixture hash oracle)."""
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
@@ -318,7 +318,8 @@ def docs_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
 
 
 def docs_minhash_pairs(sf_dir: str) -> pd.DataFrame:
-    """Rows-only: LSH candidates verified by shingle-hash Jaccard."""
+    """LSH candidates + exact-Jaccard verify (oracle: exact n-gram SQL
+    — equal whenever LSH recall is 1 at this sf, which the driver checks)."""
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
@@ -389,7 +390,7 @@ def docs_dup_clusters(sf_dir: str) -> pd.DataFrame:
 
 
 def docs_simhash_pairs(sf_dir: str) -> pd.DataFrame:
-    """Rows-only: simhash Hamming<=3 near-dup pairs."""
+    """Simhash Hamming<=3 near-dup pairs (serial-fixture hash oracle)."""
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
@@ -495,7 +496,7 @@ def embeddings_cluster_sizes(sf_dir: str) -> pd.DataFrame:
 
 
 def embeddings_ivf_topk(sf_dir: str) -> pd.DataFrame:
-    """Rows-only: IVF probe path (approximate; recall checked in tests)."""
+    """IVF probe path (hash oracle: serial k-means+probe fixture)."""
     from ..stages import similarity
 
     vecs = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -551,7 +552,7 @@ def embeddings_cosine_dup(sf_dir: str) -> pd.DataFrame:
 
 
 def embeddings_cosine_dup_lsh(sf_dir: str) -> pd.DataFrame:
-    """Rows-only: SRP-LSH blocked near-dup (approximate; recall vs the
+    """SRP-LSH blocked near-dup (approximate; recall vs the
     exact path is asserted in tests)."""
     from ..stages import similarity
 
@@ -561,7 +562,7 @@ def embeddings_cosine_dup_lsh(sf_dir: str) -> pd.DataFrame:
 
 
 def kg_conll_export(sf_dir: str) -> pd.DataFrame:
-    """Rows-only: NER CoNLL export roundtrip — export to shards, read the
+    """NER CoNLL export roundtrip (serial-fixture oracle) — shards read
     shards back, return per-label token counts (stable digest of S5/S6)."""
     import tempfile
 
@@ -585,7 +586,7 @@ def kg_conll_export(sf_dir: str) -> pd.DataFrame:
 
 
 def kg_re_export(sf_dir: str) -> pd.DataFrame:
-    """Rows-only: RE TSV export roundtrip — candidate shards written, read
+    """RE TSV export roundtrip (serial-fixture oracle) — shards written, read
     back, counted per split (S7/S8 digest)."""
     import tempfile
 
@@ -893,7 +894,7 @@ def kg_eval_detailed(sf_dir: str) -> pd.DataFrame:
 
 
 def kg_eval_invariance(sf_dir: str) -> pd.DataFrame:
-    """Rows-only: distributed triple-set + span P/R/F1 counters (G3/J3)
+    """Distributed triple-set + span P/R/F1 counters (G3/J3, hash oracle)
     scoring one pipeline configuration against another (different read
     parallelism + scorer pathway) — both metrics must be exactly 1.0,
     which simultaneously exercises the evaluator shuffle and evidences
@@ -927,7 +928,7 @@ def kg_eval_invariance(sf_dir: str) -> pd.DataFrame:
 
 
 def media_resize_frames(sf_dir: str) -> pd.DataFrame:
-    """Rows-only: image resize + video frame sampling (actor pools over
+    """Image resize + video frame sampling (fixture oracle; actor pools over
     binary columns; codecs stubbed deterministically)."""
     media = ray.data.read_parquet(media_path(sf_dir))
     resized = multimodal.resize_images(media, width=16, height=16, concurrency=2)
