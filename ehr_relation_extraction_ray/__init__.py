@@ -18,3 +18,25 @@ aggregate counters).
 """
 
 __version__ = "0.1.0"
+
+
+def _configure_ray_data() -> None:
+    """Engine-wide Ray Data context defaults.
+
+    ``use_polars_sort=False``: Ray's polars-backed sort path lazy-imports
+    polars inside sort tasks and intermittently fails with
+    ``module 'polars' has no attribute 'Series'`` (a partial-import race
+    observed twice across long multi-query sessions). The Arrow sort path
+    is deterministic and within noise of polars at our block sizes, so the
+    engine pins it. Runs in every process that imports the package
+    (driver AND Ray workers deserializing UDFs).
+    """
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().use_polars_sort = False
+    except Exception:  # pragma: no cover - ray absent or API moved
+        pass
+
+
+_configure_ray_data()
