@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_bins": q.docs_pack_bins,
         "docs_lang_mix": q.docs_lang_mix,
         "docs_jsonl_roundtrip": q.docs_jsonl_roundtrip,
+        "docs_top_terms": q.docs_top_terms,
         "events_histogram": r.events_histogram,
         "customer_order_counts": r.customer_order_counts,
         "events_quantiles_sampled": r.events_quantiles_sampled,
@@ -527,6 +528,14 @@ SELECT c_custkey, c_mktsegment FROM customer
 WHERE c_custkey NOT IN (
   SELECT o_custkey FROM orders WHERE o_totalprice > 400000
 ) ORDER BY c_custkey
+""",
+        "docs_top_terms": r"""
+SELECT term, CAST(c AS BIGINT) AS c FROM (
+  SELECT tok AS term, count(*) AS c FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0 GROUP BY tok
+) ORDER BY c DESC, term LIMIT 10
 """,
         "docs_jsonl_roundtrip": f"""
 SELECT doc_id, lang, md5(text) AS text_md5

@@ -83,3 +83,30 @@ def hll_estimate(regs: np.ndarray) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+def misra_gries(counts: dict, capacity: int) -> dict:
+    """Reduce a term->count dict to a Misra-Gries summary of at most
+    ``capacity`` entries. Guarantee: any term with true total count
+    > total/capacity survives, and kept counts underestimate by at most
+    total/capacity. Deterministic (no tie randomness: decrement applies
+    to ALL entries equally)."""
+    if len(counts) <= capacity:
+        return dict(counts)
+    # decrement by the (capacity+1)-th largest count: one vectorized step
+    # equivalent to repeated MG decrements until <= capacity entries remain
+    import numpy as np
+
+    vals = np.sort(np.fromiter(counts.values(), dtype=np.int64))[::-1]
+    cut = vals[capacity]
+    return {t: c - cut for t, c in counts.items() if c > cut}
+
+
+def misra_gries_merge(summaries, capacity: int) -> dict:
+    """Merge MG summaries (sum counts, re-reduce): the standard mergeable
+    heavy-hitters composition (Agarwal et al., 'Mergeable Summaries')."""
+    total: dict = {}
+    for s in summaries:
+        for t, c in s.items():
+            total[t] = total.get(t, 0) + c
+    return misra_gries(total, capacity)

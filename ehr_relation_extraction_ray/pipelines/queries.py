@@ -310,6 +310,18 @@ def docs_jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_top_terms(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Exact global top-k terms via the two-pass heavy-hitters pattern
+    (Misra-Gries candidates + exact recount of the broadcast candidate
+    set — bounded memory at any vocabulary size)."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    out = text_analysis.heavy_hitter_terms(docs, k=k)
+    out["c"] = out["c"].astype("int64")
+    return out
+
+
 def docs_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]

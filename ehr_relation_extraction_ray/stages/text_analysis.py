@@ -443,3 +443,77 @@ def repetition_signals(
         )
 
     return docs.map_batches(sig, batch_format="pyarrow")
+
+
+def heavy_hitter_terms(
+    docs: "ray.data.Dataset",
+    k: int = 10,
+    capacity: int = 256,
+    text_col: str = "text",
+) -> "pd.DataFrame":
+    """EXACT global top-k terms in bounded memory — the two-pass
+    heavy-hitters pattern for vocabularies too large to shuffle:
+
+    1. each block folds its tokens into a Misra-Gries summary of
+       ``capacity`` entries (functions/sketch) — the driver merge sees
+       ``capacity x blocks`` rows, never the vocabulary;
+    2. the merged summary's top ``2k`` terms become the candidate set
+       (MG guarantees every term with count > n/capacity survives, so
+       for k << capacity the true top-k are all candidates);
+    3. a second zero-shuffle pass counts ONLY the broadcast candidates
+       exactly; final order is (count desc, term).
+
+    Returns a pandas DataFrame (term, c) of k rows with EXACT counts.
+    """
+    import pandas as pd
+
+    from ..functions.broadcast import bget
+    from ..functions.sketch import misra_gries, misra_gries_merge
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        words = pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
+        flat = pc.list_flatten(words)
+        keep = np.asarray(pc.utf8_length(flat)) > 0
+        s = pd.Series(np.asarray(flat)[keep])
+        mg = misra_gries(s.value_counts(sort=False).to_dict(), capacity)
+        return pa.table(
+            {
+                "term": pa.array(list(mg.keys()), pa.string()),
+                "c": pa.array(np.fromiter(mg.values(), dtype=np.int64)),
+            }
+        )
+
+    partials = docs.map_batches(block_summary, batch_format="pyarrow").to_pandas()
+    # one-shot merge of all block summaries: summing duplicate terms first
+    # IS misra_gries_merge over the per-block dicts (addition commutes)
+    merged = misra_gries(
+        partials.groupby("term")["c"].sum().to_dict(), capacity
+    )
+    cands = sorted(merged, key=lambda t: (-merged[t], t))[: 2 * k]
+    cand_ref = ray.put(frozenset(cands))
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        cset = bget(cand_ref)
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        words = pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
+        flat = np.asarray(pc.list_flatten(words))
+        s = pd.Series(flat)
+        vc = s[s.isin(cset)].value_counts(sort=False)
+        return pa.table(
+            {
+                "term": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "c": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    exact = docs.map_batches(exact_counts, batch_format="pyarrow").to_pandas()
+    out = exact.groupby("term", as_index=False)["c"].sum()
+    out = out.sort_values(["c", "term"], ascending=[False, True], kind="stable")
+    return out.head(k).reset_index(drop=True)

@@ -89,3 +89,53 @@ def test_repetition_signals_hand_computed(ray_session):
     assert out["dup_line_frac"][1] == 0.0
     # doc 1: 6 words -> 5 bigrams, "same line" occurs twice -> 2/5
     assert out["top_bigram_frac"].tolist() == pytest.approx([2 / 5, 1.0, 0.0])
+
+
+def test_misra_gries_guarantee_and_merge():
+    """Any term with count > n/(capacity+1) survives reduction and merge;
+    kept counts underestimate by at most that bound."""
+    from collections import Counter
+
+    from ehr_relation_extraction_ray.functions.sketch import (
+        misra_gries,
+        misra_gries_merge,
+    )
+
+    rng = np.random.default_rng(17)
+    # zipf-ish stream over a vocabulary much larger than capacity
+    stream = [f"t{int(z)}" for z in rng.zipf(1.3, size=20000) if z < 5000]
+    true = Counter(stream)
+    n = len(stream)
+    cap = 64
+    mg = misra_gries(dict(true), cap)
+    assert len(mg) <= cap
+    bound = n / (cap + 1)
+    for t, c in true.items():
+        if c > bound:
+            assert t in mg
+            assert 0 < mg[t] <= c
+    # merging per-chunk summaries keeps the same guarantee
+    chunks = [stream[i::4] for i in range(4)]
+    merged = misra_gries_merge(
+        [misra_gries(dict(Counter(ch)), cap) for ch in chunks], cap
+    )
+    for t, c in true.items():
+        if c > 2 * bound:  # merge doubles the underestimate bound
+            assert t in merged
+
+
+def test_heavy_hitter_terms_exact_topk(ray_session):
+    """Two-pass heavy hitters returns the EXACT top-k with exact counts
+    on a skewed corpus, at small capacity, any parallelism."""
+    from collections import Counter
+
+    rng = np.random.default_rng(23)
+    texts = [
+        " ".join(f"w{int(z)}" for z in rng.zipf(1.5, size=50) if z < 3000)
+        for _ in range(200)
+    ]
+    true = Counter(w for t in texts for w in t.split())
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(6)
+    got = text_analysis.heavy_hitter_terms(ds, k=5, capacity=128)
+    assert list(zip(got["term"], got["c"])) == want
