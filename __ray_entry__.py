@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percent_rank": r.events_percent_rank,
         "event_type_user_counts": r.event_type_user_counts,
         "customers_no_big_orders": r.customers_no_big_orders,
+        "events_zscore": r.events_zscore,
+        "events_lag_delta": r.events_lag_delta,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_dup_clusters": q.docs_dup_clusters,
@@ -508,6 +510,24 @@ FROM events GROUP BY event_type ORDER BY event_type
 SELECT event_id, round(value, 2) AS value,
        round(percent_rank() OVER (ORDER BY value, event_id), 6) AS pct_rank
 FROM events ORDER BY event_id
+""",
+        "events_zscore": """
+SELECT event_id, event_type,
+       round((value - avg(value) OVER (PARTITION BY event_type))
+             / stddev_pop(value) OVER (PARTITION BY event_type), 4) AS zscore
+FROM events ORDER BY event_id
+""",
+        "events_lag_delta": """
+WITH d AS (
+  SELECT user_id,
+         value - LAG(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS delta
+  FROM events
+)
+SELECT user_id, CAST(count(delta) AS BIGINT) AS n_deltas,
+       round(sum(abs(delta)), 2) AS sum_abs_delta
+FROM d GROUP BY user_id ORDER BY user_id
 """,
         "events_quantiles_sampled": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,

@@ -769,3 +769,84 @@ def event_type_user_counts(sf_dir: str) -> pd.DataFrame:
     )
     out["n_users"] = out["n_users"].astype("int64")
     return out
+
+
+def events_zscore(sf_dir: str) -> pd.DataFrame:
+    """Group-wise normalization (z-score per event_type) as the canonical
+    two-pass broadcast pattern: pass 1 reduces each block to (n, sum,
+    sumsq) partials per type — the key space is dimension-bounded (5
+    types), so the partials are merged on the driver (playbook: each Ray
+    groupby costs ~1.2 s fixed on this box) — then the 5-row stats table
+    is ``ray.put`` once and pass 2 normalizes every row vectorized. At
+    100 TB this is two streaming scans and zero shuffles; the broadcast
+    side is O(#groups), never O(rows).
+    """
+    ev = _pq(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["value"], dtype=np.float64)
+        g = pd.DataFrame(
+            {"event_type": batch["event_type"].to_pandas(), "v": v, "v2": v * v}
+        ).groupby("event_type", sort=False).agg(
+            n=("v", "size"), s=("v", "sum"), s2=("v2", "sum")
+        )
+        return pa.Table.from_pandas(g.reset_index())
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    stats = parts.groupby("event_type").sum()
+    mean = stats["s"] / stats["n"]
+    # population stddev, matching SQL stddev_pop
+    std = np.sqrt(stats["s2"] / stats["n"] - mean * mean)
+    stats_ref = ray.put(
+        (dict(zip(stats.index, mean.to_numpy())), dict(zip(stats.index, std.to_numpy())))
+    )
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        m, s = _bget(stats_ref)
+        types = batch["event_type"].to_pandas()
+        mu = types.map(m).to_numpy(dtype=np.float64)
+        sd = types.map(s).to_numpy(dtype=np.float64)
+        z = (np.asarray(batch["value"], dtype=np.float64) - mu) / sd
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "zscore": pa.array(np.round(z, 4)),
+            }
+        )
+
+    out = ev.map_batches(normalize, batch_format="pyarrow").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_lag_delta(sf_dir: str) -> pd.DataFrame:
+    """LAG window function per partition key: consecutive-event value
+    deltas within each user's (ts, event_id) order, digested per user.
+    One hash shuffle on user_id at partition granularity
+    (functions/partitioning.groupby_partition), vectorized pandas
+    ``groupby.diff`` inside — the same shape sessionize_events uses, so
+    skew and scale behavior are shared."""
+    from ..functions.partitioning import groupby_partition
+
+    ev = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        d = df.groupby("user_id", sort=False)["value"].diff().abs()
+        agg = (
+            pd.DataFrame({"user_id": df["user_id"].to_numpy(), "d": d.to_numpy()})
+            .groupby("user_id")["d"]
+            .agg(n_deltas="count", sum_abs_delta="sum")
+            .reset_index()
+        )
+        agg["n_deltas"] = agg["n_deltas"].astype("int64")
+        agg["sum_abs_delta"] = agg["sum_abs_delta"].round(2)
+        return agg
+
+    out = (
+        groupby_partition(ev, "user_id", deltas, batch_format="pandas")
+        .to_pandas()
+        .astype({"user_id": "int64", "n_deltas": "int64"})
+    )
+    return out.sort_values("user_id").reset_index(drop=True)

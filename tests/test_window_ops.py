@@ -1,0 +1,45 @@
+"""Group-wise normalization (z-score) and LAG-delta window operators."""
+
+import numpy as np
+import pandas as pd
+
+from ehr_relation_extraction_ray.pipelines import relational
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_events_zscore_matches_pandas(ray_session):
+    got = relational.events_zscore(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    g = ev.groupby("event_type")["value"]
+    z = (ev["value"] - g.transform("mean")) / g.transform(lambda s: s.std(ddof=0))
+    want = ev.assign(zscore=z.round(4)).drop(columns="value")
+    want = want.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["event_id", "event_type", "zscore"]],
+        want[["event_id", "event_type", "zscore"]],
+        check_dtype=False,
+    )
+    # per-group z-scores sum to ~0 by construction
+    assert abs(got["zscore"].sum()) < 1.0
+
+
+def test_events_lag_delta_matches_pandas(ray_session):
+    got = relational.events_lag_delta(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    d = ev.groupby("user_id")["value"].diff().abs()
+    want = (
+        pd.DataFrame({"user_id": ev["user_id"].to_numpy(), "d": d.to_numpy()})
+        .groupby("user_id")["d"]
+        .agg(n_deltas="count", sum_abs_delta="sum")
+        .reset_index()
+    )
+    want["sum_abs_delta"] = want["sum_abs_delta"].round(2)
+    want = want.sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every user with k events contributes exactly k-1 deltas
+    counts = ev.groupby("user_id").size()
+    assert int(got["n_deltas"].sum()) == int((counts - 1).sum())
