@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_mix": q.docs_lang_mix,
         "docs_jsonl_roundtrip": q.docs_jsonl_roundtrip,
         "docs_top_terms": q.docs_top_terms,
+        "docs_normalize": q.docs_normalize,
+        "embeddings_dim_stats": q.embeddings_dim_stats,
         "events_histogram": r.events_histogram,
         "customer_order_counts": r.customer_order_counts,
         "events_quantiles_sampled": r.events_quantiles_sampled,
@@ -568,6 +570,23 @@ WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
 t AS (SELECT sum(n_docs) AS total, count(*) AS k FROM c)
 SELECT lang, n_docs, round(total / (k * n_docs), 6) AS mix_weight
 FROM c, t ORDER BY lang
+""",
+        "docs_normalize": r"""
+SELECT doc_id,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+         AS n_digits,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '\d', '0', 'g'),
+                               '\s+', ' ', 'g'))) AS norm_md5
+FROM documents ORDER BY doc_id
+""",
+        "embeddings_dim_stats": """
+SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       round(avg(x), 6) AS mean, round(stddev_pop(x), 6) AS sd
+FROM (
+  SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+)
+GROUP BY dim ORDER BY dim
 """,
         "events_histogram": r"""
 SELECT bin, round(bin * 25.0, 2) AS bin_lo, CAST(count(*) AS BIGINT) AS n_events

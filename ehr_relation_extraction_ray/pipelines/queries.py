@@ -961,3 +961,44 @@ def media_resize_frames(sf_dir: str) -> pd.DataFrame:
             },
         ]
     ).sort_values("stage").reset_index(drop=True)
+
+
+def docs_normalize(sf_dir: str) -> pd.DataFrame:
+    """LM text normalization (lower / digit-fold / whitespace-squash) as
+    pure RE2 Arrow kernels; digested to md5 per doc for the hash oracle."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    norm = text_analysis.normalize(docs)
+
+    def digest(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_digits": batch["n_digits"],
+                "norm_md5": pa.array(
+                    [
+                        hashlib.md5(t.encode("utf-8")).hexdigest()
+                        for t in batch["norm_text"].to_pylist()
+                    ]
+                ),
+            }
+        )
+
+    out = norm.map_batches(digest, batch_format="pyarrow").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_digits"] = out["n_digits"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def embeddings_dim_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension mean/stddev over the embedding column (the feature-
+    normalization precursor for ANN / model input): dimension-bounded
+    combiner partials, driver merge, zero shuffles."""
+    from ..stages import similarity
+
+    vecs = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    out = similarity.dim_stats(vecs).to_pandas()
+    return out.sort_values("dim").reset_index(drop=True)

@@ -522,3 +522,41 @@ def cosine_dup_pairs_lsh(
     if out.empty:
         return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def dim_stats(vectors: "ray.data.Dataset", vec_col: str = "embedding") -> pa.Table:
+    """Per-dimension mean / population-stddev of an embedding column.
+
+    Combiner pattern: each block reduces to one (dims x 3) partial —
+    n, sum, sum-of-squares per dimension via one numpy matrix pass —
+    and the driver merges the (dims x blocks)-bounded partials (playbook:
+    a Ray groupby costs ~1.2 s fixed; the partial table here is tiny and
+    dimension-bounded, never O(rows)). At 100 TB this is one streaming
+    scan; the reduce side is KBs.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, vec_col).astype(np.float64)
+        d = m.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "n": pa.array(np.full(d, m.shape[0], dtype=np.int64)),
+                "s": pa.array(m.sum(axis=0)),
+                "s2": pa.array((m * m).sum(axis=0)),
+            }
+        )
+
+    parts = (
+        vectors.map_batches(partial, batch_format="pyarrow").to_pandas()
+        .groupby("dim").sum().reset_index()
+    )
+    mean = parts["s"] / parts["n"]
+    sd = np.sqrt(parts["s2"] / parts["n"] - mean * mean)
+    return pa.table(
+        {
+            "dim": pa.array(parts["dim"].to_numpy(dtype=np.int64)),
+            "n": pa.array(parts["n"].to_numpy(dtype=np.int64)),
+            "mean": pa.array(np.round(mean.to_numpy(), 6)),
+            "sd": pa.array(np.round(sd.to_numpy(), 6)),
+        }
+    )

@@ -517,3 +517,28 @@ def heavy_hitter_terms(
     out = exact.groupby("term", as_index=False)["c"].sum()
     out = out.sort_values(["c", "term"], ascending=[False, True], kind="stable")
     return out.head(k).reset_index(drop=True)
+
+
+def normalize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """LM-pretraining text normalization, pure Arrow kernels (zero-copy,
+    no Python per row): lowercase, digits -> '0', whitespace runs -> one
+    space, trim. Both pyarrow and DuckDB compile regexes with RE2, so the
+    oracle (`regexp_replace(..., 'g')`) is dialect-identical. Emits the
+    digit count alongside so the scrub is auditable (no silent edits)."""
+    text = batch[text_col]
+    n_digits = pc.count_substring_regex(text, r"\d")
+    norm = pc.utf8_lower(text)
+    norm = pc.replace_substring_regex(norm, r"\d", "0")
+    norm = pc.replace_substring_regex(norm, r"\s+", " ")
+    norm = pc.utf8_trim_whitespace(norm)
+    return batch.append_column("n_digits", pc.cast(n_digits, pa.int64())) \
+                .append_column("norm_text", norm)
+
+
+def normalize(
+    ds: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Streamed normalization pass — one map_batches, no shuffle."""
+    return ds.map_batches(
+        lambda b: normalize_batch(b, text_col), batch_format="pyarrow"
+    )

@@ -1,5 +1,6 @@
 """Distributed connected components (stages/clusters) vs serial union-find."""
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -99,3 +100,19 @@ def test_max_rounds_raises():
     )
     with pytest.raises(RuntimeError, match="no fixed point"):
         clusters.dup_clusters(ds, max_rounds=2, num_partitions=4)
+
+
+def test_dim_stats_matches_numpy(ray_session):
+    from ehr_relation_extraction_ray.stages import similarity
+
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(300, 8)).astype(np.float32)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"embedding": [row.tolist() for row in m]})
+    ).repartition(5)
+    got = similarity.dim_stats(ds).to_pandas().sort_values("dim")
+    md = m.astype(np.float64)
+    assert list(got["dim"]) == list(range(1, 9))
+    assert (got["n"] == 300).all()
+    np.testing.assert_allclose(got["mean"], np.round(md.mean(axis=0), 6), atol=2e-6)
+    np.testing.assert_allclose(got["sd"], np.round(md.std(axis=0), 6), atol=2e-6)

@@ -139,3 +139,30 @@ def test_heavy_hitter_terms_exact_topk(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(6)
     got = text_analysis.heavy_hitter_terms(ds, k=5, capacity=128)
     assert list(zip(got["term"], got["c"])) == want
+
+
+def test_normalize_hand_cases(ray_session):
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "  Call 555-1234\tNOW!!  ",
+                    "no digits here",
+                    "A\n\nB  C\t7",
+                ],
+            }
+        )
+    )
+    out = (
+        text_analysis.normalize(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["norm_text"]) == [
+        "call 000-0000 now!!",
+        "no digits here",
+        "a b c 0",
+    ]
+    assert list(out["n_digits"]) == [7, 0, 1]
