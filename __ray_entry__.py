@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": q.docs_stratified_sample,
         "docs_decontaminate": q.docs_decontaminate,
         "docs_unigram_logprob": q.docs_unigram_logprob,
+        "docs_bloom_decontaminate": q.docs_bloom_decontaminate,
         "docs_repetition": q.docs_repetition,
         "docs_pack_bins": q.docs_pack_bins,
         "docs_lang_mix": q.docs_lang_mix,
@@ -433,6 +434,21 @@ SELECT lang, rank, doc_id, sample_key FROM (
 ) WHERE rank <= 20 ORDER BY lang, rank
 """,
         "docs_decontaminate": r"""
+WITH words AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+               FROM documents WHERE length(trim(text)) > 0),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+                   i -> array_to_string(w[i:i+4], ' '))) AS shingle
+    FROM words)
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM sh s JOIN bench b USING (shingle)
+WHERE s.doc_id % 17 <> 0
+GROUP BY s.doc_id ORDER BY s.doc_id
+""",
+        "docs_bloom_decontaminate": r"""
 WITH words AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
                FROM documents WHERE length(trim(text)) > 0),
 sh AS (

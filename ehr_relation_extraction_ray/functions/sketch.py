@@ -110,3 +110,46 @@ def misra_gries_merge(summaries, capacity: int) -> dict:
         for t, c in s.items():
             total[t] = total.get(t, 0) + c
     return misra_gries(total, capacity)
+
+
+# -- Bloom filter (broadcast membership prefilter) ---------------------------
+#
+# Double hashing (Kirsch-Mitzenmacher): probe_i = h1 + i*h2 (mod m) gives
+# the asymptotic FP rate of i independent hash functions from two. m is
+# packed into uint64 words so an m=2^23-bit filter broadcasts as 1 MiB —
+# ~10 bits/element vs the 8 bytes/element of the exact hash set.
+
+
+def bloom_positions(hashes: np.ndarray, m_bits: int, n_probes: int) -> np.ndarray:
+    """(len(hashes) x n_probes) uint64 probe positions in [0, m_bits).
+
+    m is a power of two, so ``mod m`` keeps only LOW bits — h2 must get
+    its low bits from h1's FULL width (xorshift avalanche), else h2 mod m
+    is a function of h1 mod m and the whole filter degenerates to
+    "low-log2(m)-bits membership" (measured FP 7.8% instead of 0.5%)."""
+    h1 = hashes.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h2 = _mix64(h1) | np.uint64(1)
+        i = np.arange(n_probes, dtype=np.uint64)
+        pos = h1[:, None] + i[None, :] * h2[:, None]
+    return pos % np.uint64(m_bits)
+
+
+def bloom_add(words: np.ndarray, hashes: np.ndarray, n_probes: int) -> None:
+    """Set the probe bits of ``hashes`` in the packed uint64 ``words``."""
+    if len(hashes) == 0:
+        return
+    pos = bloom_positions(hashes, len(words) * 64, n_probes).ravel()
+    idx = (pos >> np.uint64(6)).astype(np.int64)
+    bit = np.left_shift(np.uint64(1), pos & np.uint64(63))
+    np.bitwise_or.at(words, idx, bit)
+
+
+def bloom_contains(words: np.ndarray, hashes: np.ndarray, n_probes: int) -> np.ndarray:
+    """Boolean mask: all probe bits set (i.e. maybe-member)."""
+    if len(hashes) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = bloom_positions(hashes, len(words) * 64, n_probes)
+    idx = (pos >> np.uint64(6)).astype(np.int64)
+    bit = np.left_shift(np.uint64(1), pos & np.uint64(63))
+    return ((words[idx] & bit) != 0).all(axis=1)

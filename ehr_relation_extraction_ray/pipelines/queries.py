@@ -1002,3 +1002,27 @@ def embeddings_dim_stats(sf_dir: str) -> pd.DataFrame:
     )
     out = similarity.dim_stats(vecs).to_pandas()
     return out.sort_values("dim").reset_index(drop=True)
+
+
+def docs_bloom_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Same contamination result as docs_decontaminate via the Bloom
+    prefilter + exact semi-join verify path (the variant for benchmark
+    sets too large to broadcast exactly); oracle = the exact SQL, which
+    asserts the false positives were joined away."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def _split(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            is_bench = (np.asarray(t["doc_id"]) % 17) == 0
+            return t.filter(pa.array(is_bench if keep_bench else ~is_bench))
+
+        return f
+
+    bench = docs.map_batches(_split(True), batch_format="pyarrow")
+    corpus = docs.map_batches(_split(False), batch_format="pyarrow")
+    out = dedupe.bloom_decontaminate(corpus, bench).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_hits"] = out["n_hits"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

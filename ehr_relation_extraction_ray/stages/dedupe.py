@@ -1043,3 +1043,109 @@ def decontaminate(
         )
 
     return corpus.map_batches(hits, batch_format="pyarrow")
+
+
+def bench_bloom_filter(
+    benchmark: "ray.data.Dataset",
+    k: int = 5,
+    m_bits: int = 1 << 20,
+    n_probes: int = 4,
+    text_col: str = "text",
+) -> "ray.ObjectRef":
+    """Bloom summary of the benchmark shingle set, built distributed: each
+    block reduces to its own m-bit packed filter (combiner), the driver
+    ORs the (blocks x m/8 bytes) partials, ``ray.put`` once. The broadcast
+    side is ~10 bits/element instead of benchmark_shingle_set's 8
+    bytes/element — the variant that still broadcasts when the eval suite
+    itself is large."""
+    from ..functions import sketch
+
+    n_words = m_bits // 64
+
+    def block_filter(batch: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, dtype=np.uint64)
+        for text in batch[text_col].to_pylist():
+            sketch.bloom_add(words, word_shingle_hashes(text, k), n_probes)
+        return pa.table({"words": pa.array([words.tobytes()], pa.binary())})
+
+    merged = np.zeros(n_words, dtype=np.uint64)
+    for b in benchmark.map_batches(
+        block_filter, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for buf in b["words"].to_pylist():
+            merged |= np.frombuffer(buf, dtype=np.uint64)
+    return ray.put(merged)
+
+
+def bloom_decontaminate(
+    corpus: "ray.data.Dataset",
+    benchmark: "ray.data.Dataset",
+    k: int = 5,
+    m_bits: int = 1 << 20,
+    n_probes: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Decontamination for when the benchmark shingle set is too large to
+    broadcast exactly: Bloom prefilter + exact join verify.
+
+    Phase 1 streams the corpus against the broadcast Bloom bits and
+    explodes (doc_id, sh) ONLY for maybe-member shingles — on a clean
+    corpus that's the contaminated tail plus an ``fp_rate`` sliver, never
+    corpus-scale. Phase 2 exactly verifies those candidates with a
+    hash-shuffle semi-join against the benchmark's distinct shingles (no
+    driver materialization, no broadcast of the exact set), then counts
+    per doc. Output == :func:`decontaminate` (FPs are joined away), which
+    is what the oracle asserts.
+    """
+    from ..functions import sketch
+    from ..functions.broadcast import bget
+    from .joins import semi_join
+
+    bits_ref = bench_bloom_filter(
+        benchmark, k=k, m_bits=m_bits, n_probes=n_probes, text_col=text_col
+    )
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        words = bget(bits_ref)
+        out_ids, out_sh = [], []
+        for doc_id, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            h = word_shingle_hashes(text, k)
+            if len(h) == 0:
+                continue
+            hit = h[sketch.bloom_contains(words, h, n_probes)]
+            if len(hit):
+                out_ids.extend([doc_id] * len(hit))
+                out_sh.append(hit)
+        sh = (
+            np.concatenate(out_sh).view(np.int64)
+            if out_sh
+            else np.zeros(0, dtype=np.int64)
+        )
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, batch[id_col].type),
+                "sh": pa.array(sh),
+            }
+        )
+
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        hs = [word_shingle_hashes(t, k) for t in batch[text_col].to_pylist()]
+        sh = (
+            np.unique(np.concatenate(hs)).view(np.int64)
+            if hs
+            else np.zeros(0, dtype=np.int64)
+        )
+        return pa.table({"sh": pa.array(sh)})
+
+    cand = corpus.map_batches(candidates, batch_format="pyarrow")
+    bench_sh = benchmark.map_batches(bench_shingles, batch_format="pyarrow")
+    verified = semi_join(cand, bench_sh, on="sh")
+    from ray.data.aggregate import Count
+
+    return (
+        verified.groupby(id_col)
+        .aggregate(Count(alias_name="n_hits"))
+    )
