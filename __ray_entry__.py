@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_topk": q.embeddings_topk,
         "embeddings_ivf_topk": q.embeddings_ivf_topk,
         "embeddings_cluster_sizes": q.embeddings_cluster_sizes,
+        "embeddings_pca": q.embeddings_pca,
         "embeddings_cosine_dup": q.embeddings_cosine_dup,
         "embeddings_cosine_dup_lsh": q.embeddings_cosine_dup_lsh,
         "media_features": q.media_features,
@@ -700,6 +701,10 @@ FROM read_parquet('{_fixture("docs_simhash_pairs")}') ORDER BY doc_a, doc_b
         "embeddings_ivf_topk": f"""
 SELECT query_id, vec_id, rank
 FROM read_parquet('{_fixture("embeddings_ivf_topk")}') ORDER BY query_id, rank
+""",
+        "embeddings_pca": f"""
+SELECT dim, loading, eigval, var_ratio
+FROM read_parquet('{_fixture("embeddings_pca")}') ORDER BY dim
 """,
         "embeddings_cluster_sizes": f"""
 SELECT cell, n_vecs, mean_sim

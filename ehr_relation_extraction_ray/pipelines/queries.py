@@ -1026,3 +1026,15 @@ def docs_bloom_decontaminate(sf_dir: str) -> pd.DataFrame:
     out["doc_id"] = out["doc_id"].astype("int64")
     out["n_hits"] = out["n_hits"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def embeddings_pca(sf_dir: str) -> pd.DataFrame:
+    """Top principal component of the embedding corpus (one covariance
+    pass + driver power iteration; serial-recompute fixture oracle)."""
+    from ..stages import similarity
+
+    vecs = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    out = similarity.pca_top_component(vecs).to_pandas()
+    return out.sort_values("dim").reset_index(drop=True)

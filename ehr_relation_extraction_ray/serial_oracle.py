@@ -871,6 +871,10 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         vec_ids = np.asarray(t["vec_id"])
         emb = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()])
         return serial_ivf_topk_df(vec_ids, emb, [0, 1, 2])
+    if name == "embeddings_pca":
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        emb = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()])
+        return serial_pca_df(emb)
     if name == "embeddings_cluster_sizes":
         t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
         emb = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()])
@@ -903,3 +907,14 @@ def fixture_path(name: str, sf_dir: str) -> str:
     pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
     os.replace(tmp, path)
     return path
+
+
+def serial_pca_df(embeddings: np.ndarray, iters: int = 100) -> pd.DataFrame:
+    """PCA fixture: covariance + the identical deterministic power-
+    iteration spec as stages/similarity.pca_top_component, computed in one
+    serial numpy pass (independent of the partial-merge path)."""
+    from .stages.similarity import power_iteration_table
+
+    m = embeddings.astype(np.float64)
+    cov = np.cov(m, rowvar=False, bias=True)
+    return pd.DataFrame(power_iteration_table(cov, iters))

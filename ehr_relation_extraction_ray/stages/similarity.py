@@ -560,3 +560,56 @@ def dim_stats(vectors: "ray.data.Dataset", vec_col: str = "embedding") -> pa.Tab
             "sd": pa.array(np.round(sd.to_numpy(), 6)),
         }
     )
+
+
+def pca_top_component(
+    vectors: "ray.data.Dataset", vec_col: str = "embedding", iters: int = 100
+) -> pa.Table:
+    """Top principal component via one distributed covariance pass + driver
+    power iteration.
+
+    Combiner shape: each block reduces to (n, sum, X^T X) — the Gram
+    partial is d x d (64 x 64 = 32 KB of doubles), so the driver merge is
+    (blocks x d^2)-bounded and the corpus streams through exactly once
+    with zero shuffles; the O(d^2) eigen-step runs on the merged matrix.
+    Deterministic: fixed start vector, fixed iteration count, sign fixed
+    by making the max-|loading| component positive (the fixture oracle
+    re-runs the identical serial spec)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, vec_col).astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([m.shape[0]], pa.int64()),
+                "s": pa.array([m.sum(axis=0)], pa.list_(pa.float64())),
+                "xtx": pa.array([(m.T @ m).ravel()], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = vectors.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    xtx = np.sum(np.stack(parts["xtx"].to_numpy()), axis=0)
+    d = len(s)
+    mean = s / n
+    cov = xtx.reshape(d, d) / n - np.outer(mean, mean)
+    return pa.table(power_iteration_table(cov, iters))
+
+
+def power_iteration_table(cov: np.ndarray, iters: int) -> dict:
+    """Deterministic power iteration on a covariance matrix -> loading
+    table (shared by the distributed path and the serial fixture oracle)."""
+    d = cov.shape[0]
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(iters):
+        v = cov @ v
+        v /= np.linalg.norm(v)
+    lam = float(v @ cov @ v)
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    return {
+        "dim": np.arange(1, d + 1, dtype=np.int64),
+        "loading": np.round(v, 6),
+        "eigval": np.round(np.full(d, lam), 4),
+        "var_ratio": np.round(np.full(d, lam / float(np.trace(cov))), 6),
+    }

@@ -116,3 +116,30 @@ def test_dim_stats_matches_numpy(ray_session):
     assert (got["n"] == 300).all()
     np.testing.assert_allclose(got["mean"], np.round(md.mean(axis=0), 6), atol=2e-6)
     np.testing.assert_allclose(got["sd"], np.round(md.std(axis=0), 6), atol=2e-6)
+
+
+def test_pca_matches_numpy_eigh(ray_session):
+    """Power iteration converges to the true dominant eigenvector (checked
+    against an independent np.linalg.eigh), any parallelism."""
+    from ehr_relation_extraction_ray.stages import similarity
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud: strong first axis so the spectral gap is real
+    base = rng.normal(size=(400, 6))
+    base[:, 0] *= 4.0
+    rot, _ = np.linalg.qr(rng.normal(size=(6, 6)))
+    m = (base @ rot).astype(np.float32)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"embedding": [r.tolist() for r in m]})
+    ).repartition(4)
+    got = similarity.pca_top_component(ds).to_pandas().sort_values("dim")
+
+    md = m.astype(np.float64)
+    cov = np.cov(md, rowvar=False, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    v = vecs[:, -1]
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    np.testing.assert_allclose(got["loading"], v, atol=1e-4)
+    np.testing.assert_allclose(got["eigval"].iloc[0], w[-1], atol=1e-3)
+    assert 0 < got["var_ratio"].iloc[0] <= 1
