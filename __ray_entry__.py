@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": q.docs_quality,
         "docs_distinct_tokens": q.docs_distinct_tokens,
         "docs_stratified_sample": q.docs_stratified_sample,
+        "docs_weighted_sample": q.docs_weighted_sample,
         "docs_decontaminate": q.docs_decontaminate,
         "docs_unigram_logprob": q.docs_unigram_logprob,
         "docs_bloom_decontaminate": q.docs_bloom_decontaminate,
@@ -423,6 +424,17 @@ SELECT doc_id,
        length(regexp_extract_all(text, '\S+')) AS n_tokens,
        md5(text) AS md5
 FROM documents ORDER BY doc_id
+""",
+        "docs_weighted_sample": """
+WITH k AS (
+  SELECT doc_id, n_chars,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT + 1)
+            / 1152921504606846977.0) / n_chars AS s_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT CAST(row_number() OVER (ORDER BY s_key DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, CAST(n_chars AS BIGINT) AS n_chars, round(s_key, 9) AS s_key
+FROM k ORDER BY s_key DESC, doc_id LIMIT 25
 """,
         "docs_stratified_sample": """
 SELECT lang, rank, doc_id, sample_key FROM (

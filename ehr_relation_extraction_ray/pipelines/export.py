@@ -261,3 +261,52 @@ def export_re(
         labeled, os.path.join(out_dir, "test_original"), split="test_original", sep=sep
     )
     return {"out_dir": out_dir}
+
+
+def weighted_sample(
+    ds: "ray.data.Dataset",
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> "pd.DataFrame":
+    """Deterministic weighted sample without replacement (Efraimidis-
+    Spirakis A-ES): key = ln(u)/w with u a content-addressed uniform from
+    md5(id) — the n largest keys are a weight-proportional sample, at any
+    parallelism, reproducible run-to-run, and SQL-expressible (the oracle
+    ranks by the identical formula).
+
+    Scale shape: each block prunes to its own top-n keys (combiner), the
+    driver merges (blocks x n) pruned rows — never a global sort. Rows
+    with non-positive weight are excluded (consistently with the oracle).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    DENOM = float(2**60) + 1.0
+
+    def local_prune(df: "pd.DataFrame") -> "pd.DataFrame":
+        w = df[weight_col].to_numpy(dtype=np.float64)
+        keep = w > 0
+        df = df[keep]
+        if not len(df):
+            return df.assign(s_key=np.zeros(0))
+        h = np.array(
+            [
+                int(hashlib.md5(str(i).encode("utf-8")).hexdigest()[:15], 16)
+                for i in df[id_col]
+            ],
+            dtype=np.float64,
+        )
+        u = (h + 1.0) / DENOM
+        df = df.assign(s_key=np.log(u) / w[keep])
+        return df.nlargest(min(n, len(df)), "s_key")
+
+    pruned = ds.map_batches(
+        local_prune, batch_format="pandas"
+    ).to_pandas()
+    out = pruned.sort_values(["s_key", id_col], ascending=[False, True]).head(n)
+    out = out.reset_index(drop=True)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    out["s_key"] = out["s_key"].round(9)
+    return out

@@ -1038,3 +1038,17 @@ def embeddings_pca(sf_dir: str) -> pd.DataFrame:
     )
     out = similarity.pca_top_component(vecs).to_pandas()
     return out.sort_values("dim").reset_index(drop=True)
+
+
+def docs_weighted_sample(sf_dir: str, n: int = 25) -> pd.DataFrame:
+    """Weight-proportional (by n_chars) deterministic document sample
+    (A-ES keys from md5 uniforms; combiner-pruned, oracle = same formula
+    in SQL)."""
+    from . import export
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    out = export.weighted_sample(docs, n, weight_col="n_chars")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out[["rank", "doc_id", "n_chars", "s_key"]]

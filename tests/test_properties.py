@@ -195,3 +195,39 @@ def test_hll_estimate_accuracy_and_merge_invariance():
     parts = [hll_registers(dup[i::7]) for i in range(7)]
     merged = hll_merge(np.stack(parts))
     assert np.array_equal(merged, global_regs)
+
+
+def test_weighted_sample_weight_proportional(ray_session):
+    """A-ES sampling: deterministic, parallelism-invariant, and heavier
+    rows are overrepresented relative to uniform sampling."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ehr_relation_extraction_ray.pipelines.export import weighted_sample
+
+    rng = np.random.default_rng(3)
+    n_rows = 2000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_rows, dtype=np.int64),
+            # two weight classes, 10x apart
+            "w": np.where(np.arange(n_rows) % 10 == 0, 1000, 100).astype("int64"),
+        }
+    )
+    outs = []
+    for nparts in (2, 7):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        outs.append(weighted_sample(ds, 100, weight_col="w"))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+    # heavy rows are 10% of the corpus but carry ~53% of total weight;
+    # a weight-proportional sample must overrepresent them clearly
+    heavy_frac = (got["w"] == 1000).mean()
+    assert heavy_frac > 0.3
+    # zero/negative weights are excluded
+    df2 = df.copy()
+    df2.loc[:49, "w"] = 0
+    ds2 = ray.data.from_pandas(df2).repartition(3)
+    got2 = weighted_sample(ds2, 100, weight_col="w")
+    assert not set(got2["doc_id"]) & set(range(50))
