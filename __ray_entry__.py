@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_big_orders": r.customers_no_big_orders,
         "events_zscore": r.events_zscore,
         "events_lag_delta": r.events_lag_delta,
+        "events_winsorized": r.events_winsorized,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_dup_clusters": q.docs_dup_clusters,
@@ -541,6 +542,19 @@ FROM events GROUP BY event_type ORDER BY event_type
 SELECT event_id, round(value, 2) AS value,
        round(percent_rank() OVER (ORDER BY value, event_id), 6) AS pct_rank
 FROM events ORDER BY event_id
+""",
+        "events_winsorized": """
+WITH b AS (
+  SELECT event_type,
+         quantile_disc(value, 0.05) AS lo, quantile_disc(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+       CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+       round(sum(least(greatest(value, lo), hi)), 2) AS sum_clipped
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
 """,
         "events_zscore": """
 SELECT event_id, event_type,

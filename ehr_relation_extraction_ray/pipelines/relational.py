@@ -850,3 +850,62 @@ def events_lag_delta(sf_dir: str) -> pd.DataFrame:
         .astype({"user_id": "int64", "n_deltas": "int64"})
     )
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def events_winsorized(sf_dir: str) -> pd.DataFrame:
+    """Per-group outlier clipping (winsorize at p05/p95): pass 1 computes
+    exact per-type bounds (partition-granular, quantile_disc convention),
+    pass 2 broadcasts the 5-row bounds table and clips vectorized —
+    digested per type as clip counts + clipped-sum so the oracle hashes a
+    bounded table. Same two-scan zero-shuffle shape as events_zscore."""
+    import math
+
+    from ..functions.partitioning import groupby_partition
+
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"])
+
+    def bounds(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, sub in df.groupby("event_type", sort=False):
+            v = np.sort(sub["value"].to_numpy())
+            n = len(v)
+            lo = v[max(math.ceil(0.05 * n) - 1, 0)]
+            hi = v[max(math.ceil(0.95 * n) - 1, 0)]
+            rows.append({"event_type": t, "lo": lo, "hi": hi})
+        return pd.DataFrame(rows, columns=["event_type", "lo", "hi"])
+
+    b = groupby_partition(ev, "event_type", bounds, batch_format="pandas").to_pandas()
+    bounds_ref = ray.put(
+        {r.event_type: (r.lo, r.hi) for r in b.itertuples()}
+    )
+
+    def clip_partial(batch: pa.Table) -> pa.Table:
+        bmap = _bget(bounds_ref)
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "v": np.asarray(batch["value"], dtype=np.float64),
+            }
+        )
+        lo = df["event_type"].map({k: v[0] for k, v in bmap.items()}).to_numpy()
+        hi = df["event_type"].map({k: v[1] for k, v in bmap.items()}).to_numpy()
+        clipped = np.clip(df["v"].to_numpy(), lo, hi)
+        df = df.assign(
+            clipped=clipped,
+            is_lo=(df["v"].to_numpy() < lo).astype("int64"),
+            is_hi=(df["v"].to_numpy() > hi).astype("int64"),
+        )
+        g = df.groupby("event_type", sort=False).agg(
+            n_events=("v", "size"),
+            n_clip_lo=("is_lo", "sum"),
+            n_clip_hi=("is_hi", "sum"),
+            sum_clipped=("clipped", "sum"),
+        )
+        return pa.Table.from_pandas(g.reset_index())
+
+    parts = ev.map_batches(clip_partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("event_type").sum().reset_index()
+    out["sum_clipped"] = out["sum_clipped"].round(2)
+    for c in ("n_events", "n_clip_lo", "n_clip_hi"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -43,3 +43,30 @@ def test_events_lag_delta_matches_pandas(ray_session):
     # every user with k events contributes exactly k-1 deltas
     counts = ev.groupby("user_id").size()
     assert int(got["n_deltas"].sum()) == int((counts - 1).sum())
+
+
+def test_events_winsorized_matches_pandas(ray_session):
+    import math
+
+    got = relational.events_winsorized(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    rows = []
+    for t, sub in ev.groupby("event_type"):
+        v = np.sort(sub["value"].to_numpy())
+        n = len(v)
+        lo = v[max(math.ceil(0.05 * n) - 1, 0)]
+        hi = v[max(math.ceil(0.95 * n) - 1, 0)]
+        rows.append(
+            {
+                "event_type": t,
+                "n_events": n,
+                "n_clip_lo": int((sub["value"] < lo).sum()),
+                "n_clip_hi": int((sub["value"] > hi).sum()),
+                "sum_clipped": round(float(np.clip(sub["value"], lo, hi).sum()), 2),
+            }
+        )
+    want = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # ~5% clipped on each side by construction
+    frac_lo = got["n_clip_lo"].sum() / got["n_events"].sum()
+    assert frac_lo < 0.06
