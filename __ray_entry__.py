@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_winsorized": r.events_winsorized,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
+        "docs_cross_dedup": q.docs_cross_dedup,
         "docs_dup_clusters": q.docs_dup_clusters,
         "docs_tfidf_top_terms": q.docs_tfidf_top_terms,
         "docs_inverted_index": q.docs_inverted_index,
@@ -200,6 +201,31 @@ ORDER BY doc_a, doc_b
 # transitive closure over the exact near-dup pairs (same pair set the
 # verified-LSH path emits — see _NGRAM_JACCARD_SQL); cluster_id = component
 # min doc_id, matching hash-min label propagation in stages/clusters.py
+_CROSS_DEDUP_SQL = r"""
+WITH words AS (SELECT doc_id::VARCHAR AS doc_id, string_split_regex(lower(text), '\s+') AS w
+               FROM documents WHERE length(trim(text)) > 0),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+                   i -> array_to_string(w[i:i+4], ' '))) AS shingle
+    FROM words)
+),
+df_ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64),
+shf AS (SELECT sh.* FROM sh JOIN df_ok USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM shf a JOIN shf b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+            AND CAST(a.doc_id AS BIGINT) % 2 <> CAST(b.doc_id AS BIGINT) % 2
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
 _DUP_CLUSTERS_SQL = r"""
 WITH RECURSIVE words AS (SELECT doc_id::VARCHAR AS doc_id, string_split_regex(lower(text), '\s+') AS w
                FROM documents WHERE length(trim(text)) > 0),
@@ -637,6 +663,7 @@ FROM (SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin FROM events)
 GROUP BY bin ORDER BY bin
 """,
         "docs_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "docs_cross_dedup": _CROSS_DEDUP_SQL,
         # MinHash-LSH candidates + exact-Jaccard verify at the same
         # threshold must equal the exhaustive exact result whenever LSH
         # recall is 1 — asserted here by using the exact SQL as the oracle

@@ -1052,3 +1052,38 @@ def docs_weighted_sample(sf_dir: str, n: int = 25) -> pd.DataFrame:
     out = export.weighted_sample(docs, n, weight_col="n_chars")
     out["n_chars"] = out["n_chars"].astype("int64")
     return out[["rank", "doc_id", "n_chars", "s_key"]]
+
+
+def docs_cross_dedup(sf_dir: str) -> pd.DataFrame:
+    """Cross-corpus near-dup join (even-doc_id corpus vs odd-doc_id
+    corpus): side-aware LSH buckets emit only A x B candidates, exact
+    Jaccard verify; oracle = exhaustive cross-pair SQL (equal whenever
+    LSH recall is 1 at this sf, as with docs_minhash_pairs)."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("doc_id"),
+            "doc_id",
+            t["doc_id"].cast(pa.string()),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _side(par: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+            return t.filter(pa.array(ids % 2 == par))
+
+        return f
+
+    a = docs.map_batches(_side(0), batch_format="pyarrow")
+    b = docs.map_batches(_side(1), batch_format="pyarrow")
+    pairs = dedupe.minhash_lsh_cross_pairs(a, b)
+    verified = dedupe.verify_jaccard(pairs, docs, threshold=0.8).to_pandas()
+    verified["jaccard"] = verified["jaccard"].round(4)
+    # normalize orientation to lexicographic (the oracle's a < b)
+    lo = verified[["doc_a", "doc_b"]].min(axis=1)
+    hi = verified[["doc_a", "doc_b"]].max(axis=1)
+    verified["doc_a"], verified["doc_b"] = lo, hi
+    return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -1149,3 +1149,108 @@ def bloom_decontaminate(
         verified.groupby(id_col)
         .aggregate(Count(alias_name="n_hits"))
     )
+
+
+def _bucket_cross_pairs_partition(
+    part: pa.Table, cap: int = 512, overflow_dir: str | None = None
+) -> pa.Table:
+    """Cross-side pairs within every LSH bucket of one hash partition:
+    only (side 0) x (side 1) pairs are emitted — the within-corpus
+    triangles are never materialized, which is the point of the
+    cross-corpus variant (an A x B near-dup check pays |A||B| per bucket,
+    not (|A|+|B|)^2/2). Same run-walk + cap/overflow contract as
+    :func:`_bucket_pairs_partition`."""
+    if part.num_rows == 0:
+        return _PAIRS_SCHEMA.empty_table()
+    band = np.asarray(part["band"])
+    bh = np.asarray(part["band_hash"])
+    side = np.asarray(part["side"])
+    ids = np.asarray(part["doc_id"].to_pylist(), dtype=object)
+    order = np.lexsort((ids, side, bh, band))
+    band, bh, side, ids = band[order], bh[order], side[order], ids[order]
+    change = np.flatnonzero((band[1:] != band[:-1]) | (bh[1:] != bh[:-1])) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(band)]))
+    a_parts, b_parts = [], []
+    for s, e in zip(starts, ends):
+        sides_run = side[s:e]
+        ids_run = ids[s:e]
+        ua = np.unique(ids_run[sides_run == 0])
+        ub = np.unique(ids_run[sides_run == 1])
+        if not len(ua) or not len(ub):
+            continue
+        if len(ua) > cap or len(ub) > cap:
+            _log_bucket_overflow(
+                overflow_dir,
+                "minhash_cross_bucket",
+                f"{band[s]}:{bh[s]}",
+                int(len(ua) + len(ub)),
+                cap,
+            )
+            ua, ub = ua[:cap], ub[:cap]
+        gi, gj = np.meshgrid(
+            np.arange(len(ua)), np.arange(len(ub)), indexing="ij"
+        )
+        a_parts.append(ua[gi.ravel()])
+        b_parts.append(ub[gj.ravel()])
+    if not a_parts:
+        return _PAIRS_SCHEMA.empty_table()
+    return pa.table(
+        {
+            "doc_a": pa.array(np.concatenate(a_parts), pa.string()),
+            "doc_b": pa.array(np.concatenate(b_parts), pa.string()),
+        }
+    )
+
+
+def minhash_lsh_cross_pairs(
+    docs_a: "ray.data.Dataset",
+    docs_b: "ray.data.Dataset",
+    num_perm: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cap: int = 512,
+    overflow_dir: str | None = None,
+) -> "ray.data.Dataset":
+    """Cross-corpus near-dup candidates (corpus A vs corpus B, e.g.
+    training set vs eval set by *similarity* rather than exact n-gram
+    membership): band both sides with the same minhash params, union the
+    band rows tagged by side, bucket at partition granularity, and emit
+    only A x B pairs. doc_a is always the A-side id. Compose with
+    :func:`verify_jaccard` over ``docs_a.union(docs_b)`` for the exact
+    post-filter."""
+
+    def rows_with_side(side_val: int):
+        def f(t: pa.Table) -> pa.Table:
+            r = minhash_band_rows(t, num_perm, bands, text_col, id_col)
+            return r.append_column(
+                "side", pa.array(np.full(r.num_rows, side_val, dtype=np.int8))
+            )
+
+        return f
+
+    band_rows = docs_a.map_batches(
+        rows_with_side(0), batch_format="pyarrow"
+    ).union(docs_b.map_batches(rows_with_side(1), batch_format="pyarrow"))
+
+    num_partitions = 64
+
+    def add_bucket_part(t: pa.Table) -> pa.Table:
+        bh = np.asarray(t["band_hash"]).astype(np.uint64)
+        bd = np.asarray(t["band"]).astype(np.uint64)
+        prt = ((bh * np.uint64(1000003) + bd) % np.uint64(num_partitions)).astype(
+            np.int32
+        )
+        return t.append_column("_part", pa.array(prt))
+
+    # verify_jaccard dedups pairs internally (same contract as
+    # minhash_lsh_pairs(distinct=False)), so no distinct shuffle here
+    return (
+        band_rows.map_batches(add_bucket_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: _bucket_cross_pairs_partition(g, bucket_cap, overflow_dir),
+            batch_format="pyarrow",
+        )
+    )

@@ -80,3 +80,37 @@ def test_bloom_decontaminate_equals_exact(ray_session):
     exact["n_hits"] = exact["n_hits"].astype("int64")
     pd.testing.assert_frame_equal(got, exact, check_dtype=False)
     assert len(exact) >= 10  # the planted contamination was actually found
+
+
+def test_cross_pairs_only_cross_side(ray_session):
+    """Cross-corpus LSH: every candidate joins an A doc to a B doc, and
+    near-identical cross pairs are found; identical within-side pairs are
+    NOT emitted."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    a_df = pd.DataFrame(
+        {
+            "doc_id": ["a0", "a1", "a2"],
+            "text": [base, base + " tail", "completely different words here " * 8],
+        }
+    )
+    b_df = pd.DataFrame(
+        {
+            "doc_id": ["b0", "b1"],
+            # b0 near-dups the a0/a1 family; b1 is unrelated
+            "text": [base + " extra", "nothing in common with anything " * 8],
+        }
+    )
+    a = ray.data.from_pandas(a_df).repartition(2)
+    b = ray.data.from_pandas(b_df)
+    pairs = dedupe.minhash_lsh_cross_pairs(a, b).to_pandas().drop_duplicates()
+    assert len(pairs) > 0
+    assert pairs["doc_a"].str.startswith("a").all()
+    assert pairs["doc_b"].str.startswith("b").all()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    assert ("a0", "b0") in got and ("a1", "b0") in got
+    # a0-a1 (identical family, same side) must not appear anywhere
+    verified = dedupe.verify_jaccard(
+        dedupe.minhash_lsh_cross_pairs(a, b), a.union(b), threshold=0.8
+    ).to_pandas()
+    assert set(verified["doc_a"]) <= {"a0", "a1", "a2"}
+    assert set(verified["doc_b"]) <= {"b0", "b1"}
