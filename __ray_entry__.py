@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore": r.events_zscore,
         "events_lag_delta": r.events_lag_delta,
         "events_winsorized": r.events_winsorized,
+        "events_quantiles_hist": r.events_quantiles_hist,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_cross_dedup": q.docs_cross_dedup,
@@ -568,6 +569,24 @@ FROM events GROUP BY event_type ORDER BY event_type
 SELECT event_id, round(value, 2) AS value,
        round(percent_rank() OVER (ORDER BY value, event_id), 6) AS pct_rank
 FROM events ORDER BY event_id
+""",
+        "events_quantiles_hist": """
+WITH h AS (
+  SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
+         count(*) AS n
+  FROM events GROUP BY event_type, bin
+),
+c AS (
+  SELECT event_type, bin, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS total
+  FROM h
+)
+SELECT event_type, CAST(max(total) AS BIGINT) AS n_events,
+       round((min(CASE WHEN cum >= greatest(ceil(0.25 * total), 1) THEN bin END) + 0.5) * 5.0, 2) AS q25,
+       round((min(CASE WHEN cum >= greatest(ceil(0.5 * total), 1) THEN bin END) + 0.5) * 5.0, 2) AS q50,
+       round((min(CASE WHEN cum >= greatest(ceil(0.9 * total), 1) THEN bin END) + 0.5) * 5.0, 2) AS q90
+FROM c GROUP BY event_type ORDER BY event_type
 """,
         "events_winsorized": """
 WITH b AS (

@@ -909,3 +909,52 @@ def events_winsorized(sf_dir: str) -> pd.DataFrame:
     for c in ("n_events", "n_clip_lo", "n_clip_hi"):
         out[c] = out[c].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_quantiles_hist(sf_dir: str, width: float = 5.0) -> pd.DataFrame:
+    """Per-group approximate quantiles from a MERGEABLE fixed-width
+    histogram sketch — the scale path events_quantiles' docstring points
+    to for keys whose values exceed a partition: per-block (type, bin)
+    counts are order-insensitive partials (bincount sums commute, so the
+    result is deterministic at any parallelism, unlike rank-based
+    sketches), the merged histogram is (types x bins)-bounded, and the
+    q-th value is read off the cumulative counts with error <= width/2
+    (estimate = midpoint of the bin holding rank ceil(q*n)). The same
+    read-off is exact SQL over cumulative bin counts — a hash oracle, not
+    a tolerance check."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "bin": np.floor(
+                    np.asarray(batch["value"], dtype=np.float64) / width
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby(["event_type", "bin"], sort=False).size().rename("n")
+        return pa.Table.from_pandas(g.reset_index())
+
+    # (types x bins x blocks) partials, merged on the driver (bounded)
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    hist = (
+        parts.groupby(["event_type", "bin"])["n"].sum().reset_index()
+        .sort_values(["event_type", "bin"])
+    )
+    import math
+
+    rows = []
+    for t, sub in hist.groupby("event_type", sort=True):
+        n = int(sub["n"].sum())
+        cum = sub["n"].cumsum().to_numpy()
+        bins = sub["bin"].to_numpy()
+        row = {"event_type": t, "n_events": n}
+        for q in (0.25, 0.5, 0.9):
+            rank = max(math.ceil(q * n), 1)
+            b = bins[np.searchsorted(cum, rank)]
+            row[f"q{int(q * 100)}"] = round((b + 0.5) * width, 2)
+        rows.append(row)
+    out = pd.DataFrame(rows, columns=["event_type", "n_events", "q25", "q50", "q90"])
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.reset_index(drop=True)

@@ -70,3 +70,17 @@ def test_events_winsorized_matches_pandas(ray_session):
     # ~5% clipped on each side by construction
     frac_lo = got["n_clip_lo"].sum() / got["n_events"].sum()
     assert frac_lo < 0.06
+
+
+def test_events_quantiles_hist_bounded_error(ray_session):
+    """Mergeable-histogram quantiles: deterministic at any parallelism and
+    within width/2 of the exact per-group quantiles."""
+    import math
+
+    got = relational.events_quantiles_hist(SF, width=5.0)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    for _, row in got.iterrows():
+        v = np.sort(ev.loc[ev["event_type"] == row["event_type"], "value"].to_numpy())
+        for q, col in ((0.25, "q25"), (0.5, "q50"), (0.9, "q90")):
+            exact = v[max(math.ceil(q * len(v)) - 1, 0)]
+            assert abs(row[col] - exact) <= 2.5 + 1e-9, (row["event_type"], col)
