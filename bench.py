@@ -107,6 +107,10 @@ def _run_bench() -> dict:
             "part_brand_margin": lambda: r.part_brand_margin(sf_dir),
             "docs_decontaminate": lambda: q.docs_decontaminate(sf_dir),
             "docs_pack_bins": lambda: q.docs_pack_bins(sf_dir),
+            "docs_cross_dedup": lambda: q.docs_cross_dedup(sf_dir),
+            "docs_bloom_decontaminate": lambda: q.docs_bloom_decontaminate(sf_dir),
+            "events_zscore": lambda: r.events_zscore(sf_dir),
+            "embeddings_pca": lambda: q.embeddings_pca(sf_dir),
         }.items():
             # two timed runs, report the min (this VM shows intermittent
             # multi-second host-noise stalls; raw runs kept for honesty)
