@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_delta": r.events_lag_delta,
         "events_winsorized": r.events_winsorized,
         "events_quantiles_hist": r.events_quantiles_hist,
+        "events_interval_join": r.events_interval_join,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_cross_dedup": q.docs_cross_dedup,
@@ -569,6 +570,25 @@ FROM events GROUP BY event_type ORDER BY event_type
 SELECT event_id, round(value, 2) AS value,
        round(percent_rank() OVER (ORDER BY value, event_id), 6) AS pct_rank
 FROM events ORDER BY event_id
+""",
+        "events_interval_join": """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts - lag(ts) OVER w) > 240*60 THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+), iv AS (
+  SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(count(DISTINCT iv.session_id) AS BIGINT) AS n_sessions
+FROM events e
+JOIN iv ON e.user_id = iv.user_id AND e.ts BETWEEN iv.s_start AND iv.s_end
+GROUP BY e.user_id ORDER BY e.user_id
 """,
         "events_quantiles_hist": """
 WITH h AS (

@@ -958,3 +958,55 @@ def events_quantiles_hist(sf_dir: str, width: float = 5.0) -> pd.DataFrame:
     out = pd.DataFrame(rows, columns=["event_type", "n_events", "q25", "q50", "q90"])
     out["n_events"] = out["n_events"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def events_interval_join(sf_dir: str) -> pd.DataFrame:
+    """Generic interval (range) join exercised end-to-end: derive each
+    user's session validity windows [min ts, max ts] (distributed, same
+    gap rule as sessionize_events), then interval-join the raw event
+    stream back against them (stages/joins.interval_join — tagged-union
+    co-group on user_id, vectorized per-partition merge_asof +
+    containment mask) and digest per user. Every event lands in exactly
+    one closed session span, so n_matched == n_events — an invariant the
+    SQL oracle recomputes independently via window functions + BETWEEN."""
+    from ..functions.partitioning import groupby_partition
+    from ..stages.joins import interval_join
+
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def spans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        gaps = g.groupby("user_id")["ts"].diff().dt.total_seconds().fillna(0.0)
+        sid = (gaps > SESSION_GAP_MIN * 60).groupby(g["user_id"]).cumsum()
+        agg = (
+            g.assign(_sid=sid)
+            .groupby(["user_id", "_sid"])["ts"]
+            .agg(s_start="min", s_end="max")
+            .reset_index()
+            .rename(columns={"_sid": "session_id"})
+        )
+        return agg.astype({"user_id": "int64", "session_id": "int64"})
+
+    intervals = groupby_partition(ev, "user_id", spans, batch_format="pandas")
+    joined = interval_join(
+        ev, intervals, by="user_id", on="ts",
+        start_col="s_start", end_col="s_end", right_cols=["session_id"],
+    )
+
+    def digest(t: pa.Table) -> pa.Table:
+        # per-block (user, session) match counts — mergeable partials
+        # (a groupby output block may split a user, so nunique must be
+        # taken after the driver merge, not per block)
+        df = t.to_pandas()
+        g = df.groupby(["user_id", "session_id_r"]).size().rename("n")
+        return pa.Table.from_pandas(g.reset_index())
+
+    parts = joined.map_batches(digest, batch_format="pyarrow").to_pandas()
+    merged = parts.groupby(["user_id", "session_id_r"])["n"].sum().reset_index()
+    out = (
+        merged.groupby("user_id")
+        .agg(n_matched=("n", "sum"), n_sessions=("session_id_r", "nunique"))
+        .reset_index()
+        .astype({"user_id": "int64", "n_matched": "int64", "n_sessions": "int64"})
+    )
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -234,3 +234,96 @@ def asof_join(
     return tagged.groupby("_part").map_groups(
         join_partition, batch_format="pyarrow"
     )
+
+
+def interval_join(
+    points: "ray.data.Dataset",
+    intervals: "ray.data.Dataset",
+    by: str,
+    on: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    right_cols: Optional[List[str]] = None,
+    right_suffix: str = "_r",
+    how: str = "inner",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Range/interval join: each point row matches the interval of the
+    same ``by`` key that contains it (closed ``[start, end]``).
+
+    Partitioning assumption (documented per SURVEY §7): intervals of one
+    key are NON-OVERLAPPING — the session/validity-period layout — so a
+    point has at most one match and the backward ``merge_asof`` on
+    ``start`` finds it; a containment mask on ``end`` then decides
+    matched/unmatched. ``how="inner"`` drops unmatched points,
+    ``how="left"`` keeps them with null interval columns. Both sides
+    hash-co-partition on ``by`` (same tagged-union co-group shuffle as
+    :func:`asof_join`); the per-partition merge is vectorized pandas.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    lschema = _arrow_schema(points)
+    rschema = _arrow_schema(intervals)
+    lcols = list(lschema.names)
+    rcols = [start_col, end_col] + (
+        right_cols
+        or [c for c in rschema.names if c not in (by, start_col, end_col)]
+    )
+    rtypes = {f.name: f.type for f in rschema}
+    ltypes = {f.name: f.type for f in lschema}
+
+    def tag_points(t: pa.Table) -> pa.Table:
+        out = t.select(lcols)
+        for c in rcols:
+            out = out.append_column(c + right_suffix, pa.nulls(t.num_rows, rtypes[c]))
+        out = out.append_column("_side", pa.array([0] * t.num_rows, pa.int8()))
+        return add_hash_partition(out, [by], num_partitions)
+
+    def tag_intervals(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in lcols:
+            if c == by:
+                cols[c] = t[c].cast(ltypes[c])
+            else:
+                cols[c] = pa.nulls(t.num_rows, ltypes[c])
+        out = pa.table(cols)
+        for c in rcols:
+            out = out.append_column(c + right_suffix, t[c])
+        out = out.append_column("_side", pa.array([1] * t.num_rows, pa.int8()))
+        return add_hash_partition(out, [by], num_partitions)
+
+    tagged = points.map_batches(tag_points, batch_format="pyarrow").union(
+        intervals.map_batches(tag_intervals, batch_format="pyarrow")
+    )
+    out_schema = pa.schema(
+        [(c, ltypes[c]) for c in lcols]
+        + [(c + right_suffix, rtypes[c]) for c in rcols]
+    )
+    out_names = [f.name for f in out_schema]
+    start_s, end_s = start_col + right_suffix, end_col + right_suffix
+
+    def join_partition(part: pa.Table) -> pa.Table:
+        df = part.drop_columns(["_part"]).to_pandas()
+        l = df[df["_side"] == 0][lcols].sort_values([on, by], kind="stable")
+        r = df[df["_side"] == 1][
+            [by] + [c + right_suffix for c in rcols]
+        ].sort_values([start_s, by], kind="stable")
+        if not len(l):
+            return out_schema.empty_table()
+        merged = pd.merge_asof(
+            l, r, left_on=on, right_on=start_s, by=by,
+            direction="backward", allow_exact_matches=True,
+        )
+        contained = merged[end_s].notna() & (merged[on] <= merged[end_s])
+        if how == "inner":
+            merged = merged[contained]
+        else:
+            rsuff = [c + right_suffix for c in rcols]
+            merged.loc[~contained, rsuff] = None
+        return pa.Table.from_pandas(
+            merged[out_names], preserve_index=False
+        ).cast(out_schema)
+
+    return tagged.groupby("_part").map_groups(
+        join_partition, batch_format="pyarrow"
+    )

@@ -119,3 +119,68 @@ def test_semi_anti_join_match_pandas(ray_session):
     pd.testing.assert_frame_equal(got_anti[["k", "v"]], want_anti)
     # duplicates on the right never duplicate left rows (semi, not inner)
     assert len(got_semi) + len(got_anti) == len(left)
+
+
+def _interval_frames(seed=17, n_keys=6, n_points=400):
+    rng = np.random.default_rng(seed)
+    ivs = []
+    for k in range(n_keys):
+        t = 0
+        for s in range(rng.integers(1, 6)):
+            start = t + int(rng.integers(1, 50))
+            end = start + int(rng.integers(0, 80))
+            ivs.append({"k": k, "start": start, "end": end, "iv_id": f"{k}:{s}"})
+            t = end + 1  # non-overlapping per key
+    intervals = pd.DataFrame(ivs)
+    points = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_points).astype("int64"),
+            "ts": rng.integers(0, 400, n_points).astype("int64"),
+            "pid": np.arange(n_points, dtype=np.int64),
+        }
+    )
+    return points, intervals
+
+
+def _brute_interval(points, intervals, how):
+    rows = []
+    for p in points.itertuples():
+        match = intervals[
+            (intervals["k"] == p.k)
+            & (intervals["start"] <= p.ts)
+            & (p.ts <= intervals["end"])
+        ]
+        if len(match):
+            m = match.iloc[0]
+            rows.append((p.k, p.ts, p.pid, m["start"], m["end"], m["iv_id"]))
+        elif how == "left":
+            rows.append((p.k, p.ts, p.pid, None, None, None))
+    return (
+        pd.DataFrame(
+            rows, columns=["k", "ts", "pid", "start_r", "end_r", "iv_id_r"]
+        )
+        .sort_values("pid")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_interval_join_matches_brute_force(ray_session, how):
+    from ehr_relation_extraction_ray.stages.joins import interval_join
+
+    points, intervals = _interval_frames()
+    got = (
+        interval_join(
+            ray.data.from_pandas(points).repartition(5),
+            ray.data.from_pandas(intervals).repartition(3),
+            by="k", on="ts", start_col="start", end_col="end",
+            how=how, num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values("pid")
+        .reset_index(drop=True)
+    )
+    want = _brute_interval(points, intervals, how)
+    pd.testing.assert_frame_equal(
+        got[want.columns].reset_index(drop=True), want, check_dtype=False
+    )
