@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_winsorized": r.events_winsorized,
         "events_quantiles_hist": r.events_quantiles_hist,
         "events_interval_join": r.events_interval_join,
+        "events_cube": r.events_cube,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_cross_dedup": q.docs_cross_dedup,
@@ -570,6 +571,14 @@ FROM events GROUP BY event_type ORDER BY event_type
 SELECT event_id, round(value, 2) AS value,
        round(percent_rank() OVER (ORDER BY value, event_id), 6) AS pct_rank
 FROM events ORDER BY event_id
+""",
+        "events_cube": """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(isodow(ts), -1) AS weekday,
+       round(sum(value), 2) AS sum_value,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY CUBE(event_type, isodow(ts))
+ORDER BY event_type, weekday
 """,
         "events_interval_join": """
 WITH gaps AS (

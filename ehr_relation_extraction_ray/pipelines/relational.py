@@ -1010,3 +1010,60 @@ def events_interval_join(sf_dir: str) -> pd.DataFrame:
         .astype({"user_id": "int64", "n_matched": "int64", "n_sessions": "int64"})
     )
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def events_cube(sf_dir: str) -> pd.DataFrame:
+    """Full CUBE grouping sets over (event_type, iso weekday): one
+    partial-agg pass over the finest grain feeds all FOUR grouping sets —
+    the coarser sets reduce the (types x 7 x blocks)-bounded partials on
+    the driver, so the cube costs zero extra shuffles (same combiner
+    shape as events_rollup, one level up)."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "weekday": t["ts"].to_pandas().dt.dayofweek + 1,  # ISO 1-7
+                "v": np.asarray(t["value"], dtype=np.float64),
+            }
+        )
+        g = df.groupby(["event_type", "weekday"], sort=False).agg(
+            psum=("v", "sum"), pn=("v", "size")
+        )
+        return pa.Table.from_pandas(g.reset_index())
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    fine = (
+        parts.groupby(["event_type", "weekday"], as_index=False)
+        .agg(sum_value=("psum", "sum"), n_events=("pn", "sum"))
+    )
+
+    def coarsen(df: pd.DataFrame, keys: list) -> pd.DataFrame:
+        if keys:
+            g = df.groupby(keys, as_index=False).agg(
+                sum_value=("sum_value", "sum"), n_events=("n_events", "sum")
+            )
+        else:
+            g = pd.DataFrame(
+                {"sum_value": [df["sum_value"].sum()],
+                 "n_events": [df["n_events"].sum()]}
+            )
+        if "event_type" not in g:
+            g["event_type"] = "ALL"
+        if "weekday" not in g:
+            g["weekday"] = -1
+        return g[["event_type", "weekday", "sum_value", "n_events"]]
+
+    out = pd.concat(
+        [
+            coarsen(fine, ["event_type", "weekday"]),
+            coarsen(fine, ["event_type"]),
+            coarsen(fine, ["weekday"]),
+            coarsen(fine, []),
+        ],
+        ignore_index=True,
+    )
+    out["sum_value"] = out["sum_value"].round(2)
+    out = out.astype({"weekday": "int64", "n_events": "int64"})
+    return out.sort_values(["event_type", "weekday"]).reset_index(drop=True)

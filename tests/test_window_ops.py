@@ -84,3 +84,20 @@ def test_events_quantiles_hist_bounded_error(ray_session):
         for q, col in ((0.25, "q25"), (0.5, "q50"), (0.9, "q90")):
             exact = v[max(math.ceil(q * len(v)) - 1, 0)]
             assert abs(row[col] - exact) <= 2.5 + 1e-9, (row["event_type"], col)
+
+
+def test_events_cube_consistency(ray_session):
+    """CUBE invariants: each coarser grouping set sums exactly to the
+    finest grain, and the grand total matches the raw table."""
+    got = relational.events_cube(SF)
+    fine = got[(got["event_type"] != "ALL") & (got["weekday"] != -1)]
+    by_type = got[(got["event_type"] != "ALL") & (got["weekday"] == -1)]
+    by_wd = got[(got["event_type"] == "ALL") & (got["weekday"] != -1)]
+    total = got[(got["event_type"] == "ALL") & (got["weekday"] == -1)]
+    assert len(total) == 1
+    assert int(fine["n_events"].sum()) == int(total["n_events"].iloc[0])
+    assert int(by_type["n_events"].sum()) == int(total["n_events"].iloc[0])
+    assert int(by_wd["n_events"].sum()) == int(total["n_events"].iloc[0])
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["value"])
+    assert int(total["n_events"].iloc[0]) == len(ev)
+    assert abs(total["sum_value"].iloc[0] - round(ev["value"].sum(), 2)) < 0.05
