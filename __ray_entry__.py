@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_bins": q.docs_pack_bins,
         "docs_lang_mix": q.docs_lang_mix,
         "docs_jsonl_roundtrip": q.docs_jsonl_roundtrip,
+        "docs_partitioned_write": q.docs_partitioned_write,
         "docs_top_terms": q.docs_top_terms,
         "docs_normalize": q.docs_normalize,
         "embeddings_dim_stats": q.embeddings_dim_stats,
@@ -123,6 +124,12 @@ def _ade_sql_path() -> str:
     from ehr_relation_extraction_ray.pipelines import queries as q
 
     return q.ade_path(SF_CORRECTNESS_DIR)
+
+
+def _pqpart_sql_glob() -> str:
+    from ehr_relation_extraction_ray.pipelines import queries as q
+
+    return q.parquet_part_dir(SF_CORRECTNESS_DIR) + "/**/*.parquet"
 
 
 def _jsonl_sql_glob() -> str:
@@ -675,6 +682,11 @@ SELECT term, CAST(c AS BIGINT) AS c FROM (
     FROM documents
   ) WHERE length(tok) > 0 GROUP BY tok
 ) ORDER BY c DESC, term LIMIT 10
+""",
+        "docs_partitioned_write": f"""
+SELECT doc_id, CAST(lang AS VARCHAR) AS lang, md5(text) AS text_md5
+FROM read_parquet('{_pqpart_sql_glob()}', hive_partitioning=1)
+ORDER BY doc_id
 """,
         "docs_jsonl_roundtrip": f"""
 SELECT doc_id, lang, md5(text) AS text_md5

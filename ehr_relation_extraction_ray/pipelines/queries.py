@@ -1087,3 +1087,44 @@ def docs_cross_dedup(sf_dir: str) -> pd.DataFrame:
     hi = verified[["doc_a", "doc_b"]].max(axis=1)
     verified["doc_a"], verified["doc_b"] = lo, hi
     return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def parquet_part_dir(sf_dir: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/graft_pqpart/{sf}"
+
+
+def docs_partitioned_write(sf_dir: str) -> pd.DataFrame:
+    """Hive-partitioned Parquet sink + source roundtrip: write the
+    documents table partitioned by lang (``write_parquet(partition_cols)``
+    — one directory per key, the resumable-output layout where a restarted
+    job skips finished partitions), read the tree back, digest per row.
+    The oracle reads the SAME tree with DuckDB's independent parquet
+    reader (hive_partitioning=1), so a hash match proves layout + value
+    fidelity across writers."""
+    import shutil
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    out_dir = parquet_part_dir(sf_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    docs.write_parquet(out_dir, partition_cols=["lang"])
+    back = ray.data.read_parquet(out_dir)
+
+    def digest(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "lang": df["lang"].astype(str),
+                "text_md5": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest()
+                    for t in df["text"]
+                ],
+            }
+        )
+
+    out = back.map_batches(digest, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -310,6 +310,17 @@ def interval_join(
         ].sort_values([start_s, by], kind="stable")
         if not len(l):
             return out_schema.empty_table()
+        if not len(r):
+            # merge_asof rejects an empty right frame; the semantics are
+            # trivial: no point can match
+            if how == "inner":
+                return out_schema.empty_table()
+            out = pa.Table.from_pandas(l[lcols], preserve_index=False)
+            for c in rcols:
+                out = out.append_column(
+                    c + right_suffix, pa.nulls(len(l), rtypes[c])
+                )
+            return out.select(out_names).cast(out_schema)
         merged = pd.merge_asof(
             l, r, left_on=on, right_on=start_s, by=by,
             direction="backward", allow_exact_matches=True,

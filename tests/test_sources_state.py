@@ -567,3 +567,37 @@ def test_scored_linker_exact_fuzzy_none(ray_session):
     # no character overlap -> below threshold -> unlinked
     assert methods[2] == "none" and nodes[2] == ""
     assert methods[3] == "none"
+
+
+def test_partitioned_parquet_roundtrip(ray_session, tmp_path):
+    """write_parquet(partition_cols) lays out one dir per key and the
+    read-back equals the input (hive partition column re-attached)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(40, dtype=np.int64),
+            "lang": np.where(np.arange(40) % 3 == 0, "en", "de"),
+            "text": [f"doc {i}" for i in range(40)],
+        }
+    )
+    out = str(tmp_path / "part")
+    ray.data.from_pandas(df).repartition(4).write_parquet(
+        out, partition_cols=["lang"]
+    )
+    subdirs = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    assert subdirs == ["lang=de", "lang=en"]
+    back = (
+        ray.data.read_parquet(out)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    back["lang"] = back["lang"].astype(str)
+    pd.testing.assert_frame_equal(
+        back[["doc_id", "lang", "text"]], df, check_dtype=False
+    )
