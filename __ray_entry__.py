@@ -39,6 +39,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_wide_table": q.kg_wide_table,
         "kg_drug_graph": q.kg_drug_graph,
         "kg_nodes": q.kg_nodes,
+        "kg_degree_hist": q.kg_degree_hist,
+        "kg_pagerank": q.kg_pagerank,
         # relational operator core (testdata star schema)
         "agg_lineitem": r.agg_lineitem,
         "join_orders_customer": r.join_orders_customer,
@@ -789,6 +791,18 @@ SELECT doc_id, subj_id, subj,
        string_agg(pred || ':' || obj, chr(10) ORDER BY pred, obj) AS edges
 FROM read_parquet('{_fixture("kg_triples")}')
 GROUP BY doc_id, subj_id, subj ORDER BY doc_id, subj_id
+""",
+        "kg_degree_hist": f"""
+WITH edges AS (
+  SELECT DISTINCT subj, obj FROM read_parquet('{_fixture("kg_triples")}')
+),
+deg AS (SELECT subj, count(*) AS degree FROM edges GROUP BY subj)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_subjects
+FROM deg GROUP BY degree ORDER BY degree
+""",
+        "kg_pagerank": f"""
+SELECT node, rank FROM read_parquet('{_fixture("kg_pagerank")}')
+ORDER BY node
 """,
         "kg_windows": f"""
 SELECT doc_id, n_windows FROM read_parquet('{_fixture("kg_windows")}')

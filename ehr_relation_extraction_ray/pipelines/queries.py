@@ -1128,3 +1128,27 @@ def docs_partitioned_write(sf_dir: str) -> pd.DataFrame:
 
     out = back.map_batches(digest, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def kg_degree_hist(sf_dir: str) -> pd.DataFrame:
+    """KG out-degree distribution: distinct-(subj,obj) edges reduced by
+    the per-block combiner (edge space is ontology-bounded), degree per
+    subject, histogram. Oracle recomputes from the serial triples
+    fixture in pure SQL."""
+    trip = kg.run(synth.transcripts_path(sf_dir))
+    edges = graph.edge_weights(trip)
+    deg = edges.groupby("subj").size().rename("degree").reset_index()
+    hist = deg.groupby("degree").size().rename("n_subjects").reset_index()
+    hist = hist.astype({"degree": "int64", "n_subjects": "int64"})
+    return hist.sort_values("degree").reset_index(drop=True)
+
+
+def kg_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Weighted PageRank over the doc-support KG edge list (distributed
+    edge-weight combiner -> deterministic driver iteration; serial
+    fixture oracle re-runs the identical spec on the serial pipeline's
+    triples)."""
+    trip = kg.run(synth.transcripts_path(sf_dir))
+    edges = graph.edge_weights(trip)
+    out = graph.pagerank(edges)
+    return out.sort_values("node").reset_index(drop=True)

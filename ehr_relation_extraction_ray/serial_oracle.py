@@ -871,6 +871,8 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         vec_ids = np.asarray(t["vec_id"])
         emb = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()])
         return serial_ivf_topk_df(vec_ids, emb, [0, 1, 2])
+    if name == "kg_pagerank":
+        return serial_pagerank_df(_transcript_docs(sf_dir))
     if name == "embeddings_pca":
         t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
         emb = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()])
@@ -918,3 +920,21 @@ def serial_pca_df(embeddings: np.ndarray, iters: int = 100) -> pd.DataFrame:
     m = embeddings.astype(np.float64)
     cov = np.cov(m, rowvar=False, bias=True)
     return pd.DataFrame(power_iteration_table(cov, iters))
+
+
+def serial_pagerank_df(docs: Dict[str, str]) -> pd.DataFrame:
+    """PageRank fixture: serial triples -> pandas edge weights -> the
+    shared deterministic iteration (stages/graph.pagerank). Validates the
+    distributed edge-weight aggregation; the iteration itself is shared
+    order-deterministic math (edges canonically sorted both paths)."""
+    from .stages.graph import pagerank
+
+    trip = serial_triples_df(docs)
+    edges = (
+        trip.groupby(["subj", "obj"], as_index=False)
+        .agg(n=("doc_id", "count"))
+        .sort_values(["subj", "obj"])
+        .reset_index(drop=True)
+    )
+    edges["n"] = edges["n"].astype("int64")
+    return pagerank(edges).sort_values("node").reset_index(drop=True)

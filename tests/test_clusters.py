@@ -143,3 +143,22 @@ def test_pca_matches_numpy_eigh(ray_session):
     np.testing.assert_allclose(got["loading"], v, atol=1e-4)
     np.testing.assert_allclose(got["eigval"].iloc[0], w[-1], atol=1e-3)
     assert 0 < got["var_ratio"].iloc[0] <= 1
+
+
+def test_pagerank_properties():
+    """PageRank invariants on a hand-built weighted graph: ranks sum to 1,
+    the heavily-cited hub outranks leaves, dangling mass handled."""
+    from ehr_relation_extraction_ray.stages.graph import pagerank
+
+    edges = pd.DataFrame(
+        {
+            "subj": ["a", "b", "c", "d", "d"],
+            "obj": ["hub", "hub", "hub", "hub", "a"],
+            "n": [5, 3, 2, 4, 1],
+        }
+    ).sort_values(["subj", "obj"]).reset_index(drop=True)
+    out = pagerank(edges)
+    assert abs(out["rank"].sum() - 1.0) < 1e-4  # ranks rounded to 6dp
+    r = dict(zip(out["node"], out["rank"]))
+    assert r["hub"] > r["a"] > r["b"]  # a gets d's extra citation
+    assert set(out["node"]) == {"a", "b", "c", "d", "hub"}
