@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_distinct_tokens": q.docs_distinct_tokens,
         "docs_stratified_sample": q.docs_stratified_sample,
         "docs_weighted_sample": q.docs_weighted_sample,
+        "docs_budget_per_lang": q.docs_budget_per_lang,
         "docs_decontaminate": q.docs_decontaminate,
         "docs_unigram_logprob": q.docs_unigram_logprob,
         "docs_bloom_decontaminate": q.docs_bloom_decontaminate,
@@ -463,6 +464,25 @@ SELECT doc_id,
        length(regexp_extract_all(text, '\S+')) AS n_tokens,
        md5(text) AS md5
 FROM documents ORDER BY doc_id
+""",
+        "docs_budget_per_lang": """
+WITH tot AS (
+  SELECT lang, CAST(sum(n_chars) * 6 // 10 AS BIGINT) AS budget
+  FROM documents GROUP BY lang
+),
+ranked AS (
+  SELECT lang, doc_id, n_chars,
+         sum(n_chars) OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM documents
+)
+SELECT r.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_kept
+FROM ranked r JOIN tot USING (lang)
+WHERE cum <= budget
+GROUP BY r.lang ORDER BY r.lang
 """,
         "docs_weighted_sample": """
 WITH k AS (

@@ -1152,3 +1152,55 @@ def kg_pagerank(sf_dir: str) -> pd.DataFrame:
     edges = graph.edge_weights(trip)
     out = graph.pagerank(edges)
     return out.sort_values("node").reset_index(drop=True)
+
+
+def docs_budget_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-source token-budget curation: within each language, keep the
+    largest documents (n_chars desc, doc_id tiebreak) until 60% of that
+    language's total characters is reached (inclusive cutoff) — the
+    "fill each source's budget by priority" selection step of a training
+    mix. Pass 1: per-lang totals from block partials (lang-bounded,
+    driver-merged). Pass 2: per-lang ordered prefix selection inside one
+    hash partition per lang (groupby_partition; a lang's doc list is
+    metadata-sized). Digest: per lang, docs kept + chars kept. Integer
+    arithmetic end-to-end, so the SQL window oracle matches exactly."""
+    from ..functions.broadcast import bget
+    from ..functions.partitioning import groupby_partition
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+
+    def totals_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang", use_threads=False).aggregate([("n_chars", "sum")])
+        return g.rename_columns(["lang", "s"])
+
+    totals = (
+        docs.map_batches(totals_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("lang")["s"]
+        .sum()
+    )
+    budget_ref = ray.put({k: int(v * 6 // 10) for k, v in totals.items()})
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        budgets = bget(budget_ref)
+        df = df.sort_values(
+            ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        cum = df.groupby("lang", sort=False)["n_chars"].cumsum()
+        keep = cum <= df["lang"].map(budgets).astype("int64")
+        kept = df[keep]
+        agg = kept.groupby("lang").agg(
+            n_docs=("doc_id", "size"), chars_kept=("n_chars", "sum")
+        )
+        return agg.reset_index().astype({"n_docs": "int64", "chars_kept": "int64"})
+
+    out = (
+        groupby_partition(docs, "lang", select, batch_format="pandas")
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return out

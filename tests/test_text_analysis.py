@@ -166,3 +166,26 @@ def test_normalize_hand_cases(ray_session):
         "a b c 0",
     ]
     assert list(out["n_digits"]) == [7, 0, 1]
+
+
+def test_budget_per_lang_inclusive_cutoff(ray_session):
+    """Per-lang budget selection: kept chars never exceed the 60% budget,
+    and adding the next-ranked doc would exceed it (maximality)."""
+    from ehr_relation_extraction_ray.pipelines.queries import docs_budget_per_lang
+
+    sf = "/root/testdata/sf0.001"
+    got = docs_budget_per_lang(sf).set_index("lang")
+    docs = pd.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    for lang, sub in docs.groupby("lang"):
+        budget = int(sub["n_chars"].sum() * 6 // 10)
+        sub = sub.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        cum = sub["n_chars"].cumsum()
+        kept = sub[cum <= budget]
+        assert got.loc[lang, "n_docs"] == len(kept)
+        assert got.loc[lang, "chars_kept"] == int(kept["n_chars"].sum())
+        assert int(kept["n_chars"].sum()) <= budget
+        nxt = sub[cum > budget]
+        if len(nxt):
+            assert int(kept["n_chars"].sum()) + int(nxt.iloc[0]["n_chars"]) > budget
