@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": q.docs_stratified_sample,
         "docs_weighted_sample": q.docs_weighted_sample,
         "docs_budget_per_lang": q.docs_budget_per_lang,
+        "docs_entropy": q.docs_entropy,
         "docs_decontaminate": q.docs_decontaminate,
         "docs_unigram_logprob": q.docs_unigram_logprob,
         "docs_bloom_decontaminate": q.docs_bloom_decontaminate,
@@ -464,6 +465,20 @@ SELECT doc_id,
        length(regexp_extract_all(text, '\S+')) AS n_tokens,
        md5(text) AS md5
 FROM documents ORDER BY doc_id
+""",
+        "docs_entropy": r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+n AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY doc_id)
+SELECT tc.doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+       round(-sum((c / n) * ln(c / n)), 6) AS entropy
+FROM tc JOIN n USING (doc_id)
+GROUP BY tc.doc_id ORDER BY tc.doc_id
 """,
         "docs_budget_per_lang": """
 WITH tot AS (

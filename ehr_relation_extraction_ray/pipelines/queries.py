@@ -1204,3 +1204,37 @@ def docs_budget_per_lang(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out
+
+
+def docs_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-document unigram entropy (lexical-diversity quality signal):
+    one zero-shuffle pass; per doc, token counts via np.unique and
+    -sum(p ln p). Empty-token docs emit no row (matching the oracle's
+    token CTE)."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def ent(batch: pa.Table) -> pa.Table:
+        ids, ns, es = [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = (text or "").lower().split()
+            if not toks:
+                continue
+            _, c = np.unique(toks, return_counts=True)
+            p = c / c.sum()
+            ids.append(doc_id)
+            ns.append(int(c.sum()))
+            es.append(round(float(-(p * np.log(p)).sum()), 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ns, pa.int64()),
+                "entropy": pa.array(es, pa.float64()),
+            }
+        )
+
+    out = docs.map_batches(ent, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -189,3 +189,22 @@ def test_budget_per_lang_inclusive_cutoff(ray_session):
         nxt = sub[cum > budget]
         if len(nxt):
             assert int(kept["n_chars"].sum()) + int(nxt.iloc[0]["n_chars"]) > budget
+
+
+def test_docs_entropy_hand_cases(ray_session, tmp_path):
+    """docs_entropy on a hand-built documents.parquet: zero entropy for
+    repeated tokens, ln(k) for uniform, empty docs dropped, case folded."""
+    from ehr_relation_extraction_ray.pipelines.queries import docs_entropy
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a a a a", "a b c d", "", "A a B b"],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = docs_entropy(str(tmp_path)).set_index("doc_id")
+    assert out.loc[1, "entropy"] == 0.0
+    assert abs(out.loc[2, "entropy"] - np.log(4)) < 1e-5
+    assert 3 not in out.index  # empty doc emits no row
+    assert abs(out.loc[4, "entropy"] - np.log(2)) < 1e-5
+    assert list(out["n_tokens"]) == [4, 4, 4]
