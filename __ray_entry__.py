@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles_hist": r.events_quantiles_hist,
         "events_interval_join": r.events_interval_join,
         "events_cube": r.events_cube,
+        "events_profile": r.events_profile,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_cross_dedup": q.docs_cross_dedup,
@@ -615,6 +616,24 @@ FROM events GROUP BY event_type ORDER BY event_type
 SELECT event_id, round(value, 2) AS value,
        round(percent_rank() OVER (ORDER BY value, event_id), 6) AS pct_rank
 FROM events ORDER BY event_id
+""",
+        "events_profile": """
+SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_nulls AS BIGINT) AS n_nulls,
+       round(min_val, 2) AS min_val, round(max_val, 2) AS max_val,
+       round(sum_val, 2) AS sum_val
+FROM (
+  SELECT 'event_id' AS col_name, count(*) AS n_rows,
+         count(*) - count(event_id) AS n_nulls,
+         min(event_id) AS min_val, max(event_id) AS max_val,
+         sum(event_id) AS sum_val FROM events
+  UNION ALL
+  SELECT 'user_id', count(*), count(*) - count(user_id),
+         min(user_id), max(user_id), sum(user_id) FROM events
+  UNION ALL
+  SELECT 'value', count(*), count(*) - count(value),
+         min(value), max(value), sum(value) FROM events
+) ORDER BY col_name
 """,
         "events_cube": """
 SELECT COALESCE(event_type, 'ALL') AS event_type,

@@ -1067,3 +1067,48 @@ def events_cube(sf_dir: str) -> pd.DataFrame:
     out["sum_value"] = out["sum_value"].round(2)
     out = out.astype({"weekday": "int64", "n_events": "int64"})
     return out.sort_values(["event_type", "weekday"]).reset_index(drop=True)
+
+
+def events_profile(sf_dir: str) -> pd.DataFrame:
+    """Data-profiling pass (ingest validation): per numeric column, row /
+    null counts and min/max/sum in ONE streamed scan — each block reduces
+    to a (columns x 5) partial merged on the driver (column-bounded;
+    zero shuffles). The long-format output is UNION ALL per column in the
+    oracle."""
+    cols = ["event_id", "user_id", "value"]
+    ev = _pq(sf_dir, "events", columns=cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            v = np.asarray(t[c].cast(pa.float64()), dtype=np.float64)
+            nulls = int(t[c].null_count)
+            ok = v[~np.isnan(v)] if nulls else v
+            rows.append(
+                {
+                    "col_name": c,
+                    "n_rows": t.num_rows,
+                    "n_nulls": nulls,
+                    "min_val": float(ok.min()) if len(ok) else np.nan,
+                    "max_val": float(ok.max()) if len(ok) else np.nan,
+                    "sum_val": float(ok.sum()),
+                }
+            )
+        return pa.Table.from_pandas(pd.DataFrame(rows))
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("col_name")
+        .agg(
+            n_rows=("n_rows", "sum"),
+            n_nulls=("n_nulls", "sum"),
+            min_val=("min_val", "min"),
+            max_val=("max_val", "max"),
+            sum_val=("sum_val", "sum"),
+        )
+        .reset_index()
+        .astype({"n_rows": "int64", "n_nulls": "int64"})
+    )
+    for c in ("min_val", "max_val", "sum_val"):
+        out[c] = out[c].round(2)
+    return out.sort_values("col_name").reset_index(drop=True)
