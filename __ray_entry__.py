@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interval_join": r.events_interval_join,
         "events_cube": r.events_cube,
         "events_profile": r.events_profile,
+        "customer_events_full_outer": r.customer_events_full_outer,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_cross_dedup": q.docs_cross_dedup,
@@ -616,6 +617,25 @@ FROM events GROUP BY event_type ORDER BY event_type
 SELECT event_id, round(value, 2) AS value,
        round(percent_rank() OVER (ORDER BY value, event_id), 6) AS pct_rank
 FROM events ORDER BY event_id
+""",
+        "customer_events_full_outer": """
+WITH l AS (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_custkey < 300 AND c_custkey % 2 = 1
+),
+r AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id),
+j AS (
+  SELECT l.c_custkey, l.c_acctbal, r.user_id, r.n_events
+  FROM l FULL OUTER JOIN r ON l.c_custkey = r.user_id
+)
+SELECT CASE WHEN c_custkey IS NOT NULL AND user_id IS NOT NULL THEN 'both'
+            WHEN c_custkey IS NOT NULL THEN 'left_only'
+            ELSE 'right_only' END AS side,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(COALESCE(c_acctbal, 0.0)), 2) AS sum_acctbal,
+       CAST(sum(COALESCE(n_events, 0)) AS BIGINT) AS sum_events
+FROM j GROUP BY side ORDER BY side
 """,
         "events_profile": """
 SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,

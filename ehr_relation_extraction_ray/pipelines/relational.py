@@ -1112,3 +1112,67 @@ def events_profile(sf_dir: str) -> pd.DataFrame:
     for c in ("min_val", "max_val", "sum_val"):
         out[c] = out[c].round(2)
     return out.sort_values("col_name").reset_index(drop=True)
+
+
+def customer_events_full_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER hash join with orphans engineered on BOTH sides (odd
+    customer keys < 300 vs the 0-149 user-id space): per-user event
+    counts (combiner) full-outer-joined to a filtered customer slice
+    (stages/joins.hash_join, Ray native hash shuffle), then a side-label
+    digest — proving unmatched-left, unmatched-right and matched rows all
+    survive with correct null semantics."""
+    from ..stages.joins import hash_join
+
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def odd_slice(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["c_custkey"])
+        return t.filter(pa.array((k < 300) & (k % 2 == 1)))
+
+    left = cust.map_batches(odd_slice, batch_format="pyarrow")
+
+    ev = _pq(sf_dir, "events", columns=["user_id"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id", use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "n"])
+
+    from ray.data.aggregate import Sum
+
+    right = (
+        ev.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+
+    joined = hash_join(
+        left, right, on="c_custkey", right_on="user_id", how="full_outer"
+    ).to_pandas()
+
+    # Ray's native full_outer COALESCES the join keys into one column
+    # (c_custkey is non-null even for right-only rows), so side detection
+    # uses payload nullness: c_acctbal / n_events are non-null on their
+    # own side by construction (customer.acctbal has no nulls; n_events
+    # is a count)
+    has_l = joined["c_acctbal"].notna()
+    has_r = joined["n_events"].notna()
+    side = np.where(has_l & has_r, "both", np.where(has_l, "left_only", "right_only"))
+    out = (
+        pd.DataFrame(
+            {
+                "side": side,
+                "acctbal": joined["c_acctbal"].fillna(0.0),
+                "n_events": joined["n_events"].fillna(0),
+            }
+        )
+        .groupby("side")
+        .agg(
+            n_rows=("side", "size"),
+            sum_acctbal=("acctbal", "sum"),
+            sum_events=("n_events", "sum"),
+        )
+        .reset_index()
+    )
+    out["sum_acctbal"] = out["sum_acctbal"].round(2)
+    out = out.astype({"n_rows": "int64", "sum_events": "int64"})
+    return out.sort_values("side").reset_index(drop=True)
