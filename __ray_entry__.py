@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": q.docs_repetition,
         "docs_pack_bins": q.docs_pack_bins,
         "docs_lang_mix": q.docs_lang_mix,
+        "docs_lang_divergence": q.docs_lang_divergence,
         "docs_jsonl_roundtrip": q.docs_jsonl_roundtrip,
         "docs_partitioned_write": q.docs_partitioned_write,
         "docs_top_terms": q.docs_top_terms,
@@ -768,6 +769,35 @@ ORDER BY doc_id
 SELECT doc_id, lang, md5(text) AS text_md5
 FROM read_json_auto('{_jsonl_sql_glob()}')
 ORDER BY doc_id
+""",
+        "docs_lang_divergence": r"""
+WITH toks AS (
+  SELECT lang, tok FROM (
+    SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+),
+lt AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
+vocab AS (SELECT tok, sum(c) AS ct FROM lt GROUP BY tok),
+nl AS (SELECT lang, sum(c) AS n FROM lt GROUP BY lang),
+nt AS (SELECT sum(c) AS n FROM lt),
+grid AS (
+  SELECT nl.lang, v.tok, v.ct, COALESCE(lt.c, 0) AS cl, nl.n AS n_lang, nt.n AS n_tot
+  FROM nl CROSS JOIN vocab v
+  LEFT JOIN lt ON lt.lang = nl.lang AND lt.tok = v.tok
+  CROSS JOIN nt
+),
+contrib AS (
+  SELECT lang, n_lang,
+         cl / n_lang AS p,
+         (ct - cl) / (n_tot - n_lang) AS q,
+         (cl / n_lang + (ct - cl) / (n_tot - n_lang)) / 2.0 AS m
+  FROM grid
+)
+SELECT lang, CAST(n_lang AS BIGINT) AS n_tokens,
+       round(sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / m) ELSE 0 END)
+             + sum(CASE WHEN q > 0 THEN 0.5 * q * ln(q / m) ELSE 0 END), 6) AS jsd
+FROM contrib GROUP BY lang, n_lang ORDER BY lang
 """,
         "docs_lang_mix": r"""
 WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs

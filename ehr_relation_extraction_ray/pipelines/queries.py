@@ -1238,3 +1238,13 @@ def docs_entropy(sf_dir: str) -> pd.DataFrame:
 
     out = docs.map_batches(ent, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_lang_divergence(sf_dir: str) -> pd.DataFrame:
+    """Per-language JSD vs rest-of-corpus over unigram distributions
+    (combiner term counts -> one partials groupby -> vocab-bounded driver
+    math)."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text", "lang"]
+    )
+    return text_analysis.lang_divergence(docs).reset_index(drop=True)

@@ -542,3 +542,70 @@ def normalize(
     return ds.map_batches(
         lambda b: normalize_batch(b, text_col), batch_format="pyarrow"
     )
+
+
+def lang_term_freq(
+    docs: "ray.data.Dataset", text_col: str = "text", lang_col: str = "lang"
+) -> "ray.data.Dataset":
+    """Per-language unigram frequencies (lang, term, c) — the keyed
+    variant of :func:`corpus_term_freq`, same combiner shape: one row per
+    distinct (lang, term) per block, then one groupby of partials."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        words = pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
+        flat = pc.list_flatten(words)
+        lens = np.asarray(pc.list_value_length(words))
+        langs = np.repeat(np.asarray(batch[lang_col], dtype=object), lens)
+        keep = np.asarray(pc.utf8_length(flat)) > 0
+        df = pd.DataFrame({"lang": langs[keep], "term": np.asarray(flat)[keep]})
+        vc = df.groupby(["lang", "term"], sort=False).size().rename("c")
+        return pa.Table.from_pandas(vc.reset_index())
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+
+def lang_divergence(docs: "ray.data.Dataset") -> "pd.DataFrame":
+    """Jensen-Shannon divergence of each language's unigram distribution
+    vs the REST of the corpus (domain-shift / mixture diagnostics).
+
+    The (lang x vocab) count table from :func:`lang_term_freq` is
+    vocab-bounded (never corpus-sized); the JSD itself is a vectorized
+    numpy pivot on the driver, exactly like the unigram-LM and k-means
+    finishing steps."""
+    import pandas as pd
+
+    lt = lang_term_freq(docs).to_pandas()
+    pivot = lt.pivot_table(
+        index="term", columns="lang", values="c", aggfunc="sum", fill_value=0
+    ).astype(np.float64)
+    totals = pivot.sum(axis=0)
+    grand = totals.sum()
+    rows = []
+    for lang in sorted(pivot.columns):
+        cl = pivot[lang].to_numpy()
+        ct = pivot.sum(axis=1).to_numpy()
+        p = cl / totals[lang]
+        q = (ct - cl) / (grand - totals[lang])
+        m = (p + q) / 2.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            kl_p = np.where(p > 0, p * np.log(p / m), 0.0)
+            kl_q = np.where(q > 0, q * np.log(q / m), 0.0)
+        rows.append(
+            {
+                "lang": lang,
+                "n_tokens": int(totals[lang]),
+                "jsd": round(float(0.5 * kl_p.sum() + 0.5 * kl_q.sum()), 6),
+            }
+        )
+    return pd.DataFrame(rows, columns=["lang", "n_tokens", "jsd"])

@@ -208,3 +208,30 @@ def test_docs_entropy_hand_cases(ray_session, tmp_path):
     assert 3 not in out.index  # empty doc emits no row
     assert abs(out.loc[4, "entropy"] - np.log(2)) < 1e-5
     assert list(out["n_tokens"]) == [4, 4, 4]
+
+
+def test_lang_divergence_bounds_and_separation(ray_session):
+    """JSD in [0, ln 2]; disjoint-vocabulary languages hit the maximum,
+    identically-distributed ones hit ~0."""
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "lang": ["en"] * 4 + ["de"] * 4,
+                "text": ["apple banana cherry"] * 4 + ["apfel banane kirsche"] * 4,
+            }
+        )
+    ).repartition(3)
+    out = text_analysis.lang_divergence(docs).set_index("lang")
+    assert abs(out.loc["en", "jsd"] - np.log(2)) < 1e-6  # disjoint vocab
+    assert abs(out.loc["de", "jsd"] - np.log(2)) < 1e-6
+
+    same = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "lang": ["en"] * 3 + ["de"] * 3,
+                "text": ["x y z"] * 6,
+            }
+        )
+    )
+    out2 = text_analysis.lang_divergence(same).set_index("lang")
+    assert (out2["jsd"] < 1e-9).all()
