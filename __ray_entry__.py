@@ -729,7 +729,7 @@ WITH d AS (
   FROM events
 )
 SELECT user_id, CAST(count(delta) AS BIGINT) AS n_deltas,
-       round(sum(abs(delta)), 2) AS sum_abs_delta
+       COALESCE(round(sum(abs(delta)), 2), 0.0) AS sum_abs_delta
 FROM d GROUP BY user_id ORDER BY user_id
 """,
         "events_quantiles_sampled": """

@@ -147,9 +147,13 @@ def pack_sequences(
     from ..functions.scan import with_prefix_sum
 
     def count_tokens(batch: pa.Table) -> pa.Table:
-        # vectorized len(text.split()): count \S+ runs (A/B-verified
-        # identical to the Python loop incl. null/empty/edge whitespace)
-        n = pc.count_substring_regex(batch[text_col], r"\S+")
+        # vectorized len(text.split()): count \S+ runs. fill_null FIRST —
+        # count_substring_regex propagates null, and a null n_tokens
+        # becomes INT64_MIN in the scan's numpy cumsum (silent garbage
+        # bins); the old per-row loop counted null as 0
+        n = pc.count_substring_regex(
+            pc.fill_null(batch[text_col], ""), r"\S+"
+        )
         return pa.table(
             {
                 id_col: batch[id_col],

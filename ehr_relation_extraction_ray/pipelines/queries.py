@@ -183,12 +183,11 @@ def docs_stratified_sample(sf_dir: str, n: int = 20) -> pd.DataFrame:
     )
 
 
-def docs_decontaminate(sf_dir: str) -> pd.DataFrame:
-    """Benchmark n-gram decontamination: corpus docs sharing a 5-word
-    shingle with the (deterministic doc_id%17==0) benchmark split."""
-    docs = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
+def _bench_corpus_split(docs):
+    """The deterministic benchmark/corpus split (doc_id % 17 == 0 is the
+    benchmark) — ONE definition shared by the exact and Bloom
+    decontamination queries so the "bloom == exact" oracle equivalence
+    can never silently compare different splits (review finding)."""
 
     def _split(keep_bench: bool):
         def f(t: pa.Table) -> pa.Table:
@@ -197,8 +196,19 @@ def docs_decontaminate(sf_dir: str) -> pd.DataFrame:
 
         return f
 
-    bench = docs.map_batches(_split(True), batch_format="pyarrow")
-    corpus = docs.map_batches(_split(False), batch_format="pyarrow")
+    return (
+        docs.map_batches(_split(True), batch_format="pyarrow"),
+        docs.map_batches(_split(False), batch_format="pyarrow"),
+    )
+
+
+def docs_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark n-gram decontamination: corpus docs sharing a 5-word
+    shingle with the (deterministic doc_id%17==0) benchmark split."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    bench, corpus = _bench_corpus_split(docs)
     ref = dedupe.benchmark_shingle_set(bench)
     out = dedupe.decontaminate(corpus, ref).to_pandas()
     out["n_hits"] = out["n_hits"].astype("int64")
@@ -1012,16 +1022,7 @@ def docs_bloom_decontaminate(sf_dir: str) -> pd.DataFrame:
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-
-    def _split(keep_bench: bool):
-        def f(t: pa.Table) -> pa.Table:
-            is_bench = (np.asarray(t["doc_id"]) % 17) == 0
-            return t.filter(pa.array(is_bench if keep_bench else ~is_bench))
-
-        return f
-
-    bench = docs.map_batches(_split(True), batch_format="pyarrow")
-    corpus = docs.map_batches(_split(False), batch_format="pyarrow")
+    bench, corpus = _bench_corpus_split(docs)
     out = dedupe.bloom_decontaminate(corpus, bench).to_pandas()
     out["doc_id"] = out["doc_id"].astype("int64")
     out["n_hits"] = out["n_hits"].astype("int64")

@@ -797,16 +797,24 @@ def events_zscore(sf_dir: str) -> pd.DataFrame:
     mean = stats["s"] / stats["n"]
     # population stddev, matching SQL stddev_pop
     std = np.sqrt(stats["s2"] / stats["n"] - mean * mean)
+    # broadcast as dense arrays keyed by sorted type (playbook: pandas
+    # .map(dict) costs ~11us/row; Index.get_indexer + numpy take is C)
+    type_arr = stats.index.to_numpy()
+    order = np.argsort(type_arr)
     stats_ref = ray.put(
-        (dict(zip(stats.index, mean.to_numpy())), dict(zip(stats.index, std.to_numpy())))
+        (
+            pd.Index(type_arr[order]),
+            mean.to_numpy()[order],
+            std.to_numpy()[order],
+        )
     )
 
     def normalize(batch: pa.Table) -> pa.Table:
-        m, s = _bget(stats_ref)
-        types = batch["event_type"].to_pandas()
-        mu = types.map(m).to_numpy(dtype=np.float64)
-        sd = types.map(s).to_numpy(dtype=np.float64)
-        z = (np.asarray(batch["value"], dtype=np.float64) - mu) / sd
+        idx, mean_arr, std_arr = _bget(stats_ref)
+        codes = idx.get_indexer(batch["event_type"].to_pandas())
+        z = (
+            np.asarray(batch["value"], dtype=np.float64) - mean_arr[codes]
+        ) / std_arr[codes]
         return pa.table(
             {
                 "event_id": batch["event_id"],
@@ -874,21 +882,32 @@ def events_winsorized(sf_dir: str) -> pd.DataFrame:
             rows.append({"event_type": t, "lo": lo, "hi": hi})
         return pd.DataFrame(rows, columns=["event_type", "lo", "hi"])
 
-    b = groupby_partition(ev, "event_type", bounds, batch_format="pandas").to_pandas()
+    b = (
+        groupby_partition(ev, "event_type", bounds, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+    )
+    # dense arrays, built ONCE (not per batch): Index.get_indexer + take
     bounds_ref = ray.put(
-        {r.event_type: (r.lo, r.hi) for r in b.itertuples()}
+        (
+            pd.Index(b["event_type"].to_numpy()),
+            b["lo"].to_numpy(dtype=np.float64),
+            b["hi"].to_numpy(dtype=np.float64),
+        )
     )
 
     def clip_partial(batch: pa.Table) -> pa.Table:
-        bmap = _bget(bounds_ref)
+        idx, lo_arr, hi_arr = _bget(bounds_ref)
+        types = batch["event_type"].to_pandas()
+        codes = idx.get_indexer(types)
+        lo = lo_arr[codes]
+        hi = hi_arr[codes]
         df = pd.DataFrame(
             {
-                "event_type": batch["event_type"].to_pandas(),
+                "event_type": types,
                 "v": np.asarray(batch["value"], dtype=np.float64),
             }
         )
-        lo = df["event_type"].map({k: v[0] for k, v in bmap.items()}).to_numpy()
-        hi = df["event_type"].map({k: v[1] for k, v in bmap.items()}).to_numpy()
         clipped = np.clip(df["v"].to_numpy(), lo, hi)
         df = df.assign(
             clipped=clipped,
@@ -1081,20 +1100,36 @@ def events_profile(sf_dir: str) -> pd.DataFrame:
     def partial(t: pa.Table) -> pa.Table:
         rows = []
         for c in cols:
-            v = np.asarray(t[c].cast(pa.float64()), dtype=np.float64)
-            nulls = int(t[c].null_count)
-            ok = v[~np.isnan(v)] if nulls else v
+            col = t[c]
+            nulls = int(col.null_count)
+            ok_col = col.drop_null() if nulls else col
+            is_int = pa.types.is_integer(col.type)
+            if is_int:
+                # exact int64 accumulation: float64 partials drift past
+                # the 0.005 rounding granularity once sums approach 2^53
+                # (review finding — the oracle sums in exact HUGEINT).
+                # Missing is encoded as (is_int flag + 0), NOT null —
+                # int64-with-null degrades to float64 through pandas.
+                v = np.asarray(ok_col.cast(pa.int64()))
+                s_int, s_flt = int(v.sum()) if len(v) else 0, 0.0
+            else:
+                v = np.asarray(ok_col.cast(pa.float64()), dtype=np.float64)
+                s_int, s_flt = 0, float(v.sum())
             rows.append(
                 {
                     "col_name": c,
                     "n_rows": t.num_rows,
                     "n_nulls": nulls,
-                    "min_val": float(ok.min()) if len(ok) else np.nan,
-                    "max_val": float(ok.max()) if len(ok) else np.nan,
-                    "sum_val": float(ok.sum()),
+                    "min_val": float(v.min()) if len(v) else np.nan,
+                    "max_val": float(v.max()) if len(v) else np.nan,
+                    "is_int": is_int,
+                    "sum_int": s_int,
+                    "sum_flt": s_flt,
                 }
             )
-        return pa.Table.from_pandas(pd.DataFrame(rows))
+        df = pd.DataFrame(rows)
+        df["sum_int"] = df["sum_int"].astype("int64")
+        return pa.Table.from_pandas(df)
 
     parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
     out = (
@@ -1104,11 +1139,17 @@ def events_profile(sf_dir: str) -> pd.DataFrame:
             n_nulls=("n_nulls", "sum"),
             min_val=("min_val", "min"),
             max_val=("max_val", "max"),
-            sum_val=("sum_val", "sum"),
+            is_int=("is_int", "first"),
+            sum_int=("sum_int", "sum"),
+            sum_flt=("sum_flt", "sum"),
         )
         .reset_index()
         .astype({"n_rows": "int64", "n_nulls": "int64"})
     )
+    out["sum_val"] = np.where(
+        out["is_int"], out["sum_int"].astype("float64"), out["sum_flt"]
+    )
+    out = out.drop(columns=["is_int", "sum_int", "sum_flt"])
     for c in ("min_val", "max_val", "sum_val"):
         out[c] = out[c].round(2)
     return out.sort_values("col_name").reset_index(drop=True)

@@ -255,6 +255,23 @@ def _distinct_by_pair(
     )
 
 
+
+_LSH_BUCKET_PARTITIONS = 64
+
+
+def _add_bucket_part(t: pa.Table, num_partitions: int = _LSH_BUCKET_PARTITIONS) -> pa.Table:
+    """Hash (band, band_hash) into a fixed partition id — the SINGLE
+    definition of the LSH bucket->partition mapping (shared by the
+    within-corpus and cross-corpus variants so their shuffle behavior
+    can never desynchronize)."""
+    bh = np.asarray(t["band_hash"]).astype(np.uint64)
+    bd = np.asarray(t["band"]).astype(np.uint64)
+    part = ((bh * np.uint64(1000003) + bd) % np.uint64(num_partitions)).astype(
+        np.int32
+    )
+    return t.append_column("_part", pa.array(part))
+
+
 def _bucket_pairs_partition(
     part: pa.Table, cap: int = 512, overflow_dir: str | None = None
 ) -> pa.Table:
@@ -330,21 +347,13 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
     )
 
-    # bucket at PARTITION granularity: hash (band, band_hash) into a fixed
-    # number of partitions so the groupby makes 64 vectorized Python calls,
-    # not one per distinct bucket (corpus x bands micro-groups at scale).
-    num_partitions = 64
-
-    def add_bucket_part(t: pa.Table) -> pa.Table:
-        bh = np.asarray(t["band_hash"]).astype(np.uint64)
-        bd = np.asarray(t["band"]).astype(np.uint64)
-        part = ((bh * np.uint64(1000003) + bd) % np.uint64(num_partitions)).astype(
-            np.int32
-        )
-        return t.append_column("_part", pa.array(part))
+    # bucket at PARTITION granularity: one vectorized Python call per
+    # partition, not one per distinct bucket (corpus x bands micro-groups
+    # at scale); mapping shared via _add_bucket_part
+    num_partitions = _LSH_BUCKET_PARTITIONS
 
     pairs = (
-        band_rows.map_batches(add_bucket_part, batch_format="pyarrow")
+        band_rows.map_batches(_add_bucket_part, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(
             lambda g: _bucket_pairs_partition(g, bucket_cap, overflow_dir),
@@ -1234,20 +1243,10 @@ def minhash_lsh_cross_pairs(
         rows_with_side(0), batch_format="pyarrow"
     ).union(docs_b.map_batches(rows_with_side(1), batch_format="pyarrow"))
 
-    num_partitions = 64
-
-    def add_bucket_part(t: pa.Table) -> pa.Table:
-        bh = np.asarray(t["band_hash"]).astype(np.uint64)
-        bd = np.asarray(t["band"]).astype(np.uint64)
-        prt = ((bh * np.uint64(1000003) + bd) % np.uint64(num_partitions)).astype(
-            np.int32
-        )
-        return t.append_column("_part", pa.array(prt))
-
     # verify_jaccard dedups pairs internally (same contract as
     # minhash_lsh_pairs(distinct=False)), so no distinct shuffle here
     return (
-        band_rows.map_batches(add_bucket_part, batch_format="pyarrow")
+        band_rows.map_batches(_add_bucket_part, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(
             lambda g: _bucket_cross_pairs_partition(g, bucket_cap, overflow_dir),

@@ -167,7 +167,52 @@ def anti_join(
     )
 
 
+def _tagged_union_cogroup(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    lcols: List[str],
+    rcols: List[str],
+    ltypes: dict,
+    rtypes: dict,
+    carry: dict,
+    right_suffix: str,
+    part_cols: Sequence[str],
+    num_partitions: int,
+) -> "ray.data.Dataset":
+    """Shared scaffolding for co-grouped merge joins (as-of, interval):
+    both sides are projected onto ONE union schema (left columns +
+    suffixed right columns), tagged with ``_side``, hash-partitioned on
+    ``part_cols`` and unioned. ``carry`` maps left column -> right source
+    column for the key columns the right side contributes (cast to the
+    left dtype); every other left column is null on the right side."""
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        out = t.select(lcols)
+        for c in rcols:
+            out = out.append_column(c + right_suffix, pa.nulls(t.num_rows, rtypes[c]))
+        out = out.append_column("_side", pa.array([0] * t.num_rows, pa.int8()))
+        return add_hash_partition(out, part_cols, num_partitions)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in lcols:
+            if c in carry:
+                cols[c] = t[carry[c]].cast(ltypes[c])
+            else:
+                cols[c] = pa.nulls(t.num_rows, ltypes[c])
+        out = pa.table(cols)
+        for c in rcols:
+            out = out.append_column(c + right_suffix, t[c])
+        out = out.append_column("_side", pa.array([1] * t.num_rows, pa.int8()))
+        return add_hash_partition(out, part_cols, num_partitions)
+
+    return left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+
 def asof_join(
+
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
     by: str,
@@ -188,28 +233,10 @@ def asof_join(
     rtypes = {f.name: f.type for f in rschema}
     ltypes = {f.name: f.type for f in lschema}
 
-    def tag_left(t: pa.Table) -> pa.Table:
-        out = t.select(lcols)
-        for c in rcols:
-            out = out.append_column(c + right_suffix, pa.nulls(t.num_rows, rtypes[c]))
-        out = out.append_column("_side", pa.array([0] * t.num_rows, pa.int8()))
-        return add_hash_partition(out, [by], num_partitions)
-
-    def tag_right(t: pa.Table) -> pa.Table:
-        cols = {}
-        for c in lcols:
-            if c in (by, on):
-                cols[c] = t[c].cast(ltypes[c])
-            else:
-                cols[c] = pa.nulls(t.num_rows, ltypes[c])
-        out = pa.table(cols)
-        for c in rcols:
-            out = out.append_column(c + right_suffix, t[c])
-        out = out.append_column("_side", pa.array([1] * t.num_rows, pa.int8()))
-        return add_hash_partition(out, [by], num_partitions)
-
-    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
-        right.map_batches(tag_right, batch_format="pyarrow")
+    tagged = _tagged_union_cogroup(
+        left, right, lcols, rcols, ltypes, rtypes,
+        carry={by: by, on: on}, right_suffix=right_suffix,
+        part_cols=[by], num_partitions=num_partitions,
     )
 
     out_schema = pa.schema(
@@ -272,28 +299,10 @@ def interval_join(
     rtypes = {f.name: f.type for f in rschema}
     ltypes = {f.name: f.type for f in lschema}
 
-    def tag_points(t: pa.Table) -> pa.Table:
-        out = t.select(lcols)
-        for c in rcols:
-            out = out.append_column(c + right_suffix, pa.nulls(t.num_rows, rtypes[c]))
-        out = out.append_column("_side", pa.array([0] * t.num_rows, pa.int8()))
-        return add_hash_partition(out, [by], num_partitions)
-
-    def tag_intervals(t: pa.Table) -> pa.Table:
-        cols = {}
-        for c in lcols:
-            if c == by:
-                cols[c] = t[c].cast(ltypes[c])
-            else:
-                cols[c] = pa.nulls(t.num_rows, ltypes[c])
-        out = pa.table(cols)
-        for c in rcols:
-            out = out.append_column(c + right_suffix, t[c])
-        out = out.append_column("_side", pa.array([1] * t.num_rows, pa.int8()))
-        return add_hash_partition(out, [by], num_partitions)
-
-    tagged = points.map_batches(tag_points, batch_format="pyarrow").union(
-        intervals.map_batches(tag_intervals, batch_format="pyarrow")
+    tagged = _tagged_union_cogroup(
+        points, intervals, lcols, rcols, ltypes, rtypes,
+        carry={by: by}, right_suffix=right_suffix,
+        part_cols=[by], num_partitions=num_partitions,
     )
     out_schema = pa.schema(
         [(c, ltypes[c]) for c in lcols]

@@ -591,10 +591,15 @@ def lang_divergence(docs: "ray.data.Dataset") -> "pd.DataFrame":
     ).astype(np.float64)
     totals = pivot.sum(axis=0)
     grand = totals.sum()
+    if len(pivot.columns) < 2:
+        raise ValueError(
+            "lang_divergence needs >= 2 languages (JSD vs an empty "
+            f"rest-of-corpus is undefined); got {list(pivot.columns)}"
+        )
+    ct = pivot.sum(axis=1).to_numpy()  # loop-invariant row totals
     rows = []
     for lang in sorted(pivot.columns):
         cl = pivot[lang].to_numpy()
-        ct = pivot.sum(axis=1).to_numpy()
         p = cl / totals[lang]
         q = (ct - cl) / (grand - totals[lang])
         m = (p + q) / 2.0
