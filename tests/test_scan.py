@@ -59,3 +59,31 @@ def test_pack_sequences_straddle(ray_session):
     )
     assert out["n_tokens"].tolist() == [7, 6, 3]
     assert out["bin_id"].tolist() == [0, 0, 1]
+
+
+def test_pack_sequences_null_text(ray_session):
+    """Regression: a NULL text row must count 0 tokens, not poison the
+    prefix-sum with a propagated null (review finding: null -> INT64_MIN
+    through numpy, silently corrupting every later bin in the block)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from ehr_relation_extraction_ray.pipelines.export import pack_sequences
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a b c", None, "d e", "f g h i"], pa.string()),
+        }
+    )
+    out = (
+        pack_sequences(ray.data.from_arrow(t), budget=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["n_tokens"]) == [3, 0, 2, 4]
+    # exclusive prefix: 0,3,3,5 -> bins 0,0,0,1
+    assert list(out["bin_id"]) == [0, 0, 0, 1]
