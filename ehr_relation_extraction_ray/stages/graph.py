@@ -193,6 +193,11 @@ def edge_weights(triples: "ray.data.Dataset") -> pd.DataFrame:
         return g.rename_columns(["subj", "obj", "n"])
 
     parts = triples.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:  # zero blocks: Ray drops empty outputs, no columns
+        return pd.DataFrame(
+            {"subj": pd.Series([], dtype=str), "obj": pd.Series([], dtype=str),
+             "n": pd.Series([], dtype="int64")}
+        )
     out = (
         parts.groupby(["subj", "obj"], as_index=False)["n"].sum()
         .sort_values(["subj", "obj"])

@@ -37,6 +37,8 @@ def _arrow_schema(ds: "ray.data.Dataset") -> pa.Schema:
     """Arrow schema of a Dataset regardless of block format (pandas-block
     datasets report numpy dtypes; map them to Arrow)."""
     sch = ds.schema()
+    if sch is None:  # fully-empty dataset (zero blocks): no schema at all
+        return pa.schema([])
     base = getattr(sch, "base_schema", None)
     if isinstance(base, pa.Schema):
         return base
@@ -118,11 +120,31 @@ def semi_join(
         right_on = (right_on,)
     rkeys = list(right_on) if right_on else list(on)
     marker = "_semi_marker"
+    # Ray drops empty output blocks, so a fully-empty dataset is
+    # SCHEMA-LESS (schema() is None) and the native join rejects it.
+    # The semantics are trivial in that case — short-circuit:
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
+    if len(lschema) == 0:
+        return left  # no left rows to keep either way
+    if len(rschema) == 0:
+        # empty right: semi keeps nothing, anti keeps everything
+        return left if anti else left.limit(0)
+    rtypes = {f.name: f.type for f in rschema}
+    ltypes = {f.name: f.type for f in lschema}
+    keys_schema = pa.schema(
+        [(k, rtypes[k]) for k in rkeys] + [(marker, pa.int8())]
+    )
 
     def local_distinct(t: pa.Table) -> pa.Table:
         return t.select(rkeys).group_by(rkeys, use_threads=False).aggregate([])
 
     def add_marker(t: pa.Table) -> pa.Table:
+        # pin the schema on zero-row blocks: an empty Ray groupby emits a
+        # SCHEMA-LESS block (round-1 kg_nodes class) which the native
+        # join then rejects ("no match for key field")
+        if t.num_rows == 0:
+            return keys_schema.empty_table()
         return t.append_column(
             marker, pa.array(np.ones(t.num_rows, dtype=np.int8))
         )

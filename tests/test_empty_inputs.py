@@ -95,3 +95,49 @@ def test_windows_and_eval_on_empty(ray_session):
     )
     res = evaluate.span_prf(empty_m, empty_m)
     assert res["f1"] == 0.0
+
+
+def test_new_ops_on_empty_inputs(ray_session):
+    """Round-2 additions flow empty inputs without schema poisoning:
+    bloom decontaminate, cross-LSH, interval join, dim stats / PCA
+    partials, normalization, edge weights."""
+    import numpy as np
+
+    from ehr_relation_extraction_ray.stages import dedupe, graph, text_analysis
+    from ehr_relation_extraction_ray.stages.joins import interval_join
+
+    docs = _empty_docs()
+    assert dedupe.bloom_decontaminate(docs, docs).count() == 0
+    assert dedupe.minhash_lsh_cross_pairs(docs, docs).count() == 0
+    assert text_analysis.normalize(docs).count() == 0
+
+    empty_trip = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.string()),
+                "subj": pa.array([], pa.string()),
+                "obj": pa.array([], pa.string()),
+            }
+        )
+    )
+    ew = graph.edge_weights(empty_trip)
+    assert len(ew) == 0
+
+    points = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.int64()),
+            }
+        )
+    )
+    ivs = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "start": pa.array([], pa.int64()),
+                "end": pa.array([], pa.int64()),
+            }
+        )
+    )
+    assert interval_join(points, ivs, by="k", on="ts").count() == 0
