@@ -133,3 +133,30 @@ def rolling_fingerprint(text: str, k: int = 9, window: int = 4) -> int:
         return int(np.bitwise_xor.reduce(h))
     mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
     return int(np.bitwise_xor.reduce(np.unique(mins)))
+
+
+def vec_string_hash_64(strings) -> np.ndarray:
+    """Vectorized deterministic 64-bit string hash, pure numpy — no
+    imports, no fallback (replaces the polars rust-kernel path whose
+    partial-import race under concurrent worker startup made hashes
+    inconsistent across processes). Fixed-width UTF-32 code matrix x
+    position multipliers, length folded in so zero-padding cannot
+    collide, murmur-style avalanche finalizer."""
+    strings = list(strings)
+    if not strings:
+        return np.zeros(0, dtype=np.uint64)
+    from .sketch import _mix64
+
+    m = np.asarray(strings, dtype="U")
+    width = m.dtype.itemsize // 4
+    if width == 0:  # every string empty
+        return np.full(len(strings), _FNV_OFFSET, dtype=np.uint64)
+    codes = np.ascontiguousarray(m).view(np.uint32).reshape(len(m), width)
+    codes = codes.astype(np.uint64)
+    P = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        powers = P ** np.arange(width, dtype=np.uint64)
+        h = (codes * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        lens = (codes != 0).sum(axis=1).astype(np.uint64)
+        h = h * P + lens
+    return _mix64(h)

@@ -816,7 +816,7 @@ def serial_ivf_cluster_sizes_df(
 
 # bump when any serial semantics above change, so stale /tmp fixtures from a
 # previous code version are never reused
-_FIXTURE_VERSION = 1
+_FIXTURE_VERSION = 2  # v2: import-free vec_string_hash_64 replaced the polars word hash
 
 
 def _transcript_docs(sf_dir: str) -> Dict[str, str]:

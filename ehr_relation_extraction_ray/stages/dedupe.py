@@ -88,14 +88,12 @@ def _minhash_params(num_perm: int, seed: int = 7) -> Tuple[np.ndarray, np.ndarra
 
 
 def _word_hashes(words) -> np.ndarray:
-    """64-bit word hashes, vectorized (polars' rust kernel; content_hash_64
-    fallback keeps the pure-numpy path working without polars)."""
-    try:
-        import polars as pl
+    """64-bit word hashes — textstats.vec_string_hash_64 (pure numpy, one
+    implementation everywhere; see its docstring for why the former
+    polars path was removed)."""
+    from ..functions.textstats import vec_string_hash_64
 
-        return pl.Series(words).hash(seed=101).to_numpy().astype(np.uint64)
-    except ImportError:  # pragma: no cover
-        return content_hash_64(list(words))
+    return vec_string_hash_64(words)
 
 
 def word_shingle_hashes(text: str, k: int) -> np.ndarray:

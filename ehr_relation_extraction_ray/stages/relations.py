@@ -171,17 +171,13 @@ def _add_partition_col(batch: pa.Table, num_partitions: int) -> pa.Table:
     """Partition routing column for the global dedup shuffle.
 
     The triple key CONTAINS ``doc_id``, so hashing ``doc_id`` alone routes
-    every potential duplicate to the same partition — one column hashed
-    (vectorized via polars' rust kernel) instead of a five-column
-    row-wise join."""
-    try:
-        import polars as pl
+    every potential duplicate to the same partition — one vectorized
+    import-free hash (the former polars kernel's partial-import race
+    could split one doc's rows across engines, i.e. across partitions,
+    breaking the co-location the dedup relies on)."""
+    from ..functions.textstats import vec_string_hash_64
 
-        h = pl.from_arrow(batch["doc_id"]).hash(seed=11).to_numpy()
-    except ImportError:  # pragma: no cover - polars is baked into the env
-        from ..functions.textstats import content_hash_64
-
-        h = content_hash_64(batch["doc_id"].to_pylist())
+    h = vec_string_hash_64(batch["doc_id"].to_pylist())
     part = (h % np.uint64(num_partitions)).astype(np.int32)
     return batch.append_column("_part", pa.array(part))
 
