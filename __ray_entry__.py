@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": q.docs_weighted_sample,
         "docs_budget_per_lang": q.docs_budget_per_lang,
         "docs_entropy": q.docs_entropy,
+        "docs_boilerplate": q.docs_boilerplate,
         "docs_decontaminate": q.docs_decontaminate,
         "docs_unigram_logprob": q.docs_unigram_logprob,
         "docs_bloom_decontaminate": q.docs_bloom_decontaminate,
@@ -482,6 +483,21 @@ SELECT tc.doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
        round(-sum((c / n) * ln(c / n)), 6) AS entropy
 FROM tc JOIN n USING (doc_id)
 GROUP BY tc.doc_id ORDER BY tc.doc_id
+""",
+        "docs_boilerplate": r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, ngram FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 7, 1) + 1),
+                   i -> array_to_string(w[i:i+7], ' '))) AS ngram
+    FROM words)
+)
+SELECT md5(ngram) AS ngram_md5, CAST(count(*) AS BIGINT) AS df
+FROM sh GROUP BY ngram HAVING count(*) >= 3
+ORDER BY ngram_md5
 """,
         "docs_budget_per_lang": """
 WITH tot AS (

@@ -1249,3 +1249,26 @@ def docs_lang_divergence(sf_dir: str) -> pd.DataFrame:
         os.path.join(sf_dir, "documents.parquet"), columns=["text", "lang"]
     )
     return text_analysis.lang_divergence(docs).reset_index(drop=True)
+
+
+def docs_boilerplate(sf_dir: str, min_docs: int = 3) -> pd.DataFrame:
+    """Repeated 8-gram boilerplate (n-grams in >= 3 distinct docs),
+    digested as (ngram_md5, df) for the hash oracle."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = text_analysis.boilerplate_ngrams(docs, min_docs=min_docs).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"ngram_md5": pd.Series([], dtype=str),
+             "df": pd.Series([], dtype="int64")}
+        )
+    out["ngram_md5"] = [
+        hashlib.md5(g.encode("utf-8")).hexdigest() for g in out["ngram"]
+    ]
+    out["df"] = out["df"].astype("int64")
+    return (
+        out[["ngram_md5", "df"]]
+        .sort_values(["ngram_md5"])
+        .reset_index(drop=True)
+    )

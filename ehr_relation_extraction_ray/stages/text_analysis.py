@@ -614,3 +614,58 @@ def lang_divergence(docs: "ray.data.Dataset") -> "pd.DataFrame":
             }
         )
     return pd.DataFrame(rows, columns=["lang", "n_tokens", "jsd"])
+
+
+def boilerplate_ngrams(
+    docs: "ray.data.Dataset",
+    min_docs: int = 3,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Repeated-n-gram boilerplate detection (Lee et al. dedup recipe):
+    word k-grams occurring in >= ``min_docs`` DISTINCT documents — the
+    removal unit for templated/boilerplate spans that survive doc-level
+    dedup.
+
+    Combiner shape: each block emits (ngram, distinct-doc-count) partials
+    — exact because every document is one input row, so a block never
+    splits a doc — then ONE groupby(ngram) of partials. This variant
+    carries the n-gram STRINGS (exact-oracle mirror); the hashed
+    decontamination machinery (stages/dedupe) is the 100 TB path where
+    strings would dominate the shuffle.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams, ids = [], []
+        for doc_id, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            toks = (text or "").lower().split()
+            if not toks:
+                continue
+            if len(toks) < k:
+                sh = {" ".join(toks)}
+            else:
+                sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+            grams.extend(sh)
+            ids.extend([doc_id] * len(sh))
+        df = pd.DataFrame({"ngram": grams, "doc": ids})
+        per = df.groupby("ngram", sort=False).size().rename("df")
+        out = per.reset_index()
+        return pa.table(
+            {
+                "ngram": pa.array(out["ngram"], pa.string()),
+                "df": pa.array(out["df"].to_numpy(np.int64)),
+            }
+        )
+
+    counted = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    return counted.filter(expr=f"df >= {int(min_docs)}")

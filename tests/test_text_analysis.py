@@ -235,3 +235,25 @@ def test_lang_divergence_bounds_and_separation(ray_session):
     )
     out2 = text_analysis.lang_divergence(same).set_index("lang")
     assert (out2["jsd"] < 1e-9).all()
+
+
+def test_boilerplate_ngrams_planted(ray_session):
+    """A planted 8-gram template shared by 4 docs is flagged with df=4;
+    unique content is not flagged; parallelism-invariant."""
+    template = "this exact template phrase repeats across many documents here"
+    rng_texts = [f"unique words {i} " * 10 + template for i in range(4)]
+    rng_texts += [f"totally unrelated content {i} " * 12 for i in range(6)]
+    docs_df = pd.DataFrame(
+        {"doc_id": np.arange(10, dtype=np.int64), "text": rng_texts}
+    )
+    for nparts in (2, 5):
+        ds = ray.data.from_pandas(docs_df).repartition(nparts)
+        out = (
+            text_analysis.boilerplate_ngrams(ds, min_docs=4, k=8)
+            .to_pandas()
+            .sort_values("ngram")
+            .reset_index(drop=True)
+        )
+        assert (out["df"] >= 4).all()
+        assert any(template in g or g in template for g in out["ngram"])
+        assert not any("unrelated" in g for g in out["ngram"])
