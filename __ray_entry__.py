@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": r.events_cube,
         "events_profile": r.events_profile,
         "customer_events_full_outer": r.customer_events_full_outer,
+        "events_funnel": r.events_funnel,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_cross_dedup": q.docs_cross_dedup,
@@ -634,6 +635,27 @@ FROM events GROUP BY event_type ORDER BY event_type
 SELECT event_id, round(value, 2) AS value,
        round(percent_rank() OVER (ORDER BY value, event_id), 6) AS pct_rank
 FROM events ORDER BY event_id
+""",
+        "events_funnel": """
+WITH v AS (
+  SELECT user_id, min(ts) AS tv FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS tc
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS tp
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY e.user_id
+)
+SELECT step, CAST(n_users AS BIGINT) AS n_users FROM (
+  SELECT 'step1_view' AS step, count(*) AS n_users FROM v
+  UNION ALL SELECT 'step2_click', count(*) FROM c
+  UNION ALL SELECT 'step3_purchase', count(*) FROM p
+) ORDER BY step
 """,
         "customer_events_full_outer": """
 WITH l AS (

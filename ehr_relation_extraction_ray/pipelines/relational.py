@@ -1217,3 +1217,47 @@ def customer_events_full_outer(sf_dir: str) -> pd.DataFrame:
     out["sum_acctbal"] = out["sum_acctbal"].round(2)
     out = out.astype({"n_rows": "int64", "sum_events": "int64"})
     return out.sort_values("side").reset_index(drop=True)
+
+
+def events_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): a user
+    advances a step only with a STRICTLY LATER event of the next type
+    (first-touch semantics: tc = first click after first view, tp =
+    first purchase after that click). Order-sensitive per-user logic runs
+    at hash-partition granularity (one vectorized pandas pass per
+    partition, users never split); partitions emit 3-row step-count
+    partials summed on the driver."""
+    from ..functions.partitioning import groupby_partition
+
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def steps(df: pd.DataFrame) -> pd.DataFrame:
+        tv = (
+            df[df["event_type"] == "view"].groupby("user_id")["ts"].min()
+            .rename("tv").reset_index()
+        )
+        clicks = df[df["event_type"] == "click"].merge(tv, on="user_id")
+        tc = (
+            clicks[clicks["ts"] > clicks["tv"]]
+            .groupby("user_id")["ts"].min().rename("tc").reset_index()
+        )
+        buys = df[df["event_type"] == "purchase"].merge(tc, on="user_id")
+        tp = (
+            buys[buys["ts"] > buys["tc"]]
+            .groupby("user_id")["ts"].min()
+        )
+        return pd.DataFrame(
+            {
+                "step": ["step1_view", "step2_click", "step3_purchase"],
+                "n_users": [len(tv), len(tc), len(tp)],
+            }
+        )
+
+    parts = groupby_partition(ev, "user_id", steps, batch_format="pandas").to_pandas()
+    out = (
+        parts.groupby("step", as_index=False)["n_users"].sum()
+        .astype({"n_users": "int64"})
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    return out

@@ -101,3 +101,34 @@ def test_events_cube_consistency(ray_session):
     ev = pd.read_parquet(f"{SF}/events.parquet", columns=["value"])
     assert int(total["n_events"].iloc[0]) == len(ev)
     assert abs(total["sum_value"].iloc[0] - round(ev["value"].sum(), 2)) < 0.05
+
+
+def test_events_funnel_hand_built(ray_session, tmp_path):
+    """Funnel ordering semantics on a hand-built event log: clicks before
+    the first view don't count; purchases require a prior qualifying
+    click; parallelism-invariant."""
+    base = pd.Timestamp("2026-01-01")
+    rows = [
+        # user 1: full funnel in order
+        (1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),
+        # user 2: click BEFORE view, never again -> stops at step1
+        (2, 0, "click"), (2, 1, "view"),
+        # user 3: view then purchase but no click -> step1 only
+        (3, 0, "view"), (3, 1, "purchase"),
+        # user 4: view, click, purchase but purchase before click -> step2
+        (4, 0, "view"), (4, 1, "purchase"), (4, 2, "click"),
+        # user 5: no view at all
+        (5, 0, "click"), (5, 1, "purchase"),
+    ]
+    df = pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "ts": [base + pd.Timedelta(minutes=r[1]) for r in rows],
+            "event_type": [r[2] for r in rows],
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    out = relational.events_funnel(str(tmp_path)).set_index("step")["n_users"]
+    assert out["step1_view"] == 4   # users 1-4
+    assert out["step2_click"] == 2  # users 1, 4
+    assert out["step3_purchase"] == 1  # user 1 only
