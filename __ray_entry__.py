@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile": r.events_profile,
         "customer_events_full_outer": r.customer_events_full_outer,
         "events_funnel": r.events_funnel,
+        "events_retention": r.events_retention,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_cross_dedup": q.docs_cross_dedup,
@@ -635,6 +636,22 @@ FROM events GROUP BY event_type ORDER BY event_type
 SELECT event_id, round(value, 2) AS value,
        round(percent_rank() OVER (ORDER BY value, event_id), 6) AS pct_rank
 FROM events ORDER BY event_id
+""",
+        "events_retention": """
+WITH fw AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cw
+  FROM events GROUP BY user_id
+),
+act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+j AS (
+  SELECT fw.user_id, cw,
+         CAST(date_diff('day', cw, w) // 7 AS BIGINT) AS week_offset
+  FROM act JOIN fw USING (user_id)
+)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM j GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
 """,
         "events_funnel": """
 WITH v AS (

@@ -1261,3 +1261,43 @@ def events_funnel(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out
+
+
+def events_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix: users grouped by the ISO week of their
+    first event (cohort), counted once per (cohort, week-offset) they
+    were active in. ONE user-partition pass computes each user's cohort
+    and active-week set together (no join — both derive from the same
+    partition-local rows), emitting bounded (cohort, offset, n) partials;
+    the driver sums them. Weeks are Monday-truncated to match DuckDB's
+    date_trunc('week')."""
+    from ..functions.partitioning import groupby_partition
+
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts"])
+
+    def cohorts(df: pd.DataFrame) -> pd.DataFrame:
+        wk = df["ts"].dt.to_period("W").dt.start_time
+        d = pd.DataFrame({"user_id": df["user_id"], "w": wk}).drop_duplicates()
+        cw = d.groupby("user_id")["w"].min().rename("cw").reset_index()
+        j = d.merge(cw, on="user_id")
+        j["week_offset"] = ((j["w"] - j["cw"]).dt.days // 7).astype("int64")
+        j["cohort_week"] = j["cw"].dt.strftime("%Y-%m-%d")
+        # distinct users per (cohort, offset): a user lives in exactly one
+        # partition, so partial counts sum exactly
+        out = (
+            j.groupby(["cohort_week", "week_offset"])["user_id"]
+            .nunique()
+            .rename("n_users")
+            .reset_index()
+        )
+        return out
+
+    parts = groupby_partition(ev, "user_id", cohorts, batch_format="pandas").to_pandas()
+    out = (
+        parts.groupby(["cohort_week", "week_offset"], as_index=False)["n_users"]
+        .sum()
+        .astype({"week_offset": "int64", "n_users": "int64"})
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    return out

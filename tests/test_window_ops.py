@@ -132,3 +132,33 @@ def test_events_funnel_hand_built(ray_session, tmp_path):
     assert out["step1_view"] == 4   # users 1-4
     assert out["step2_click"] == 2  # users 1, 4
     assert out["step3_purchase"] == 1  # user 1 only
+
+
+def test_events_retention_hand_built(ray_session, tmp_path):
+    """Cohort semantics: Monday-truncated first week; a user counts once
+    per active week at the right offset."""
+    rows = [
+        # user 1: first event Wed Jan 7 2026 (week of Mon Jan 5);
+        # active again two weeks later
+        (1, "2026-01-07"), (1, "2026-01-08"), (1, "2026-01-20"),
+        # user 2: same cohort week, only week 0
+        (2, "2026-01-05"),
+        # user 3: next week's cohort
+        (3, "2026-01-14"),
+    ]
+    df = pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    out = relational.events_retention(str(tmp_path))
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users for r in out.itertuples()
+    }
+    assert got == {
+        ("2026-01-05", 0): 2,
+        ("2026-01-05", 2): 1,
+        ("2026-01-12", 0): 1,
+    }
