@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_events_full_outer": r.customer_events_full_outer,
         "events_funnel": r.events_funnel,
         "events_retention": r.events_retention,
+        "largest_order_per_customer": r.largest_order_per_customer,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_cross_dedup": q.docs_cross_dedup,
@@ -636,6 +637,16 @@ FROM events GROUP BY event_type ORDER BY event_type
 SELECT event_id, round(value, 2) AS value,
        round(percent_rank() OVER (ORDER BY value, event_id), 6) AS pct_rank
 FROM events ORDER BY event_id
+""",
+        "largest_order_per_customer": """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rn
+  FROM orders WHERE o_custkey < 200
+) WHERE rn = 1 ORDER BY o_custkey
 """,
         "events_retention": """
 WITH fw AS (

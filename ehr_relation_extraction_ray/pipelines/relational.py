@@ -1301,3 +1301,39 @@ def events_retention(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out
+
+
+def largest_order_per_customer(sf_dir: str, limit_keys: int = 200) -> pd.DataFrame:
+    """Per-group argmax with payload (each customer's single largest
+    order): per-block argmax combiner (at most one row per customer per
+    block leaves the scan) -> partition-granular final argmax. Restricted
+    to custkey < 200 so the output stays driver-sized; ties broken by
+    smaller o_orderkey, matching the oracle's window order exactly."""
+    from ..functions.partitioning import groupby_partition
+
+    orders = _pq(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def local_argmax(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_custkey"] < limit_keys]
+        if not len(df):
+            return df
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        return df.groupby("o_custkey", sort=False).head(1)
+
+    pruned = orders.map_batches(local_argmax, batch_format="pandas")
+    out = (
+        groupby_partition(pruned, "o_custkey", local_argmax, batch_format="pandas")
+        .to_pandas()
+        .astype({"o_orderkey": "int64", "o_custkey": "int64"})
+    )
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return (
+        out[["o_custkey", "o_orderkey", "o_totalprice"]]
+        .sort_values("o_custkey")
+        .reset_index(drop=True)
+    )
