@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_wide_table": q.kg_wide_table,
         "kg_drug_graph": q.kg_drug_graph,
         "kg_nodes": q.kg_nodes,
+        "kg_role_stats": q.kg_role_stats,
         "kg_degree_hist": q.kg_degree_hist,
         "kg_pagerank": q.kg_pagerank,
         # relational operator core (testdata star schema)
@@ -97,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": r.events_funnel,
         "events_retention": r.events_retention,
         "largest_order_per_customer": r.largest_order_per_customer,
+        "events_pivot": r.events_pivot,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_cross_dedup": q.docs_cross_dedup,
@@ -349,6 +351,15 @@ SELECT conv_id AS doc_id, count(*) AS n_turns,
 FROM read_parquet('{tp}') GROUP BY conv_id ORDER BY doc_id
 """,
         "kg_mentions": _mentions_sql(tp),
+        "kg_role_stats": f"""
+SELECT role,
+       count(*) AS n_turns,
+       count(DISTINCT conv_id) AS n_convs,
+       CAST(sum(CASE WHEN COALESCE(tool, '') <> '' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tool_turns,
+       CAST(sum(length(COALESCE(text, ''))) AS BIGINT) AS sum_chars
+FROM read_parquet('{tp}') GROUP BY role ORDER BY role
+""",
         "part_brand_margin": """
 SELECT p_brand,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
@@ -637,6 +648,17 @@ FROM events GROUP BY event_type ORDER BY event_type
 SELECT event_id, round(value, 2) AS value,
        round(percent_rank() OVER (ORDER BY value, event_id), 6) AS pct_rank
 FROM events ORDER BY event_id
+""",
+        "events_pivot": """
+SELECT event_type,
+       round(sum(CASE WHEN isodow(ts) = 1 THEN value ELSE 0 END), 2) AS wd1,
+       round(sum(CASE WHEN isodow(ts) = 2 THEN value ELSE 0 END), 2) AS wd2,
+       round(sum(CASE WHEN isodow(ts) = 3 THEN value ELSE 0 END), 2) AS wd3,
+       round(sum(CASE WHEN isodow(ts) = 4 THEN value ELSE 0 END), 2) AS wd4,
+       round(sum(CASE WHEN isodow(ts) = 5 THEN value ELSE 0 END), 2) AS wd5,
+       round(sum(CASE WHEN isodow(ts) = 6 THEN value ELSE 0 END), 2) AS wd6,
+       round(sum(CASE WHEN isodow(ts) = 7 THEN value ELSE 0 END), 2) AS wd7
+FROM events GROUP BY event_type ORDER BY event_type
 """,
         "largest_order_per_customer": """
 SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice

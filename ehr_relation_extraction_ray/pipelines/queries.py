@@ -1272,3 +1272,49 @@ def docs_boilerplate(sf_dir: str, min_docs: int = 3) -> pd.DataFrame:
         .sort_values(["ngram_md5"])
         .reset_index(drop=True)
     )
+
+
+def kg_role_stats(sf_dir: str) -> pd.DataFrame:
+    """Transcript role/tool profile (the input_hint columns the KG chain
+    itself doesn't consume): per role — turns, distinct conversations,
+    tool-tagged turns, total characters. One streamed combiner pass for
+    the additive stats plus the salted holistic distinct-count
+    (functions/partitioning.salted_distinct_count — the documented
+    hot-key scale path) for exact per-role conversation counts; the
+    3-row results merge on the driver."""
+    from ..functions.partitioning import salted_distinct_count
+
+    tp = synth.transcripts_path(sf_dir)
+    ds = ray.data.read_parquet(tp, columns=["conv_id", "role", "text", "tool"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "role": t["role"].to_pandas(),
+                "has_tool": (
+                    t["tool"].to_pandas().fillna("").astype(str) != ""
+                ).astype("int64"),
+                "n_chars": t["text"].to_pandas().fillna("").str.len().astype("int64"),
+            }
+        )
+        g = df.groupby("role").agg(
+            n_turns=("role", "size"),
+            n_tool_turns=("has_tool", "sum"),
+            sum_chars=("n_chars", "sum"),
+        )
+        return pa.Table.from_pandas(g.reset_index())
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    adds = parts.groupby("role", as_index=False).sum()
+    convs = (
+        salted_distinct_count(ds, "role", "conv_id", out_col="n_convs")
+        .to_pandas()
+    )
+    out = adds.merge(convs, on="role")
+    for c in ("n_turns", "n_convs", "n_tool_turns", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["role", "n_turns", "n_convs", "n_tool_turns", "sum_chars"]]
+        .sort_values("role")
+        .reset_index(drop=True)
+    )

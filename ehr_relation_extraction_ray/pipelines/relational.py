@@ -1337,3 +1337,33 @@ def largest_order_per_customer(sf_dir: str, limit_keys: int = 200) -> pd.DataFra
         .sort_values("o_custkey")
         .reset_index(drop=True)
     )
+
+
+def events_pivot(sf_dir: str) -> pd.DataFrame:
+    """Long->wide reshape (pivot): event_type rows x ISO-weekday columns
+    of summed value. The finest-grain combiner from events_cube feeds a
+    driver-side pivot of (types x 7) partials; column names wd1..wd7 are
+    fixed so the conditional-aggregation oracle matches by name."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "wd": t["ts"].to_pandas().dt.dayofweek + 1,
+                "v": np.asarray(t["value"], dtype=np.float64),
+            }
+        )
+        g = df.groupby(["event_type", "wd"], sort=False)["v"].sum().rename("s")
+        return pa.Table.from_pandas(g.reset_index())
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    fine = parts.groupby(["event_type", "wd"])["s"].sum().reset_index()
+    wide = fine.pivot_table(
+        index="event_type", columns="wd", values="s", fill_value=0.0
+    )
+    out = pd.DataFrame({"event_type": wide.index})
+    for wd in range(1, 8):
+        col = wide[wd] if wd in wide.columns else 0.0
+        out[f"wd{wd}"] = np.round(np.asarray(col, dtype=np.float64), 2)
+    return out.sort_values("event_type").reset_index(drop=True)
