@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_role_stats": q.kg_role_stats,
         "kg_degree_hist": q.kg_degree_hist,
         "kg_pagerank": q.kg_pagerank,
+        "kg_khop": q.kg_khop,
         # relational operator core (testdata star schema)
         "agg_lineitem": r.agg_lineitem,
         "join_orders_customer": r.join_orders_customer,
@@ -995,6 +996,22 @@ FROM deg GROUP BY degree ORDER BY degree
         "kg_pagerank": f"""
 SELECT node, rank FROM read_parquet('{_fixture("kg_pagerank")}')
 ORDER BY node
+""",
+        "kg_khop": f"""
+WITH RECURSIVE trip AS (SELECT subj, obj FROM read_parquet('{_fixture("kg_triples")}')),
+edges AS (
+  SELECT DISTINCT subj AS src, obj AS dst FROM trip
+  UNION
+  SELECT DISTINCT obj AS src, subj AS dst FROM trip
+),
+bfs(node, hop) AS (
+  SELECT (SELECT min(subj) FROM trip), 0
+  UNION
+  SELECT e.dst, b.hop + 1 FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.hop < 3
+)
+SELECT node, CAST(min(hop) AS BIGINT) AS hop
+FROM bfs GROUP BY node ORDER BY node
 """,
         "kg_windows": f"""
 SELECT doc_id, n_windows FROM read_parquet('{_fixture("kg_windows")}')

@@ -1318,3 +1318,13 @@ def kg_role_stats(sf_dir: str) -> pd.DataFrame:
         .sort_values("role")
         .reset_index(drop=True)
     )
+
+
+def kg_khop(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Undirected k-hop neighborhood of the lexicographically-first KG
+    subject: frontier-broadcast BFS over the distributed triple set (one
+    map_batches pass per round; see stages/graph.khop for the scale
+    shape). Oracle: DuckDB recursive CTE over the serial triples
+    fixture."""
+    trip = kg.run(synth.transcripts_path(sf_dir))
+    return graph.khop(trip, k=k)

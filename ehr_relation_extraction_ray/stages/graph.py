@@ -231,3 +231,59 @@ def pagerank(edges: pd.DataFrame, damping: float = 0.85, iters: int = 30) -> pd.
         dangling = rank[out_w == 0].sum()
         rank = (1.0 - damping) / n + damping * (contrib + dangling / n)
     return pd.DataFrame({"node": nodes, "rank": np.round(rank, 6)})
+
+
+def khop(triples: "ray.data.Dataset", k: int = 3) -> pd.DataFrame:
+    """K-hop neighborhood (undirected BFS) from the lexicographically
+    smallest subject, over the distributed triple set.
+
+    Scale shape: the edge list NEVER collects on the driver — each BFS
+    round is one ``map_batches`` pass over the triples with the current
+    frontier broadcast (``ray.put`` once per round, per-process cached
+    ``bget``), emitting per-block distinct neighbor partials. Only the
+    discovered node set crosses to the driver, and that set is bounded
+    by the closed ontology's surface vocabulary (dimension-sized), the
+    same justification as ``edge_weights``/``pagerank``. Rounds are
+    ``<= k`` sequential passes — the classic frontier-broadcast BFS for
+    edge lists too large to hold anywhere.
+
+    Returns (node, hop) with hop = shortest undirected distance <= k.
+    Matches a DuckDB recursive CTE over (subj<->obj) edges.
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..functions.broadcast import bget
+
+    seed = triples.min("subj")
+    if seed is None:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=str), "hop": pd.Series([], dtype="int64")}
+        )
+    dist: dict[str, int] = {seed: 0}
+    frontier = [seed]
+    for hop in range(1, k + 1):
+        fref = ray.put(sorted(frontier))
+
+        def expand(t: pa.Table, _fref=fref) -> pa.Table:
+            fset = pa.array(bget(_fref), type=pa.string())
+            fwd = t.filter(pc.is_in(t["subj"], value_set=fset))["obj"]
+            rev = t.filter(pc.is_in(t["obj"], value_set=fset))["subj"]
+            chunks = [*fwd.chunks, *rev.chunks] or [pa.array([], pa.string())]
+            nodes = pc.unique(pa.chunked_array(chunks))
+            return pa.table({"node": nodes.cast(pa.string())})
+
+        found = triples.map_batches(expand, batch_format="pyarrow").to_pandas()
+        if found.empty or "node" not in found.columns:
+            break
+        new = sorted(n for n in pd.unique(found["node"]) if n not in dist)
+        if not new:
+            break
+        for n in new:
+            dist[n] = hop
+        frontier = new
+    out = pd.DataFrame(
+        {"node": list(dist.keys()), "hop": pd.Series(list(dist.values()), dtype="int64")}
+    )
+    return out.sort_values("node").reset_index(drop=True)

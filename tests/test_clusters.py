@@ -162,3 +162,29 @@ def test_pagerank_properties():
     r = dict(zip(out["node"], out["rank"]))
     assert r["hub"] > r["a"] > r["b"]  # a gets d's extra citation
     assert set(out["node"]) == {"a", "b", "c", "d", "hub"}
+
+
+def test_khop_bfs_hand_built():
+    """Undirected BFS distances on a hand-built triple set: seed = min
+    subj, chain a-b-c-d gives hops 0..3 at k=3, edge direction ignored,
+    disconnected component (x-y) never reached, k caps depth."""
+    import ray.data
+
+    from ehr_relation_extraction_ray.stages.graph import khop
+
+    trip = ray.data.from_items(
+        [
+            {"subj": "a", "obj": "b"},
+            {"subj": "c", "obj": "b"},  # reverse edge: b->c undirected
+            {"subj": "c", "obj": "d"},
+            {"subj": "d", "obj": "e"},  # hop 4, beyond k=3
+            {"subj": "x", "obj": "y"},  # disconnected from seed 'a'
+        ]
+    )
+    out = khop(trip, k=3)
+    got = dict(zip(out["node"], out["hop"]))
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+    assert list(out["node"]) == sorted(out["node"])
+
+    short = khop(trip, k=1)
+    assert dict(zip(short["node"], short["hop"])) == {"a": 0, "b": 1}
