@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jsonl_roundtrip": q.docs_jsonl_roundtrip,
         "docs_partitioned_write": q.docs_partitioned_write,
         "docs_top_terms": q.docs_top_terms,
+        "docs_bpe_merges": q.docs_bpe_merges,
         "docs_normalize": q.docs_normalize,
         "embeddings_dim_stats": q.embeddings_dim_stats,
         "events_histogram": r.events_histogram,
@@ -840,6 +841,10 @@ SELECT c_custkey, c_mktsegment FROM customer
 WHERE c_custkey NOT IN (
   SELECT o_custkey FROM orders WHERE o_totalprice > 400000
 ) ORDER BY c_custkey
+""",
+        "docs_bpe_merges": f"""
+SELECT "rank", "left", "right", pair_count
+FROM read_parquet('{_fixture("docs_bpe_merges")}') ORDER BY "rank"
 """,
         "docs_top_terms": r"""
 SELECT term, CAST(c AS BIGINT) AS c FROM (

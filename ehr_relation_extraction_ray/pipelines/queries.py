@@ -1328,3 +1328,14 @@ def kg_khop(sf_dir: str, k: int = 3) -> pd.DataFrame:
     fixture."""
     trip = kg.run(synth.transcripts_path(sf_dir))
     return graph.khop(trip, k=k)
+
+
+def docs_bpe_merges(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
+    """First n BPE merges learned from the document corpus (tokenizer
+    training): distributed word-frequency combiner + vocabulary-sized
+    driver merge loop (stages/text_analysis.bpe_merges). Oracle: an
+    independent naive single-process BPE trainer fixture."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return text_analysis.bpe_merges(docs, n_merges=n_merges)

@@ -816,6 +816,54 @@ def serial_ivf_cluster_sizes_df(
 
 # bump when any serial semantics above change, so stale /tmp fixtures from a
 # previous code version are never reused
+def serial_bpe_merges_df(
+    doc_ids: List, texts: List[str], n_merges: int = 12
+) -> pd.DataFrame:
+    """Naive single-process BPE merge learning: Counter word frequencies
+    over whitespace-split lowercased text, then the textbook merge loop
+    (count adjacent symbol pairs weighted by word freq, merge the most
+    frequent pair, lexicographic tiebreak). Independent of the
+    distributed implementation in stages/text_analysis.bpe_merges."""
+    import re as _re
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for t in texts:
+        for w in _re.split(r"\s+", (t or "").lower()):
+            if w:
+                wc[w] += 1
+    seqs = {w: tuple(w) + ("</w>",) for w in wc}
+    rows = []
+    for rank in range(n_merges):
+        pc_: Counter = Counter()
+        for w, syms in seqs.items():
+            for i in range(len(syms) - 1):
+                pc_[(syms[i], syms[i + 1])] += wc[w]
+        if not pc_:
+            break
+        best = sorted(pc_.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        (a, b), cnt = best
+        rows.append({"rank": rank, "left": a, "right": b, "pair_count": cnt})
+        ab = a + b
+        new = {}
+        for w, syms in seqs.items():
+            lst = list(syms)
+            j = 0
+            res = []
+            while j < len(lst):
+                if j + 1 < len(lst) and lst[j] == a and lst[j + 1] == b:
+                    res.append(ab)
+                    j += 2
+                else:
+                    res.append(lst[j])
+                    j += 1
+            new[w] = tuple(res)
+        seqs = new
+    return pd.DataFrame(rows, columns=["rank", "left", "right", "pair_count"]).astype(
+        {"rank": "int64", "pair_count": "int64"}
+    )
+
+
 _FIXTURE_VERSION = 2  # v2: import-free vec_string_hash_64 replaced the polars word hash
 
 
@@ -862,6 +910,8 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_brat_digest_df(brat_path(sf_dir))
     if name == "docs_quality":
         return serial_quality_df(*_documents(sf_dir))
+    if name == "docs_bpe_merges":
+        return serial_bpe_merges_df(*_documents(sf_dir))
     if name == "docs_distinct_tokens":
         return serial_hll_tokens_df(*_documents(sf_dir))
     if name == "docs_simhash_pairs":

@@ -669,3 +669,61 @@ def boilerplate_ngrams(
         .aggregate(Sum("df", alias_name="df"))
     )
     return counted.filter(expr=f"df >= {int(min_docs)}")
+
+
+def bpe_merges(
+    docs: "ray.data.Dataset",
+    n_merges: int = 12,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> "pd.DataFrame":
+    """Learn the first ``n_merges`` byte-pair-encoding merges (Sennrich
+    et al. 2016) from the corpus — the tokenizer-training step of a
+    training-data pipeline.
+
+    Scale shape: the distributed work is the corpus word-frequency count
+    (:func:`corpus_term_freq` — per-block combiner, one groupby of
+    partials; a hot word moves one row per block). The merge loop then
+    runs on the driver over the word-frequency DICTIONARY — vocabulary-
+    sized, never corpus-sized — which is exactly how reference BPE
+    trainers operate on any corpus size; ``min_count`` prunes the
+    long-tail vocabulary at scale (document the cutoff, don't silently
+    cap). Tiebreak on equal pair counts is lexicographic, so the result
+    is deterministic and block-structure-invariant.
+
+    Returns (rank, left, right, pair_count), rank = merge order.
+    """
+    import pandas as pd
+
+    wf = corpus_term_freq(docs, text_col=text_col).to_pandas()
+    wf = wf[wf["c"] >= min_count]
+    vocab = dict(zip(wf["term"], wf["c"].astype(int)))
+    # symbol sequences: characters + an explicit end-of-word marker
+    words = {w: [*w, "</w>"] for w in vocab}
+    out = []
+    for rank in range(n_merges):
+        pairs: dict = {}
+        for w, syms in words.items():
+            n = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        (la, lb), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, la, lb, cnt))
+        merged = la + lb
+        for w, syms in words.items():
+            if la not in syms:
+                continue
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == la and syms[i + 1] == lb:
+                    ns.append(merged)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            words[w] = ns
+    return pd.DataFrame(
+        out, columns=["rank", "left", "right", "pair_count"]
+    ).astype({"rank": "int64", "pair_count": "int64"})

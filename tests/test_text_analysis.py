@@ -257,3 +257,22 @@ def test_boilerplate_ngrams_planted(ray_session):
         assert (out["df"] >= 4).all()
         assert any(template in g or g in template for g in out["ngram"])
         assert not any("unrelated" in g for g in out["ngram"])
+
+
+def test_bpe_merges_hand_built():
+    """Textbook BPE on a tiny corpus: 'ab' x3 + 'abc' x1 gives merges
+    (a,b,4) -> (ab,</w>,3) -> lexicographic tiebreak (ab,c,1) ->
+    (abc,</w>,1), then the pair space is exhausted before n_merges."""
+    import ray.data
+
+    from ehr_relation_extraction_ray.stages.text_analysis import bpe_merges
+
+    docs = ray.data.from_items([{"text": "ab ab ab"}, {"text": "abc"}])
+    out = bpe_merges(docs, n_merges=6)
+    got = list(out.itertuples(index=False, name=None))
+    assert got == [
+        (0, "a", "b", 4),
+        (1, "ab", "</w>", 3),
+        (2, "ab", "c", 1),
+        (3, "abc", "</w>", 1),
+    ]
