@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_topk": q.embeddings_topk,
         "embeddings_ivf_topk": q.embeddings_ivf_topk,
         "embeddings_cluster_sizes": q.embeddings_cluster_sizes,
+        "embeddings_semdedup": q.embeddings_semdedup,
         "embeddings_pca": q.embeddings_pca,
         "embeddings_cosine_dup": q.embeddings_cosine_dup,
         "embeddings_cosine_dup_lsh": q.embeddings_cosine_dup_lsh,
@@ -1050,6 +1051,10 @@ FROM read_parquet('{_fixture("embeddings_pca")}') ORDER BY dim
         "embeddings_cluster_sizes": f"""
 SELECT cell, n_vecs, mean_sim
 FROM read_parquet('{_fixture("embeddings_cluster_sizes")}') ORDER BY cell
+""",
+        "embeddings_semdedup": f"""
+SELECT vec_a, vec_b, cos
+FROM read_parquet('{_fixture("embeddings_semdedup")}') ORDER BY vec_a, vec_b
 """,
         "media_resize_frames": f"""
 SELECT * FROM (

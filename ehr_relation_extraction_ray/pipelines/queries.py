@@ -1339,3 +1339,14 @@ def docs_bpe_merges(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
         os.path.join(sf_dir, "documents.parquet"), columns=["text"]
     )
     return text_analysis.bpe_merges(docs, n_merges=n_merges)
+
+
+def embeddings_semdedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-style near-dup pairs: k-means cell as the blocking key,
+    within-cell float64 cosine >= threshold (stages/similarity.
+    semdedup_pairs). Oracle: independent serial k-means + all-pairs
+    fixture at the same spec."""
+    from ..stages import similarity
+
+    vecs = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return similarity.semdedup_pairs(vecs, nlist=8, threshold=0.4)

@@ -812,6 +812,62 @@ def serial_ivf_cluster_sizes_df(
     )
 
 
+def serial_semdedup_df(
+    vec_ids: np.ndarray,
+    embeddings: np.ndarray,
+    nlist: int = 8,
+    threshold: float = 0.4,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 13,
+) -> pd.DataFrame:
+    """SemDeDup fixture: the same deterministic k-means spec as
+    stages/similarity.train_centroids re-run serially, cells assigned in
+    float64 against float32 centroids, then ALL within-cell pairs with
+    float64 cosine >= threshold. Independent of the distributed
+    stages/similarity.semdedup_pairs implementation."""
+
+    def norm(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    m32 = norm(embeddings.astype(np.float32))
+    m64 = norm(embeddings.astype(np.float64))
+    sample = m32[:sample_size]
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = norm(cent)
+    cells = np.argmax(m64 @ cent.T.astype(np.float64), axis=1)
+    pairs_m = m32.astype(np.float64)
+    rows = []
+    for c in range(len(cent)):
+        idx = np.nonzero(cells == c)[0]
+        if len(idx) < 2:
+            continue
+        sub = pairs_m[idx]
+        sims = sub @ sub.T
+        ai, bi = np.triu_indices(len(idx), k=1)
+        keep = sims[ai, bi] >= threshold
+        ids = np.asarray(vec_ids)[idx]
+        a, b = ids[ai[keep]], ids[bi[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        for x, y, s in zip(lo, hi, np.round(sims[ai[keep], bi[keep]], 6)):
+            rows.append({"vec_a": int(x), "vec_b": int(y), "cos": float(s)})
+    return (
+        pd.DataFrame(rows, columns=["vec_a", "vec_b", "cos"])
+        .astype({"vec_a": "int64", "vec_b": "int64"})
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+
+
 # -- fixture plumbing (driver oracle_sql support) ----------------------------
 
 # bump when any serial semantics above change, so stale /tmp fixtures from a
@@ -927,6 +983,11 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
         emb = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()])
         return serial_pca_df(emb)
+    if name == "embeddings_semdedup":
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        vec_ids = np.asarray(t["vec_id"])
+        emb = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()])
+        return serial_semdedup_df(vec_ids, emb)
     if name == "embeddings_cluster_sizes":
         t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
         emb = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()])

@@ -613,3 +613,74 @@ def power_iteration_table(cov: np.ndarray, iters: int) -> dict:
         "eigval": np.round(np.full(d, lam), 4),
         "var_ratio": np.round(np.full(d, lam / float(np.trace(cov))), 6),
     }
+
+
+def semdedup_pairs(
+    vectors: "ray.data.Dataset",
+    nlist: int = 8,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """SemDeDup-style embedding near-dup pairs (Abbas et al. 2023):
+    cluster first, then compare ONLY within a cluster — the k-means cell
+    prunes the O(n^2) all-pairs to per-cell blocks.
+
+    Scale shape: centroids are sample-fit on the driver and broadcast
+    (train_centroids); one map_batches pass assigns cells; then a
+    partition-granular pass (groupby_partition on the cell — ONE shuffle
+    keyed by the same ivf_cell the ANN path uses) computes the per-cell
+    cosine matrix in float64 and emits pairs >= threshold. Cell
+    population is ~corpus/nlist: at scale nlist grows with the corpus
+    (SemDeDup runs 50k+ clusters) so a cell stays worker-sized; the
+    all-pairs fallback never materializes.
+
+    Returns (vec_a, vec_b, cos) with vec_a < vec_b, canonically sorted.
+    """
+    cent = train_centroids(vectors, nlist=nlist, vec_col=vec_col)
+    assigned = ivf_assign(vectors, cent, vec_col=vec_col)
+
+    from ..functions.partitioning import groupby_partition
+
+    out_schema = pa.schema(
+        [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cos", pa.float64())]
+    )
+
+    def cell_pairs(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        rows_a, rows_b, rows_c = [], [], []
+        for _, g in df.groupby("ivf_cell", sort=False):
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            m = _normalize(
+                np.stack([np.asarray(v, dtype=np.float32) for v in g[vec_col]])
+            ).astype(np.float64)
+            sims = m @ m.T
+            ai, bi = np.triu_indices(len(g), k=1)
+            keep = sims[ai, bi] >= threshold
+            a, b = ids[ai[keep]], ids[bi[keep]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            rows_a.append(lo)
+            rows_b.append(hi)
+            rows_c.append(np.round(sims[ai[keep], bi[keep]], 6))
+        if not rows_a:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "vec_a": np.concatenate(rows_a).astype(np.int64),
+                "vec_b": np.concatenate(rows_b).astype(np.int64),
+                "cos": np.concatenate(rows_c),
+            }
+        )
+
+    pairs = groupby_partition(
+        assigned, "ivf_cell", cell_pairs, schema=out_schema
+    ).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame(
+            {"vec_a": pd.Series([], dtype="int64"),
+             "vec_b": pd.Series([], dtype="int64"),
+             "cos": pd.Series([], dtype="float64")}
+        )
+    return pairs.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

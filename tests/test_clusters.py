@@ -188,3 +188,35 @@ def test_khop_bfs_hand_built():
 
     short = khop(trip, k=1)
     assert dict(zip(short["node"], short["hop"])) == {"a": 0, "b": 1}
+
+
+def test_semdedup_subset_of_exact():
+    """SemDeDup pairs are exactly the within-cell subset of the exact
+    all-pairs result: every emitted pair clears the threshold, appears in
+    the exact pair set with the same cosine, and planted near-identical
+    vectors (which k-means must co-locate) are always recovered."""
+    import ray.data
+
+    from ehr_relation_extraction_ray.stages.similarity import (
+        cosine_dup_pairs_exact,
+        semdedup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    base[17] = base[3] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    base[29] = base[11] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    vecs = ray.data.from_items(
+        [{"vec_id": i, "embedding": base[i].tolist()} for i in range(len(base))]
+    )
+    sem = semdedup_pairs(vecs, nlist=4, threshold=0.9)
+    exact = cosine_dup_pairs_exact(vecs, threshold=0.9)
+    exact_pairs = {
+        (int(a), int(b)): round(float(c), 4)
+        for a, b, c in zip(exact["id_a"], exact["id_b"], exact["cosine"])
+    }
+    got = {(int(a), int(b)) for a, b in zip(sem["vec_a"], sem["vec_b"])}
+    assert got <= set(exact_pairs)
+    for a, b, c in zip(sem["vec_a"], sem["vec_b"], sem["cos"]):
+        assert abs(round(float(c), 4) - exact_pairs[(int(a), int(b))]) <= 1e-4
+    assert {(3, 17), (11, 29)} <= got
