@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_drug_graph": q.kg_drug_graph,
         "kg_nodes": q.kg_nodes,
         "kg_role_stats": q.kg_role_stats,
+        "kg_tool_chains": q.kg_tool_chains,
         "kg_degree_hist": q.kg_degree_hist,
         "kg_pagerank": q.kg_pagerank,
         "kg_khop": q.kg_khop,
@@ -362,6 +363,20 @@ SELECT role,
            AS n_tool_turns,
        CAST(sum(length(COALESCE(text, ''))) AS BIGINT) AS sum_chars
 FROM read_parquet('{tp}') GROUP BY role ORDER BY role
+""",
+        "kg_tool_chains": f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, tool FROM read_parquet('{tp}')
+  WHERE COALESCE(tool, '') <> ''
+),
+s AS (
+  SELECT conv_id, tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM t
+)
+SELECT prev AS tool_a, tool AS tool_b, count(*) AS n
+FROM s WHERE prev IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "part_brand_margin": """
 SELECT p_brand,

@@ -1350,3 +1350,42 @@ def embeddings_semdedup(sf_dir: str) -> pd.DataFrame:
 
     vecs = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return similarity.semdedup_pairs(vecs, nlist=8, threshold=0.4)
+
+
+def kg_tool_chains(sf_dir: str) -> pd.DataFrame:
+    """Tool-call transition counts: within each conversation, order the
+    tool-tagged turns by turn_idx and count consecutive (tool_a ->
+    tool_b) transitions — the agent-behavior profile of a transcript
+    corpus. Scale shape: prune to (conv_id, turn_idx, tool) at the read,
+    filter empty tools, ONE conv_id-keyed partition pass
+    (groupby_partition) sorts each conversation locally and emits
+    (tool_a, tool_b, n) partials; the driver merges (tool-vocabulary x
+    partitions) rows. Oracle: lag() window SQL."""
+    from ..functions.partitioning import groupby_partition
+
+    tp = synth.transcripts_path(sf_dir)
+    ds = ray.data.read_parquet(tp, columns=["conv_id", "turn_idx", "tool"])
+    # a NULL tool compares to NULL -> dropped, so one predicate covers both
+    ds = ds.filter(expr="tool != ''")
+
+    part_schema = pa.schema(
+        [("tool_a", pa.string()), ("tool_b", pa.string()), ("n", pa.int64())]
+    )
+
+    def transitions(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().sort_values(["conv_id", "turn_idx"])
+        prev = df["tool"].shift(1)
+        same = df["conv_id"].eq(df["conv_id"].shift(1))
+        pairs = pd.DataFrame({"tool_a": prev[same], "tool_b": df["tool"][same]})
+        g = pairs.groupby(["tool_a", "tool_b"], sort=False).size().rename("n")
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    parts = groupby_partition(ds, "conv_id", transitions, schema=part_schema).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"tool_a": pd.Series([], dtype=str), "tool_b": pd.Series([], dtype=str),
+             "n": pd.Series([], dtype="int64")}
+        )
+    out = parts.groupby(["tool_a", "tool_b"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["tool_a", "tool_b"]).reset_index(drop=True)
