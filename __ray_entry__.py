@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_partitioned_write": q.docs_partitioned_write,
         "docs_top_terms": q.docs_top_terms,
         "docs_bpe_merges": q.docs_bpe_merges,
+        "docs_shuffle": q.docs_shuffle,
+        "events_moving_avg": q.events_moving_avg,
         "docs_normalize": q.docs_normalize,
         "embeddings_dim_stats": q.embeddings_dim_stats,
         "events_histogram": r.events_histogram,
@@ -861,6 +863,19 @@ WHERE c_custkey NOT IN (
         "docs_bpe_merges": f"""
 SELECT "rank", "left", "right", pair_count
 FROM read_parquet('{_fixture("docs_bpe_merges")}') ORDER BY "rank"
+""",
+        "docs_shuffle": """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY md5(doc_id::VARCHAR || '-42'), doc_id) - 1
+            AS BIGINT) AS pos
+FROM documents ORDER BY doc_id
+""",
+        "events_moving_avg": """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+           AS mov_avg
+FROM events WHERE user_id < 30 ORDER BY event_id
 """,
         "docs_top_terms": r"""
 SELECT term, CAST(c AS BIGINT) AS c FROM (

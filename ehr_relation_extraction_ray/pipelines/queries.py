@@ -1389,3 +1389,88 @@ def kg_tool_chains(sf_dir: str) -> pd.DataFrame:
     out = parts.groupby(["tool_a", "tool_b"], as_index=False)["n"].sum()
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["tool_a", "tool_b"]).reset_index(drop=True)
+
+
+def docs_shuffle(sf_dir: str, seed: int = 42) -> pd.DataFrame:
+    """Deterministic global training shuffle: every document gets a
+    content-addressed shuffle key md5(doc_id || '-' || seed) and a GLOBAL
+    position in key order — the "shuffle the corpus identically on any
+    cluster shape" step before sequence packing. This is the one
+    operator that exercises ``Dataset.sort`` as a true range-partitioned
+    all-to-all (the key is uniform by construction, so range partitions
+    are balanced — no skew by design); positions come from the
+    block-offset prefix-sum scan (functions/scan), so no driver
+    materialization. Oracle: row_number() over the same md5 order."""
+    import hashlib
+
+    from ..functions.scan import with_prefix_sum
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"])
+        keys = [
+            hashlib.md5(f"{i}-{seed}".encode("utf-8")).hexdigest() for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "shuffle_key": pa.array(keys, pa.string()),
+                "one": pa.array(np.ones(len(ids), dtype=np.int64)),
+            }
+        )
+
+    keyed = docs.map_batches(key, batch_format="pyarrow")
+    ranked = with_prefix_sum(
+        keyed, "one", ["shuffle_key", "doc_id"], out_col="pos"
+    )
+    out = ranked.to_pandas()[["doc_id", "pos"]]
+    out["pos"] = out["pos"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def events_moving_avg(sf_dir: str, limit_users: int = 30) -> pd.DataFrame:
+    """Per-user moving average over a row frame (2 preceding + current,
+    ts order) — the window-FRAME aggregate the LAG/zscore operators
+    don't cover. One user-keyed partition pass (groupby_partition);
+    within a partition each user's series is a vectorized pandas
+    rolling mean. Restricted to user_id < limit_users to keep the
+    result driver-sized; the pass itself streams every row."""
+    from ..functions.partitioning import groupby_partition
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    ).filter(expr=f"user_id < {int(limit_users)}")
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("mov_avg", pa.float64()),
+        ]
+    )
+
+    def roll(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        ma = (
+            df.groupby("user_id", sort=False)["value"]
+            .rolling(3, min_periods=1)
+            .mean()
+            .reset_index(level=0, drop=True)
+        )
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": df["event_id"].astype("int64"),
+                    "user_id": df["user_id"].astype("int64"),
+                    "mov_avg": np.round(ma.to_numpy(np.float64), 6),
+                }
+            ),
+            preserve_index=False,
+        )
+
+    out = groupby_partition(ev, "user_id", roll, schema=schema).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
