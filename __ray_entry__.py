@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_merges": q.docs_bpe_merges,
         "docs_shuffle": q.docs_shuffle,
         "events_moving_avg": q.events_moving_avg,
+        "events_corr": q.events_corr,
+        "events_ntile": q.events_ntile,
         "docs_normalize": q.docs_normalize,
         "embeddings_dim_stats": q.embeddings_dim_stats,
         "events_histogram": r.events_histogram,
@@ -669,6 +671,13 @@ SELECT event_id, round(value, 2) AS value,
        round(percent_rank() OVER (ORDER BY value, event_id), 6) AS pct_rank
 FROM events ORDER BY event_id
 """,
+        "events_ntile": """
+WITH t AS (
+  SELECT value, ntile(4) OVER (ORDER BY value, event_id) AS nt FROM events
+)
+SELECT nt AS ntile, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM t GROUP BY nt ORDER BY nt
+""",
         "events_pivot": """
 SELECT event_type,
        round(sum(CASE WHEN isodow(ts) = 1 THEN value ELSE 0 END), 2) AS wd1,
@@ -876,6 +885,12 @@ SELECT event_id, user_id,
                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
            AS mov_avg
 FROM events WHERE user_id < 30 ORDER BY event_id
+""",
+        "events_corr": """
+SELECT event_type, count(*) AS n,
+       round(corr(value, CAST(floor(epoch(ts)) AS BIGINT) % 86400), 6)
+           AS corr_value_tod
+FROM events GROUP BY event_type ORDER BY event_type
 """,
         "docs_top_terms": r"""
 SELECT term, CAST(c AS BIGINT) AS c FROM (

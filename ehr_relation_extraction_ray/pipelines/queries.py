@@ -1474,3 +1474,90 @@ def events_moving_avg(sf_dir: str, limit_users: int = 30) -> pd.DataFrame:
 
     out = groupby_partition(ev, "user_id", roll, schema=schema).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_corr(sf_dir: str) -> pd.DataFrame:
+    """Per-type Pearson correlation between value and second-of-day — the
+    sufficient-statistics combiner shape: each block emits one
+    (type, n, sx, sy, sxx, syy, sxy) moment row, the driver merges
+    (types x blocks) partials and finishes the algebra. Second-of-day is
+    bounded (0..86400) so the float64 moment sums never hit the
+    epoch^2 ~ 1e18 cancellation zone. Oracle: DuckDB corr() on the same
+    derived column."""
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.asarray(t["value"], dtype=np.float64)
+        y = (np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
+             // 1_000_000 % 86400).astype(np.float64)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "n": 1.0, "sx": x, "sy": y,
+                           "sxx": x * x, "syy": y * y, "sxy": x * y})
+        g = df.groupby("event_type", sort=False).sum()
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    m = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .sum()
+    )
+    n = m["n"]
+    cov = m["sxy"] - m["sx"] * m["sy"] / n
+    vx = m["sxx"] - m["sx"] ** 2 / n
+    vy = m["syy"] - m["sy"] ** 2 / n
+    out = pd.DataFrame(
+        {
+            "event_type": m["event_type"],
+            "n": n.astype("int64"),
+            "corr_value_tod": np.round(cov / np.sqrt(vx * vy), 6),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_ntile(sf_dir: str, buckets: int = 4) -> pd.DataFrame:
+    """Global NTILE(4) quartile assignment over (value, event_id) order —
+    equal-count bucketing for quantile-binned feature engineering. Ranks
+    come from the block-offset prefix-sum scan (no driver sort, no
+    materialization); the DuckDB NTILE size rule (first n%B buckets get
+    the extra row) is applied vectorized per block, and each block emits
+    a B-row digest partial. Oracle: ntile() window SQL."""
+    from ..functions.scan import with_prefix_sum
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+    total = ev.count()
+    q, r = divmod(total, buckets)
+
+    def one(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+        )
+
+    ranked = with_prefix_sum(
+        ev.map_batches(one, batch_format="pyarrow"),
+        "one",
+        ["value", "event_id"],
+        out_col="rank0",
+    )
+
+    def digest(t: pa.Table) -> pa.Table:
+        rk = np.asarray(t["rank0"], dtype=np.int64)
+        big = r * (q + 1)  # rows living in the (q+1)-sized leading buckets
+        nt = np.where(rk < big, rk // (q + 1), r + (rk - big) // max(q, 1)) + 1
+        df = pd.DataFrame({"ntile": nt.astype(np.int64),
+                           "n": np.int64(1),
+                           "sum_value": np.asarray(t["value"], np.float64)})
+        g = df.groupby("ntile", sort=False).sum()
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    parts = ranked.map_batches(digest, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("ntile", as_index=False).sum()
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values("ntile").reset_index(drop=True)
