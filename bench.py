@@ -111,6 +111,9 @@ def _run_bench() -> dict:
             "docs_bloom_decontaminate": lambda: q.docs_bloom_decontaminate(sf_dir),
             "events_zscore": lambda: r.events_zscore(sf_dir),
             "embeddings_pca": lambda: q.embeddings_pca(sf_dir),
+            "docs_bpe_merges": lambda: q.docs_bpe_merges(sf_dir),
+            "embeddings_semdedup": lambda: q.embeddings_semdedup(sf_dir),
+            "docs_shuffle": lambda: q.docs_shuffle(sf_dir),
         }.items():
             # two timed runs, report the min (this VM shows intermittent
             # multi-second host-noise stalls; raw runs kept for honesty)

@@ -39,7 +39,12 @@ def with_prefix_sum(
 ) -> "ray.data.Dataset":
     """Append the EXCLUSIVE global prefix sum of ``col`` in
     ``order_cols`` order (first row gets 0)."""
-    refs = ds.sort(order_cols).to_arrow_refs()
+    # materialize() executes the sort exactly once; a bare to_arrow_refs()
+    # ALSO triggers a schema-fetch execution whose limit=1 cannot be pushed
+    # below the AllToAll sort, so the whole shuffle would run twice
+    # (measured ~2x on the scan-based queries). The scan is a barrier
+    # anyway — the sorted blocks are consumed immediately, twice.
+    refs = ds.sort(order_cols).materialize().to_arrow_refs()
 
     @ray.remote(num_cpus=0.5)
     def block_sum(t: pa.Table) -> int:
