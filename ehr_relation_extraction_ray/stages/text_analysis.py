@@ -700,21 +700,35 @@ def bpe_merges(
     vocab = dict(zip(wf["term"], wf["c"].astype(int)))
     # symbol sequences: characters + an explicit end-of-word marker
     words = {w: [*w, "</w>"] for w in vocab}
+
+    # incremental pair bookkeeping (the standard BPE-trainer structure):
+    # a merge touches ONLY the words containing the merged pair, so each
+    # iteration costs O(affected words x word length), not O(vocab) — the
+    # difference between minutes and hours at a web-corpus vocabulary.
+    pair_counts: dict = {}
+    pair_words: dict = {}
+    for w, syms in words.items():
+        n = vocab[w]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + n
+            pair_words.setdefault(p, set()).add(w)
+
     out = []
     for rank in range(n_merges):
-        pairs: dict = {}
-        for w, syms in words.items():
-            n = vocab[w]
-            for a, b in zip(syms, syms[1:]):
-                pairs[(a, b)] = pairs.get((a, b), 0) + n
-        if not pairs:
+        if not pair_counts:
             break
-        (la, lb), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (la, lb), cnt = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
         out.append((rank, la, lb, cnt))
         merged = la + lb
-        for w, syms in words.items():
-            if la not in syms:
-                continue
+        for w in sorted(pair_words.get((la, lb), ())):
+            syms, n = words[w], vocab[w]
+            # retract this word's current pair contributions ...
+            for p in zip(syms, syms[1:]):
+                left = pair_counts[p] - n
+                if left:
+                    pair_counts[p] = left
+                else:
+                    del pair_counts[p]
             ns, i = [], 0
             while i < len(syms):
                 if i + 1 < len(syms) and syms[i] == la and syms[i + 1] == lb:
@@ -724,6 +738,13 @@ def bpe_merges(
                     ns.append(syms[i])
                     i += 1
             words[w] = ns
+            # ... and re-add them post-merge (pair_words may keep stale
+            # entries; retract+re-add makes visiting one a no-op)
+            for p in zip(ns, ns[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + n
+                pair_words.setdefault(p, set()).add(w)
+        pair_words.pop((la, lb), None)
+        pair_counts.pop((la, lb), None)
     return pd.DataFrame(
         out, columns=["rank", "left", "right", "pair_count"]
     ).astype({"rank": "int64", "pair_count": "int64"})

@@ -276,3 +276,54 @@ def test_bpe_merges_hand_built():
         (2, "ab", "c", 1),
         (3, "abc", "</w>", 1),
     ]
+
+
+def test_bpe_incremental_matches_naive_on_random_corpus():
+    """The incremental pair-bookkeeping merge loop must equal the naive
+    recount-everything loop on a corpus large enough to exercise retract/
+    re-add paths (repeated chars, overlapping pairs, many words)."""
+    import ray.data
+
+    from ehr_relation_extraction_ray.stages.text_analysis import bpe_merges
+
+    rng = np.random.default_rng(11)
+    alpha = list("abcde")
+    texts = [
+        " ".join(
+            "".join(rng.choice(alpha, size=rng.integers(1, 7)))
+            for _ in range(rng.integers(3, 12))
+        )
+        for _ in range(60)
+    ]
+    docs = ray.data.from_items([{"text": t} for t in texts])
+    got = bpe_merges(docs, n_merges=15)
+
+    # naive reference: full recount each iteration
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            wc[w] += 1
+    seqs = {w: [*w, "</w>"] for w in wc}
+    expect = []
+    for rank in range(15):
+        pairs: Counter = Counter()
+        for w, syms in seqs.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] += wc[w]
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rank, a, b, cnt))
+        for w, syms in seqs.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            seqs[w] = ns
+    assert list(got.itertuples(index=False, name=None)) == expect
