@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_hist": q.kg_degree_hist,
         "kg_pagerank": q.kg_pagerank,
         "kg_khop": q.kg_khop,
+        "kg_edge_spans": q.kg_edge_spans,
         # relational operator core (testdata star schema)
         "agg_lineitem": r.agg_lineitem,
         "join_orders_customer": r.join_orders_customer,
@@ -1063,6 +1064,18 @@ bfs(node, hop) AS (
 )
 SELECT node, CAST(min(hop) AS BIGINT) AS hop
 FROM bfs GROUP BY node ORDER BY node
+""",
+        "kg_edge_spans": f"""
+WITH ts0 AS (
+  SELECT conv_id, min(epoch_us(ts)) AS t0
+  FROM read_parquet('{tp}') GROUP BY conv_id
+)
+SELECT subj, pred, obj, count(*) AS n_docs,
+       CAST(min(t0) AS BIGINT) AS first_ts,
+       CAST(max(t0) AS BIGINT) AS last_ts
+FROM read_parquet('{_fixture("kg_triples")}') t
+JOIN ts0 ON t.doc_id = ts0.conv_id
+GROUP BY subj, pred, obj ORDER BY subj, pred, obj
 """,
         "kg_windows": f"""
 SELECT doc_id, n_windows FROM read_parquet('{_fixture("kg_windows")}')

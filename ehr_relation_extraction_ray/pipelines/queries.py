@@ -1561,3 +1561,57 @@ def events_ntile(sf_dir: str, buckets: int = 4) -> pd.DataFrame:
     out["n"] = out["n"].astype("int64")
     out["sum_value"] = out["sum_value"].round(2)
     return out.sort_values("ntile").reset_index(drop=True)
+
+
+def kg_edge_spans(sf_dir: str) -> pd.DataFrame:
+    """Temporal KG edge spans: for every distinct (subj, pred, obj) edge,
+    the supporting-document count and the first/last conversation start
+    time (epoch microseconds) — the time dimension of graph
+    materialization. Shape: per-conv min-ts combiner -> ONE
+    groupby(conv_id).min (conversation-sized), native hash join against
+    the triple stream on doc_id (both sides fact-sized — no broadcast),
+    then ontology-bounded per-edge partials merged on the driver.
+    kg.run emits one row per (doc, edge), so per-block sizes sum exactly
+    to the distinct-doc count. Oracle: join SQL over the triples fixture
+    and the transcripts parquet."""
+    from ray.data.aggregate import Min
+
+    from ..stages import joins
+
+    tp = synth.transcripts_path(sf_dir)
+    trip = kg.run(tp)
+
+    def conv_min(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "conv_id": t["conv_id"].to_pandas(),
+                "t0": np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("conv_id", as_index=False)["t0"].min(), preserve_index=False
+        )
+
+    tsmin = (
+        ray.data.read_parquet(tp, columns=["conv_id", "ts"])
+        .map_batches(conv_min, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Min("t0", alias_name="t0"))
+    )
+    joined = joins.hash_join(trip, tsmin, on="doc_id", right_on="conv_id")
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        df = t.select(["subj", "pred", "obj", "t0"]).to_pandas()
+        g = df.groupby(["subj", "pred", "obj"], sort=False).agg(
+            n_docs=("t0", "size"), first_ts=("t0", "min"), last_ts=("t0", "max")
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    parts = joined.map_batches(edge_partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["subj", "pred", "obj"], as_index=False).agg(
+        n_docs=("n_docs", "sum"), first_ts=("first_ts", "min"),
+        last_ts=("last_ts", "max"),
+    )
+    for c in ("n_docs", "first_ts", "last_ts"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
