@@ -220,3 +220,32 @@ def test_semdedup_subset_of_exact():
     for a, b, c in zip(sem["vec_a"], sem["vec_b"], sem["cos"]):
         assert abs(round(float(c), 4) - exact_pairs[(int(a), int(b))]) <= 1e-4
     assert {(3, 17), (11, 29)} <= got
+
+
+def test_edge_weights_mergeable_incremental():
+    """Incremental graph materialization invariant: edge weights computed
+    on two disjoint triple splits and merged by (subj, obj) sum equal the
+    single-pass result on the union — the property that lets a daily
+    ingest fold new edges into an existing edge table without recompute."""
+    import ray.data
+
+    from ehr_relation_extraction_ray.stages.graph import edge_weights
+
+    rows = [
+        {"doc_id": f"d{i}", "subj": s, "obj": o}
+        for i, (s, o) in enumerate(
+            [("a", "x"), ("a", "x"), ("b", "y"), ("a", "z"), ("b", "y"), ("c", "x")]
+        )
+    ]
+    full = edge_weights(ray.data.from_items(rows))
+    part_a = edge_weights(ray.data.from_items(rows[:3]))
+    part_b = edge_weights(ray.data.from_items(rows[3:]))
+    merged = (
+        pd.concat([part_a, part_b])
+        .groupby(["subj", "obj"], as_index=False)["n"]
+        .sum()
+        .sort_values(["subj", "obj"])
+        .reset_index(drop=True)
+    )
+    merged["n"] = merged["n"].astype("int64")
+    pd.testing.assert_frame_equal(merged, full)
