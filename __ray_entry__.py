@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": q.kg_nodes,
         "kg_role_stats": q.kg_role_stats,
         "kg_tool_chains": q.kg_tool_chains,
+        "kg_conv_dedup": q.kg_conv_dedup,
+        "kg_turn_latency": q.kg_turn_latency,
         "kg_degree_hist": q.kg_degree_hist,
         "kg_pagerank": q.kg_pagerank,
         "kg_khop": q.kg_khop,
@@ -382,6 +384,29 @@ s AS (
 SELECT prev AS tool_a, tool AS tool_b, count(*) AS n
 FROM s WHERE prev IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "kg_conv_dedup": f"""
+WITH docs AS (
+  SELECT conv_id,
+         md5(string_agg(COALESCE(text,''), chr(10)||chr(10) ORDER BY turn_idx)) AS h
+  FROM read_parquet('{tp}') GROUP BY conv_id
+)
+SELECT min(conv_id) AS keep_id, count(*) AS n_dups
+FROM docs GROUP BY h ORDER BY keep_id
+""",
+        "kg_turn_latency": f"""
+WITH s AS (
+  SELECT conv_id, role, ts,
+         lag(role) OVER w AS role_a,
+         lag(ts) OVER w AS prev_ts
+  FROM read_parquet('{tp}')
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT role_a, role AS role_b, count(*) AS n,
+       round(CAST(sum(epoch_us(ts) - epoch_us(prev_ts)) AS BIGINT)
+             / count(*) / 1000000.0, 6) AS mean_gap_s
+FROM s WHERE role_a IS NOT NULL
+GROUP BY role_a, role ORDER BY role_a, role_b
 """,
         "part_brand_margin": """
 SELECT p_brand,

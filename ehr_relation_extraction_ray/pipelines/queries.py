@@ -1615,3 +1615,64 @@ def kg_edge_spans(sf_dir: str) -> pd.DataFrame:
     for c in ("n_docs", "first_ts", "last_ts"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+
+
+def kg_conv_dedup(sf_dir: str) -> pd.DataFrame:
+    """Conversation-level exact dedup — the "drop duplicated transcripts
+    before paying for extraction" pre-step of the KG chain: assemble
+    conversations (one groupby(conv_id) shuffle), md5 the assembled
+    text, keep the min-conv_id representative per digest
+    (stages/dedupe.exact_dedup; only (md5, id) pairs shuffle). Oracle:
+    the same assembly string_agg in SQL."""
+    docs = _docs(sf_dir)
+    out = dedupe.exact_dedup(docs).to_pandas()[["keep_id", "n_dups"]]
+    out["n_dups"] = out["n_dups"].astype("int64")
+    return out.sort_values("keep_id").reset_index(drop=True)
+
+
+def kg_turn_latency(sf_dir: str) -> pd.DataFrame:
+    """Agent-transcript latency profile: mean seconds between consecutive
+    turns, grouped by (previous role -> role) transition. One conv-keyed
+    partition pass (groupby_partition) sorts each conversation and emits
+    transition (n, sum_gap_us) partials; the role-pair space is
+    role-vocabulary bounded, so the driver merge is dimension-sized.
+    Integer microsecond sums keep the float division to the final
+    driver step. Oracle: lag() window SQL."""
+    from ..functions.partitioning import groupby_partition
+
+    tp = synth.transcripts_path(sf_dir)
+    ds = ray.data.read_parquet(tp, columns=["conv_id", "turn_idx", "role", "ts"])
+
+    schema = pa.schema(
+        [("role_a", pa.string()), ("role_b", pa.string()),
+         ("n", pa.int64()), ("sum_gap_us", pa.int64())]
+    )
+
+    def partial(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().sort_values(["conv_id", "turn_idx"])
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        same = df["conv_id"].eq(df["conv_id"].shift(1))
+        g = (
+            pd.DataFrame(
+                {
+                    "role_a": df["role"].shift(1)[same],
+                    "role_b": df["role"][same],
+                    "gap": (us - us.shift(1))[same].astype("int64"),
+                }
+            )
+            .groupby(["role_a", "role_b"], sort=False)
+            .agg(n=("gap", "size"), sum_gap_us=("gap", "sum"))
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    parts = groupby_partition(ds, "conv_id", partial, schema=schema).to_pandas()
+    out = parts.groupby(["role_a", "role_b"], as_index=False).sum()
+    out["n"] = out["n"].astype("int64")
+    out["mean_gap_s"] = np.round(
+        out["sum_gap_us"] / out["n"] / 1_000_000.0, 6
+    )
+    return (
+        out[["role_a", "role_b", "n", "mean_gap_s"]]
+        .sort_values(["role_a", "role_b"])
+        .reset_index(drop=True)
+    )
