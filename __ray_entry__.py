@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_avg": q.events_moving_avg,
         "events_corr": q.events_corr,
         "events_ntile": q.events_ntile,
+        "events_json_extract": q.events_json_extract,
         "docs_normalize": q.docs_normalize,
         "embeddings_dim_stats": q.embeddings_dim_stats,
         "events_histogram": r.events_histogram,
@@ -703,6 +704,12 @@ WITH t AS (
 )
 SELECT nt AS ntile, count(*) AS n, round(sum(value), 2) AS sum_value
 FROM t GROUP BY nt ORDER BY nt
+""",
+        "events_json_extract": """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       count(DISTINCT CAST(props->>'k' AS BIGINT)) AS n_distinct_k
+FROM events GROUP BY event_type ORDER BY event_type
 """,
         "events_pivot": """
 SELECT event_type,

@@ -1676,3 +1676,38 @@ def kg_turn_latency(sf_dir: str) -> pd.DataFrame:
         .sort_values(["role_a", "role_b"])
         .reset_index(drop=True)
     )
+
+
+def events_json_extract(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: parse the events.props JSON column,
+    pull the numeric field k, and aggregate per event_type (n, sum_k,
+    distinct k values). JSON parse is inherently per-string CPU (like
+    regex NER) and runs inside map_batches on worker CPUs; everything
+    after the parse is a combiner — one (type, k)-distinct partial per
+    block, dimension-bounded (k is 0..99), merged on the driver.
+    Oracle: DuckDB ->> JSON extraction."""
+    import json
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (json.loads(p)["k"] for p in t["props"].to_pylist()),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(), "k": ks})
+        g = df.groupby(["event_type", "k"], sort=False).size().rename("n")
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    fine = parts.groupby(["event_type", "k"], as_index=False)["n"].sum()
+    fine["nk"] = fine["n"] * fine["k"]
+    out = fine.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), sum_k=("nk", "sum"), n_distinct_k=("k", "size")
+    )
+    for c in ("n", "sum_k", "n_distinct_k"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
