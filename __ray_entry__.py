@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": r.events_retention,
         "largest_order_per_customer": r.largest_order_per_customer,
         "events_pivot": r.events_pivot,
+        "segment_priority_revenue": r.segment_priority_revenue,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_cross_dedup": q.docs_cross_dedup,
@@ -721,6 +722,16 @@ SELECT event_type,
        round(sum(CASE WHEN isodow(ts) = 6 THEN value ELSE 0 END), 2) AS wd6,
        round(sum(CASE WHEN isodow(ts) = 7 THEN value ELSE 0 END), 2) AS wd7
 FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "segment_priority_revenue": """
+SELECT c_mktsegment, o_orderpriority,
+       count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY c_mktsegment, o_orderpriority
+ORDER BY c_mktsegment, o_orderpriority
 """,
         "largest_order_per_customer": """
 SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice

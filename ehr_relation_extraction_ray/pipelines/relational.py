@@ -1367,3 +1367,70 @@ def events_pivot(sf_dir: str) -> pd.DataFrame:
         col = wide[wd] if wd in wide.columns else 0.0
         out[f"wd{wd}"] = np.round(np.asarray(col, dtype=np.float64), 2)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def segment_priority_revenue(sf_dir: str) -> pd.DataFrame:
+    """3-table pipeline with BOTH join strategies in one plan: customer
+    (dim) broadcast-attached to orders inside map_batches (dense
+    custkey -> segment-code array, one numpy take per batch), then
+    orders x lineitem — two FACT tables — through the native
+    hash-shuffle join on the order key, finished by a (segment x
+    priority)-bounded combiner merged on the driver. The strategy split
+    is the point: broadcast what is dimension-sized, shuffle only the
+    fact-fact equi-join the broadcast pattern cannot express."""
+    from ..stages import joins
+
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    n_keys = int(cust["c_custkey"].max()) + 1
+    seg_labels, seg_src = np.unique(cust["c_mktsegment"].to_numpy(), return_inverse=True)
+    seg_by_key = np.zeros(n_keys, dtype=np.int32)
+    seg_by_key[cust["c_custkey"].to_numpy()] = seg_src
+    dim_ref = ray.put(seg_by_key)
+
+    orders = _pq(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderpriority"]
+    )
+
+    def attach_seg(batch: pa.Table) -> pa.Table:
+        seg = _bget(dim_ref)[np.asarray(batch["o_custkey"])]
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "seg_code": pa.array(seg, pa.int32()),
+                "o_orderpriority": batch["o_orderpriority"],
+            }
+        )
+
+    tagged = orders.map_batches(attach_seg, batch_format="pyarrow")
+    li = _pq(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    joined = joins.hash_join(li, tagged, on="l_orderkey", right_on="o_orderkey")
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "seg_code": np.asarray(batch["seg_code"]),
+                "o_orderpriority": batch["o_orderpriority"].to_pandas(),
+                "rev": np.asarray(batch["l_extendedprice"], np.float64)
+                * (1.0 - np.asarray(batch["l_discount"], np.float64)),
+            }
+        )
+        g = df.groupby(["seg_code", "o_orderpriority"], sort=False).agg(
+            n_lines=("rev", "size"), sum_revenue=("rev", "sum")
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    parts = joined.map_batches(combine, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["seg_code", "o_orderpriority"], as_index=False).agg(
+        n_lines=("n_lines", "sum"), sum_revenue=("sum_revenue", "sum")
+    )
+    out["c_mktsegment"] = seg_labels[out["seg_code"].to_numpy()]
+    out["n_lines"] = out["n_lines"].astype("int64")
+    out["sum_revenue"] = out["sum_revenue"].round(2)
+    return (
+        out[["c_mktsegment", "o_orderpriority", "n_lines", "sum_revenue"]]
+        .sort_values(["c_mktsegment", "o_orderpriority"])
+        .reset_index(drop=True)
+    )
