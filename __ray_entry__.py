@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "largest_order_per_customer": r.largest_order_per_customer,
         "events_pivot": r.events_pivot,
         "segment_priority_revenue": r.segment_priority_revenue,
+        "events_variance_udaf": r.events_variance_udaf,
         "docs_ngram_jaccard": q.docs_ngram_jaccard,
         "docs_minhash_pairs": q.docs_minhash_pairs,
         "docs_cross_dedup": q.docs_cross_dedup,
@@ -721,6 +722,10 @@ SELECT event_type,
        round(sum(CASE WHEN isodow(ts) = 5 THEN value ELSE 0 END), 2) AS wd5,
        round(sum(CASE WHEN isodow(ts) = 6 THEN value ELSE 0 END), 2) AS wd6,
        round(sum(CASE WHEN isodow(ts) = 7 THEN value ELSE 0 END), 2) AS wd7
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "events_variance_udaf": """
+SELECT event_type, round(var_pop(value), 6) AS var_pop
 FROM events GROUP BY event_type ORDER BY event_type
 """,
         "segment_priority_revenue": """

@@ -1434,3 +1434,30 @@ def segment_priority_revenue(sf_dir: str) -> pd.DataFrame:
         .sort_values(["c_mktsegment", "o_orderpriority"])
         .reset_index(drop=True)
     )
+
+
+def events_variance_udaf(sf_dir: str) -> pd.DataFrame:
+    """Population variance per event_type through Ray Data's NATIVE
+    custom-aggregation protocol (AggregateFn with init / vectorized
+    accumulate_block / merge / finalize) — the API-level UDAF path, as
+    opposed to the hand-rolled map-side combiners used elsewhere
+    (events_corr). The accumulator is the mergeable moment triple
+    (n, sum, sumsq); accumulate_block is one numpy pass per block, so the
+    shuffle moves 3 floats per (group, block). Oracle: var_pop SQL."""
+    from ray.data.aggregate import AggregateFn
+
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"])
+
+    var = AggregateFn(
+        init=lambda k: (0, 0.0, 0.0),
+        accumulate_block=lambda a, blk: (
+            a[0] + blk.num_rows,
+            a[1] + float(np.asarray(blk["value"], np.float64).sum()),
+            a[2] + float((np.asarray(blk["value"], np.float64) ** 2).sum()),
+        ),
+        merge=lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]),
+        finalize=lambda a: round(a[2] / a[0] - (a[1] / a[0]) ** 2, 6),
+        name="var_pop",
+    )
+    out = ev.groupby("event_type").aggregate(var).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
