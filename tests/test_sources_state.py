@@ -601,3 +601,43 @@ def test_partitioned_parquet_roundtrip(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         back[["doc_id", "lang", "text"]], df, check_dtype=False
     )
+
+
+def test_write_partitioned_resumable(tmp_path):
+    """Partition-level output resume: full write roundtrips; deleting
+    some partitions and re-running rewrites ONLY those (finished files
+    untouched, verified by mtime); a third run skips everything."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from ehr_relation_extraction_ray.pipelines.export import (
+        write_partitioned_resumable,
+    )
+
+    rows = [{"k": i, "v": f"row-{i}"} for i in range(200)]
+    ds = ray.data.from_items(rows)
+    out = str(tmp_path / "sink")
+    res1 = write_partitioned_resumable(ds, out, "k", num_partitions=8)
+    assert res1["written"] == 8 and res1["skipped"] == 0
+    assert res1["rows_written"] == 200
+    back = ray.data.read_parquet(out).to_pandas()
+    assert sorted(back["k"]) == sorted(r["k"] for r in rows)
+
+    mtimes = {
+        p: os.path.getmtime(os.path.join(out, p, "data.parquet"))
+        for p in os.listdir(out)
+    }
+    for gone in ("part=1", "part=4", "part=6"):
+        shutil.rmtree(os.path.join(out, gone))
+    res2 = write_partitioned_resumable(ds, out, "k", num_partitions=8)
+    assert res2["written"] == 3 and res2["skipped"] == 5
+    for p, m in mtimes.items():
+        if p not in ("part=1", "part=4", "part=6"):
+            assert os.path.getmtime(os.path.join(out, p, "data.parquet")) == m
+    back2 = ray.data.read_parquet(out).to_pandas()
+    assert sorted(back2["k"]) == sorted(r["k"] for r in rows)
+
+    res3 = write_partitioned_resumable(ds, out, "k", num_partitions=8)
+    assert res3 == {"written": 0, "skipped": 8, "rows_written": 0}
