@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": q.kg_pagerank,
         "kg_khop": q.kg_khop,
         "kg_edge_spans": q.kg_edge_spans,
+        "kg_negative_samples": q.kg_negative_samples,
         # relational operator core (testdata star schema)
         "agg_lineitem": r.agg_lineitem,
         "join_orders_customer": r.join_orders_customer,
@@ -1124,6 +1125,31 @@ SELECT subj, pred, obj, count(*) AS n_docs,
 FROM read_parquet('{_fixture("kg_triples")}') t
 JOIN ts0 ON t.doc_id = ts0.conv_id
 GROUP BY subj, pred, obj ORDER BY subj, pred, obj
+""",
+        "kg_negative_samples": f"""
+WITH trip AS (
+  SELECT doc_id, subj, pred, obj FROM read_parquet('{_fixture("kg_triples")}')
+),
+vocab AS (
+  SELECT obj, row_number() OVER (ORDER BY obj) - 1 AS i
+  FROM (SELECT DISTINCT obj FROM trip)
+),
+nn AS (SELECT count(*) AS n FROM vocab),
+drawn AS (
+  SELECT t.*,
+         CAST(('0x' || substr(md5(doc_id||'|'||subj||'|'||pred||'|'||obj), 1, 8))::UBIGINT
+              % (SELECT n FROM nn) AS BIGINT) AS idx
+  FROM trip t
+),
+fixed AS (
+  SELECT d.doc_id, d.subj, d.pred, d.obj,
+         CASE WHEN v.obj = d.obj
+              THEN (d.idx + 1) % (SELECT n FROM nn) ELSE d.idx END AS idx2
+  FROM drawn d JOIN vocab v ON v.i = d.idx
+)
+SELECT f.doc_id, f.subj, f.pred, f.obj, v2.obj AS neg_obj
+FROM fixed f JOIN vocab v2 ON v2.i = f.idx2
+ORDER BY f.doc_id, f.subj, f.pred, f.obj
 """,
         "kg_windows": f"""
 SELECT doc_id, n_windows FROM read_parquet('{_fixture("kg_windows")}')

@@ -1711,3 +1711,56 @@ def events_json_extract(sf_dir: str) -> pd.DataFrame:
     for c in ("n", "sum_k", "n_distinct_k"):
         out[c] = out[c].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def kg_negative_samples(sf_dir: str) -> pd.DataFrame:
+    """Deterministic negative sampling for KG-embedding training: for
+    every positive triple, one corrupted triple whose object is drawn
+    content-addressed from the GLOBAL object vocabulary —
+    idx = md5(doc|subj|pred|obj) % |objs|, bumped by one (mod n) when it
+    lands on the true object. The object vocabulary is ontology-bounded:
+    per-block distinct partials merge on the driver and broadcast back
+    (ray.put once), so corruption is a zero-shuffle map_batches; the
+    same draw is reproducible at any parallelism AND in SQL (hex-md5
+    indexing into the numbered vocabulary). Oracle: pure SQL over the
+    triples fixture."""
+    trip = kg.run(synth.transcripts_path(sf_dir))
+
+    def obj_partial(t: pa.Table) -> pa.Table:
+        u = t["obj"].to_pandas().drop_duplicates()
+        return pa.table({"obj": pa.array(u.to_numpy(dtype=object), pa.string())})
+
+    objs = np.sort(
+        trip.map_batches(obj_partial, batch_format="pyarrow")
+        .to_pandas()["obj"]
+        .drop_duplicates()
+        .to_numpy(dtype=object)
+    )
+    vocab_ref = ray.put(objs)
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        from ..functions.broadcast import bget
+
+        vocab = bget(vocab_ref)
+        n = len(vocab)
+        df = t.select(["doc_id", "subj", "pred", "obj"]).to_pandas()
+        idx = np.fromiter(
+            (
+                int(
+                    hashlib.md5(f"{d}|{s}|{p}|{o}".encode("utf-8")).hexdigest()[:8],
+                    16,
+                )
+                % n
+                for d, s, p, o in zip(df["doc_id"], df["subj"], df["pred"], df["obj"])
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        neg = vocab[idx]
+        hit = neg == df["obj"].to_numpy(dtype=object)
+        idx[hit] = (idx[hit] + 1) % n
+        df["neg_obj"] = vocab[idx]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = trip.map_batches(corrupt, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "subj", "pred", "obj"]).reset_index(drop=True)
