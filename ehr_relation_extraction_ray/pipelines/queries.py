@@ -92,20 +92,38 @@ def kg_mentions(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("ent_type").reset_index(drop=True)
 
 
+_TRIPLES_MEMO: dict = {}
+
+
+def _triples(sf_dir: str) -> "ray.data.Dataset":
+    """Materialized flagship triples, memoized per transcripts path: the
+    driver's correctness run executes many triple-consuming queries in
+    one process, and the extraction chain is identical for all of them —
+    one execution + object-store-resident blocks (58k rows at sf0.01)
+    instead of re-running the chain per query. Queries stay semantically
+    identical: kg.run is deterministic in its input path."""
+    path = synth.transcripts_path(sf_dir)
+    ds = _TRIPLES_MEMO.get(path)
+    if ds is None:
+        ds = kg.run(path).materialize()
+        _TRIPLES_MEMO[path] = ds
+    return ds
+
+
 def kg_triples(sf_dir: str) -> pd.DataFrame:
-    trip = kg.run(synth.transcripts_path(sf_dir))
+    trip = _triples(sf_dir)
     df = trip.to_pandas()
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
 def kg_wide_table(sf_dir: str) -> pd.DataFrame:
-    trip = kg.run(synth.transcripts_path(sf_dir))
+    trip = _triples(sf_dir)
     df = graph.wide_relation_table(trip).to_pandas()
     return df.sort_values(["doc_id", "subj_id", "pred"]).reset_index(drop=True)
 
 
 def kg_drug_graph(sf_dir: str) -> pd.DataFrame:
-    trip = kg.run(synth.transcripts_path(sf_dir))
+    trip = _triples(sf_dir)
     df = graph.per_drug_graph(trip).to_pandas()
     return df.sort_values(["doc_id", "subj_id"]).reset_index(drop=True)
 
@@ -1136,7 +1154,7 @@ def kg_degree_hist(sf_dir: str) -> pd.DataFrame:
     the per-block combiner (edge space is ontology-bounded), degree per
     subject, histogram. Oracle recomputes from the serial triples
     fixture in pure SQL."""
-    trip = kg.run(synth.transcripts_path(sf_dir))
+    trip = _triples(sf_dir)
     edges = graph.edge_weights(trip)
     deg = edges.groupby("subj").size().rename("degree").reset_index()
     hist = deg.groupby("degree").size().rename("n_subjects").reset_index()
@@ -1149,7 +1167,7 @@ def kg_pagerank(sf_dir: str) -> pd.DataFrame:
     edge-weight combiner -> deterministic driver iteration; serial
     fixture oracle re-runs the identical spec on the serial pipeline's
     triples)."""
-    trip = kg.run(synth.transcripts_path(sf_dir))
+    trip = _triples(sf_dir)
     edges = graph.edge_weights(trip)
     out = graph.pagerank(edges)
     return out.sort_values("node").reset_index(drop=True)
@@ -1326,7 +1344,7 @@ def kg_khop(sf_dir: str, k: int = 3) -> pd.DataFrame:
     map_batches pass per round; see stages/graph.khop for the scale
     shape). Oracle: DuckDB recursive CTE over the serial triples
     fixture."""
-    trip = kg.run(synth.transcripts_path(sf_dir))
+    trip = _triples(sf_dir)
     return graph.khop(trip, k=k)
 
 
@@ -1579,7 +1597,7 @@ def kg_edge_spans(sf_dir: str) -> pd.DataFrame:
     from ..stages import joins
 
     tp = synth.transcripts_path(sf_dir)
-    trip = kg.run(tp)
+    trip = _triples(sf_dir)
 
     def conv_min(t: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -1724,7 +1742,7 @@ def kg_negative_samples(sf_dir: str) -> pd.DataFrame:
     same draw is reproducible at any parallelism AND in SQL (hex-md5
     indexing into the numbered vocabulary). Oracle: pure SQL over the
     triples fixture."""
-    trip = kg.run(synth.transcripts_path(sf_dir))
+    trip = _triples(sf_dir)
 
     def obj_partial(t: pa.Table) -> pa.Table:
         u = t["obj"].to_pandas().drop_duplicates()
