@@ -35,8 +35,31 @@ from ..stages import (
 from . import kg
 
 
+_DOCS_MEMO: dict = {}
+_MENTIONS_MEMO: dict = {}
+
+
 def _docs(sf_dir: str) -> "ray.data.Dataset":
-    return kg.documents(synth.transcripts_path(sf_dir))
+    """Assembled conversations, materialized + memoized per transcripts
+    path (same rationale as _triples: one groupby(conv_id) execution
+    serves every document-consuming query in the driver's run; 600
+    small rows at sf0.01 stay object-store-resident)."""
+    path = synth.transcripts_path(sf_dir)
+    ds = _DOCS_MEMO.get(path)
+    if ds is None:
+        ds = kg.documents(path).materialize()
+        _DOCS_MEMO[path] = ds
+    return ds
+
+
+def _mentions(sf_dir: str) -> "ray.data.Dataset":
+    """Detected mentions over _docs, materialized + memoized."""
+    path = synth.transcripts_path(sf_dir)
+    ds = _MENTIONS_MEMO.get(path)
+    if ds is None:
+        ds = mentions_stage.detect(_docs(sf_dir)).materialize()
+        _MENTIONS_MEMO[path] = ds
+    return ds
 
 
 # -- KG pipeline ------------------------------------------------------------
@@ -61,7 +84,7 @@ def kg_assembly(sf_dir: str) -> pd.DataFrame:
 
 
 def kg_mentions(sf_dir: str) -> pd.DataFrame:
-    ment = mentions_stage.detect(_docs(sf_dir))
+    ment = _mentions(sf_dir)
 
     def local_counts(batch: pa.Table) -> pa.Table:
         # combiner: the distinct-surface vocabulary is tiny, so pre-count
@@ -129,7 +152,7 @@ def kg_drug_graph(sf_dir: str) -> pd.DataFrame:
 
 
 def kg_nodes(sf_dir: str) -> pd.DataFrame:
-    ment = mentions_stage.detect(_docs(sf_dir))
+    ment = _mentions(sf_dir)
     nodes, _ = canonicalize.build_nodes(ment)
     df = nodes.to_pandas()
     return df.sort_values("node_id").reset_index(drop=True)
@@ -836,7 +859,7 @@ def kg_drug_no_ade_docs(sf_dir: str) -> pd.DataFrame:
     shape without materializing either side."""
     from ray.data.aggregate import Max
 
-    ment = mentions_stage.detect(_docs(sf_dir))
+    ment = _mentions(sf_dir)
 
     def flags(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
