@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_mix": q.docs_lang_mix,
         "docs_lang_divergence": q.docs_lang_divergence,
         "docs_jsonl_roundtrip": q.docs_jsonl_roundtrip,
+        "events_csv_roundtrip": q.events_csv_roundtrip,
         "docs_partitioned_write": q.docs_partitioned_write,
         "docs_top_terms": q.docs_top_terms,
         "docs_bpe_merges": q.docs_bpe_merges,
@@ -158,6 +159,12 @@ def _pqpart_sql_glob() -> str:
     from ehr_relation_extraction_ray.pipelines import queries as q
 
     return q.parquet_part_dir(SF_CORRECTNESS_DIR) + "/**/*.parquet"
+
+
+def _csv_sql_glob() -> str:
+    from ehr_relation_extraction_ray.pipelines import queries as q
+
+    return q.csv_dir(SF_CORRECTNESS_DIR) + "/*"
 
 
 def _jsonl_sql_glob() -> str:
@@ -959,6 +966,11 @@ ORDER BY doc_id
 SELECT doc_id, lang, md5(text) AS text_md5
 FROM read_json_auto('{_jsonl_sql_glob()}')
 ORDER BY doc_id
+""",
+        "events_csv_roundtrip": f"""
+SELECT event_id, user_id, event_type, round(value, 6) AS value
+FROM read_csv_auto('{_csv_sql_glob()}')
+ORDER BY event_id
 """,
         "docs_lang_divergence": r"""
 WITH toks AS (

@@ -1805,3 +1805,43 @@ def kg_negative_samples(sf_dir: str) -> pd.DataFrame:
 
     out = trip.map_batches(corrupt, batch_format="pyarrow").to_pandas()
     return out.sort_values(["doc_id", "subj", "pred", "obj"]).reset_index(drop=True)
+
+
+def csv_dir(sf_dir: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    return f"/tmp/graft_csv/sf{sf}/events"
+
+
+def events_csv_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """CSV sink+source roundtrip (the third interchange format after
+    Parquet and JSONL): write a typed projection of events as sharded
+    CSV (``Dataset.write_csv``, one file per block), read it back with
+    ``ray.data.read_csv``, digest per row. The oracle parses the SAME
+    shards with DuckDB's independent CSV reader, so a hash match proves
+    quoting/typing fidelity across writers, not self-consistency."""
+    import shutil
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+    out_dir = csv_dir(sf_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    ev.write_csv(out_dir)
+    back = ray.data.read_csv(out_dir)
+
+    def digest(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "user_id": t["user_id"].cast(pa.int64()),
+                "event_type": t["event_type"],
+                "value": pa.array(
+                    np.round(np.asarray(t["value"], np.float64), 6)
+                ),
+            }
+        )
+
+    out = back.map_batches(digest, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
