@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_terms": q.docs_top_terms,
         "docs_bpe_merges": q.docs_bpe_merges,
         "docs_shuffle": q.docs_shuffle,
+        "docs_hash_embed": q.docs_hash_embed,
         "events_moving_avg": q.events_moving_avg,
         "events_corr": q.events_corr,
         "events_ntile": q.events_ntile,
@@ -929,6 +930,10 @@ WHERE c_custkey NOT IN (
         "docs_bpe_merges": f"""
 SELECT "rank", "left", "right", pair_count
 FROM read_parquet('{_fixture("docs_bpe_merges")}') ORDER BY "rank"
+""",
+        "docs_hash_embed": f"""
+SELECT doc_id, vec_md5
+FROM read_parquet('{_fixture("docs_hash_embed")}') ORDER BY doc_id
 """,
         "docs_shuffle": """
 SELECT doc_id,

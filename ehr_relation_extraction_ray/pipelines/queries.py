@@ -1845,3 +1845,25 @@ def events_csv_roundtrip(sf_dir: str) -> pd.DataFrame:
 
     out = back.map_batches(digest, batch_format="pyarrow").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def docs_hash_embed(sf_dir: str) -> pd.DataFrame:
+    """Feature-hashing document embeddings (stages/embed, the A6 embedder
+    interface with the shipped deterministic backend): zero-shuffle
+    actor-pool pass, integer hashed counts -> L2-normalized float64.
+    Digest: md5 of the 6dp component string per doc. Oracle: independent
+    serial recompute fixture."""
+    from ..stages import embed
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = embed.embed_documents(docs).to_pandas()
+    out["vec_md5"] = [
+        hashlib.md5(",".join(f"{x:.6f}" for x in v).encode()).hexdigest()
+        for v in out["embedding"]
+    ]
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (
+        out[["doc_id", "vec_md5"]].sort_values("doc_id").reset_index(drop=True)
+    )

@@ -24,6 +24,7 @@ _REGISTRIES: Dict[str, Dict[str, Any]] = {
     "tokenizer": {},
     "detector": {},
     "scorer": {},
+    "embedder": {},
 }
 
 
@@ -80,6 +81,21 @@ def _scispacy_tokenizer(text: str):
     return [t.text for t in _SCISPACY_NLP(text)]
 
 
+def _elmo_embedder(*args, **kwargs):
+    """ELMo embedder slot (SURVEY.md A6; reference ehr.py:486-497
+    set_elmo_embedder). Import-gated: allennlp + the 5.5B ELMo weights are
+    not shipped; the feature contract (texts -> [B, D] float vectors) is
+    the same one stages/embed.HashEmbedder fulfills."""
+    try:
+        from allennlp.commands.elmo import ElmoEmbedder  # noqa: F401
+    except Exception as exc:
+        raise NotImplementedError(
+            "embedder='elmo' needs allennlp + ELMo weights (not shipped in "
+            "this container); use embedder='hash' or register your own"
+        ) from exc
+    raise NotImplementedError("wire ElmoEmbedder weights here")
+
+
 def _register_defaults() -> None:
     from .functions.rescore import SurrogateScorer
     from .functions.tokenize import tokens_of
@@ -95,6 +111,10 @@ def _register_defaults() -> None:
     # model-backed NER cascade (M6-M8 plumbing); pair with HFTokenClassifier
     # for real BioBERT weights or a surrogate logits_fn in tests
     _REGISTRIES["detector"].setdefault("wordpiece", WordpieceNERDetector)
+    from .stages.embed import HashEmbedder
+
+    _REGISTRIES["embedder"].setdefault("hash", HashEmbedder)
+    _REGISTRIES["embedder"].setdefault("elmo", _elmo_embedder)
     _REGISTRIES["scorer"].setdefault("surrogate", SurrogateScorer)
     _REGISTRIES["scorer"].setdefault("biobert-ner", HFTokenClassifier)
     try:  # optional heavy backends (import-gated; absent in this container)

@@ -868,6 +868,32 @@ def serial_semdedup_df(
     )
 
 
+def serial_hash_embed_df(doc_ids: List, texts: List[str], dim: int = 64) -> pd.DataFrame:
+    """Feature-hashing embedding fixture: independent naive recompute of
+    the stages/embed spec — md5-slot/sign per token, integer counts,
+    float64 L2 normalization, 6dp md5 digest."""
+    import hashlib as _hl
+
+    rows = []
+    for did, text in zip(doc_ids, texts):
+        c = [0] * dim
+        for tok in (text or "").lower().split():
+            h = int(_hl.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+            c[h % dim] += 1 if (h >> 8) & 1 else -1
+        arr = np.asarray(c, dtype=np.float64)
+        n = float(np.linalg.norm(arr))
+        v = arr / (n if n else 1.0)
+        rows.append(
+            {
+                "doc_id": int(did),
+                "vec_md5": _hl.md5(
+                    ",".join(f"{x:.6f}" for x in v).encode()
+                ).hexdigest(),
+            }
+        )
+    return pd.DataFrame(rows, columns=["doc_id", "vec_md5"])
+
+
 # -- fixture plumbing (driver oracle_sql support) ----------------------------
 
 # bump when any serial semantics above change, so stale /tmp fixtures from a
@@ -966,6 +992,8 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_brat_digest_df(brat_path(sf_dir))
     if name == "docs_quality":
         return serial_quality_df(*_documents(sf_dir))
+    if name == "docs_hash_embed":
+        return serial_hash_embed_df(*_documents(sf_dir))
     if name == "docs_bpe_merges":
         return serial_bpe_merges_df(*_documents(sf_dir))
     if name == "docs_distinct_tokens":

@@ -327,3 +327,37 @@ def test_bpe_incremental_matches_naive_on_random_corpus():
                     i += 1
             seqs[w] = ns
     assert list(got.itertuples(index=False, name=None)) == expect
+
+
+def test_hash_embedder_deterministic_and_parallelism_invariant():
+    """Feature-hashing embeddings: integer accumulation makes the vector
+    exact and block-structure-invariant; same text -> same vector,
+    zero-text -> zero vector (norm guard), registry slot resolves."""
+    import ray.data
+
+    from ehr_relation_extraction_ray import registry
+    from ehr_relation_extraction_ray.stages.embed import HashEmbedder, embed_documents
+
+    emb = HashEmbedder(dim=32)
+    v1 = emb(["aspirin 325 mg daily", ""])
+    v2 = emb(["aspirin 325 mg daily", ""])
+    np.testing.assert_array_equal(v1, v2)
+    assert abs(np.linalg.norm(v1[0]) - 1.0) < 1e-12
+    np.testing.assert_array_equal(v1[1], np.zeros(32))
+
+    rows = [{"doc_id": i, "text": f"tok{i} aspirin {'x' * (i % 3)}"} for i in range(40)]
+    one = embed_documents(ray.data.from_items(rows)).to_pandas()
+    many = embed_documents(
+        ray.data.from_items(rows, override_num_blocks=13)
+    ).to_pandas()
+    one = one.sort_values("doc_id").reset_index(drop=True)
+    many = many.sort_values("doc_id").reset_index(drop=True)
+    for a, b in zip(one["embedding"], many["embedding"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    assert registry.get("embedder", "hash") is HashEmbedder
+    try:
+        registry.get("embedder", "elmo")()
+        assert False
+    except NotImplementedError:
+        pass
