@@ -63,7 +63,11 @@ def _pad_1(seqs: Sequence[Sequence], pad_tok, max_length: int):
 
 
 def pad_sequences(seqs: Sequence[Sequence], pad_tok, nlevels: int = 1):
-    """Reference ``pad_sequences`` (data_utils.py:312-345), both levels."""
+    """Reference ``pad_sequences`` (data_utils.py:312-345), both levels.
+    An empty batch pads to ([], []) instead of the reference's max() crash
+    — map_batches can legitimately deliver zero rows."""
+    if not seqs:
+        return [], []
     if nlevels == 1:
         max_length = max(len(s) for s in seqs)
         return _pad_1(seqs, pad_tok, max_length)
@@ -89,8 +93,6 @@ class BiLSTMFeaturizer:
     """
 
     def __init__(self, vocab_words_ref, vocab_chars_ref, lowercase: bool = True):
-        import ray
-
         from .broadcast import bget
 
         self.vocab_words = (
@@ -113,6 +115,9 @@ class BiLSTMFeaturizer:
             for row in token_rows
         ]
         cid_rows = [[char_ids(w, self.vocab_chars) for w in row] for row in token_rows]
+        if not token_rows:
+            z = np.zeros((0, 0), dtype=np.int64)
+            return z, np.zeros(0, dtype=np.int64), z[:, :, None], z
         wid_p, seq_len = pad_sequences(wid_rows, 0, nlevels=1)
         cid_p, word_len = pad_sequences(cid_rows, 0, nlevels=2)
         return (

@@ -42,6 +42,9 @@ def viterbi_decode(
         score.append(np.max(m, axis=1))
     out: List[List[int]] = []
     for b in range(B):
+        if lengths[b] <= 0:  # empty sequence: no tags, not a pad backtrace
+            out.append([])
+            continue
         last = int(lengths[b]) - 1
         tag = int(np.argmax(score[last][b] + end))
         tags = [tag]

@@ -894,10 +894,6 @@ def serial_hash_embed_df(doc_ids: List, texts: List[str], dim: int = 64) -> pd.D
     return pd.DataFrame(rows, columns=["doc_id", "vec_md5"])
 
 
-# -- fixture plumbing (driver oracle_sql support) ----------------------------
-
-# bump when any serial semantics above change, so stale /tmp fixtures from a
-# previous code version are never reused
 def serial_bpe_merges_df(
     doc_ids: List, texts: List[str], n_merges: int = 12
 ) -> pd.DataFrame:
@@ -911,7 +907,10 @@ def serial_bpe_merges_df(
 
     wc: Counter = Counter()
     for t in texts:
-        for w in _re.split(r"\s+", (t or "").lower()):
+        # flags=ASCII: the distributed path splits with Arrow RE2, whose \s
+        # is ASCII-only — Python re's default Unicode \s would diverge on
+        # non-breaking spaces etc.
+        for w in _re.split(r"\s+", (t or "").lower(), flags=_re.ASCII):
             if w:
                 wc[w] += 1
     seqs = {w: tuple(w) + ("</w>",) for w in wc}
@@ -946,6 +945,10 @@ def serial_bpe_merges_df(
     )
 
 
+# -- fixture plumbing (driver oracle_sql support) ----------------------------
+
+# bump when any serial semantics above change, so stale /tmp fixtures from a
+# previous code version are never reused
 _FIXTURE_VERSION = 2  # v2: import-free vec_string_hash_64 replaced the polars word hash
 
 

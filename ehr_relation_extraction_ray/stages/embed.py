@@ -23,7 +23,6 @@ import hashlib
 from typing import List
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data
@@ -45,6 +44,8 @@ class HashEmbedder:
         if s is None:
             h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
             s = (h % self.dim, 1 if (h >> 8) & 1 else -1)
+            if len(self._cache) >= 1_000_000:  # bound per-process memory at
+                self._cache.clear()  # web-scale vocabularies (review finding)
             self._cache[tok] = s
         return s
 
@@ -60,6 +61,8 @@ class HashEmbedder:
         return c
 
     def __call__(self, texts: List[str]) -> np.ndarray:
+        if not texts:  # empty block from an upstream filter
+            return np.zeros((0, self.dim), dtype=np.float64)
         m = np.stack([self.counts(t or "") for t in texts]).astype(np.float64)
         n = np.linalg.norm(m, axis=1, keepdims=True)
         n[n == 0] = 1.0
