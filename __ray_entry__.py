@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_merges": q.docs_bpe_merges,
         "docs_shuffle": q.docs_shuffle,
         "docs_hash_embed": q.docs_hash_embed,
+        "docs_lang_centroid": q.docs_lang_centroid,
+        "events_mad": r.events_mad,
         "events_moving_avg": q.events_moving_avg,
         "events_corr": q.events_corr,
         "events_ntile": q.events_ntile,
@@ -934,6 +936,21 @@ FROM read_parquet('{_fixture("docs_bpe_merges")}') ORDER BY "rank"
         "docs_hash_embed": f"""
 SELECT doc_id, vec_md5
 FROM read_parquet('{_fixture("docs_hash_embed")}') ORDER BY doc_id
+""",
+        "docs_lang_centroid": f"""
+SELECT lang, vec_md5
+FROM read_parquet('{_fixture("docs_lang_centroid")}') ORDER BY lang
+""",
+        "events_mad": """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n,
+       round(any_value(med.m), 6) AS median,
+       round(quantile_cont(abs(e.value - med.m), 0.5), 6) AS mad
+FROM events e JOIN med ON e.event_type = med.event_type
+GROUP BY e.event_type ORDER BY e.event_type
 """,
         "docs_shuffle": """
 SELECT doc_id,

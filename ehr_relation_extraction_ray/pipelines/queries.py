@@ -1867,3 +1867,53 @@ def docs_hash_embed(sf_dir: str) -> pd.DataFrame:
     return (
         out[["doc_id", "vec_md5"]].sort_values("doc_id").reset_index(drop=True)
     )
+
+
+def docs_lang_centroid(sf_dir: str) -> pd.DataFrame:
+    """Per-language corpus profile vector: the INTEGER hashed-count
+    vectors of stages/embed summed per lang (exact, order-free — the
+    reason the embedder accumulates ints), normalized once on the
+    driver, digested at 6dp. Combiner shape: one (lang, 64-int vector)
+    partial per block. Oracle: independent serial fixture."""
+    from ..stages.embed import HashEmbedder
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = HashEmbedder()
+        df = pd.DataFrame({"lang": t["lang"].to_pandas()})
+        counts = np.stack([emb.counts(x or "") for x in t["text"].to_pylist()])
+        sums = {}
+        for lang, row in zip(df["lang"], counts):
+            acc = sums.get(lang)
+            sums[lang] = row if acc is None else acc + row
+        langs = sorted(sums)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "vec": pa.array([sums[l].tolist() for l in langs],
+                                pa.list_(pa.int64())),
+            }
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = {}
+    for lang, v in zip(parts["lang"], parts["vec"]):
+        v = np.asarray(v, dtype=np.int64)
+        agg[lang] = v if lang not in agg else agg[lang] + v
+    rows = []
+    for lang in sorted(agg):
+        c = agg[lang].astype(np.float64)
+        n = float(np.linalg.norm(c))
+        v = c / (n if n else 1.0)
+        rows.append(
+            {
+                "lang": lang,
+                "vec_md5": hashlib.md5(
+                    ",".join(f"{x:.6f}" for x in v).encode()
+                ).hexdigest(),
+            }
+        )
+    return pd.DataFrame(rows, columns=["lang", "vec_md5"])

@@ -1461,3 +1461,45 @@ def events_variance_udaf(sf_dir: str) -> pd.DataFrame:
     )
     out = ev.groupby("event_type").aggregate(var).to_pandas()
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_mad(sf_dir: str) -> pd.DataFrame:
+    """Robust statistics per group: median and median-absolute-deviation
+    of value per event_type. Exact medians need the group's values in
+    one place, so this is ONE type-keyed partition pass
+    (groupby_partition, group-closed) with vectorized np.median — the
+    same linear-interpolation convention as quantile_cont, which the
+    oracle spells out instead of DuckDB's mad() (whose tie convention
+    differs). Types are few; at a skewed 100 TB the per-type sample
+    quantile path (events_quantiles_sampled) is the fallback."""
+    from ..functions.partitioning import groupby_partition
+
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"])
+
+    schema = pa.schema(
+        [("event_type", pa.string()), ("n", pa.int64()),
+         ("median", pa.float64()), ("mad", pa.float64())]
+    )
+
+    def stats(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = g["value"].to_numpy(np.float64)
+            med = float(np.median(v))
+            rows.append(
+                {
+                    "event_type": et,
+                    "n": len(v),
+                    "median": round(med, 6),
+                    "mad": round(float(np.median(np.abs(v - med))), 6),
+                }
+            )
+        return pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["event_type", "n", "median", "mad"]),
+            preserve_index=False,
+        ).cast(schema)
+
+    out = groupby_partition(ev, "event_type", stats, schema=schema).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -945,6 +945,37 @@ def serial_bpe_merges_df(
     )
 
 
+def serial_lang_centroid_df(sf_dir: str, dim: int = 64) -> pd.DataFrame:
+    """Per-lang hashed-count centroid fixture: independent recompute —
+    md5-slot/sign per token, integer sums per lang, one normalization."""
+    import hashlib as _hl
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(_os.path.join(sf_dir, "documents.parquet"))
+    sums: dict = {}
+    for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+        c = sums.setdefault(lang, np.zeros(dim, dtype=np.int64))
+        for tok in (text or "").lower().split():
+            h = int(_hl.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+            c[h % dim] += 1 if (h >> 8) & 1 else -1
+    rows = []
+    for lang in sorted(sums):
+        arr = sums[lang].astype(np.float64)
+        n = float(np.linalg.norm(arr))
+        v = arr / (n if n else 1.0)
+        rows.append(
+            {
+                "lang": lang,
+                "vec_md5": _hl.md5(
+                    ",".join(f"{x:.6f}" for x in v).encode()
+                ).hexdigest(),
+            }
+        )
+    return pd.DataFrame(rows, columns=["lang", "vec_md5"])
+
+
 # -- fixture plumbing (driver oracle_sql support) ----------------------------
 
 # bump when any serial semantics above change, so stale /tmp fixtures from a
@@ -995,6 +1026,8 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_brat_digest_df(brat_path(sf_dir))
     if name == "docs_quality":
         return serial_quality_df(*_documents(sf_dir))
+    if name == "docs_lang_centroid":
+        return serial_lang_centroid_df(sf_dir)
     if name == "docs_hash_embed":
         return serial_hash_embed_df(*_documents(sf_dir))
     if name == "docs_bpe_merges":
