@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_embed": q.docs_hash_embed,
         "docs_lang_centroid": q.docs_lang_centroid,
         "events_mad": r.events_mad,
+        "events_top_weekday": r.events_top_weekday,
         "events_moving_avg": q.events_moving_avg,
         "events_corr": q.events_corr,
         "events_ntile": q.events_ntile,
@@ -951,6 +952,19 @@ SELECT e.event_type, count(*) AS n,
        round(quantile_cont(abs(e.value - med.m), 0.5), 6) AS mad
 FROM events e JOIN med ON e.event_type = med.event_type
 GROUP BY e.event_type ORDER BY e.event_type
+""",
+        "events_top_weekday": """
+WITH c AS (
+  SELECT event_type, isodow(ts) AS wd, count(*) AS n
+  FROM events GROUP BY event_type, isodow(ts)
+),
+r AS (
+  SELECT event_type, wd, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY n DESC, wd) AS rk
+  FROM c
+)
+SELECT event_type, CAST(wd AS BIGINT) AS top_wd, n
+FROM r WHERE rk = 1 ORDER BY event_type
 """,
         "docs_shuffle": """
 SELECT doc_id,

@@ -1503,3 +1503,35 @@ def events_mad(sf_dir: str) -> pd.DataFrame:
     out = groupby_partition(ev, "event_type", stats, schema=schema).to_pandas()
     out["n"] = out["n"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_top_weekday(sf_dir: str) -> pd.DataFrame:
+    """Deterministic mode: the busiest ISO weekday per event_type (ties
+    -> smallest weekday — an EXPLICIT convention, unlike SQL mode()'s
+    unspecified tie order). Combiner shape: (type, wd, n) partials per
+    block — 35 rows max — merged and argmaxed on the driver. Oracle:
+    row_number() over (count desc, wd asc)."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "wd": t["ts"].to_pandas().dt.dayofweek + 1,
+            }
+        )
+        g = df.groupby(["event_type", "wd"], sort=False).size().rename("n")
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    fine = parts.groupby(["event_type", "wd"], as_index=False)["n"].sum()
+    fine = fine.sort_values(["event_type", "n", "wd"], ascending=[True, False, True])
+    out = fine.groupby("event_type", as_index=False).head(1)
+    out = out.rename(columns={"wd": "top_wd"})
+    out["top_wd"] = out["top_wd"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return (
+        out[["event_type", "top_wd", "n"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
