@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_shuffle": q.docs_shuffle,
         "docs_hash_embed": q.docs_hash_embed,
         "docs_lang_centroid": q.docs_lang_centroid,
+        "docs_curation_funnel": q.docs_curation_funnel,
         "events_mad": r.events_mad,
         "events_top_weekday": r.events_top_weekday,
         "events_moving_avg": q.events_moving_avg,
@@ -941,6 +942,33 @@ FROM read_parquet('{_fixture("docs_hash_embed")}') ORDER BY doc_id
         "docs_lang_centroid": f"""
 SELECT lang, vec_md5
 FROM read_parquet('{_fixture("docs_lang_centroid")}') ORDER BY lang
+""",
+        "docs_curation_funnel": r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+t AS (SELECT doc_id, len(w) AS n_tokens,
+             len(list_distinct(w)) * 1.0 / len(w) AS ttr
+      FROM words),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i+1])) AS bigram
+  FROM words WHERE len(w) >= 2
+),
+bstats AS (
+  SELECT doc_id, max(c) * 1.0 / sum(c) AS tbf FROM (
+    SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+  ) GROUP BY doc_id
+),
+cls AS (
+  SELECT CASE WHEN n_tokens < 20 THEN 'fail_length'
+              WHEN COALESCE(tbf, 0) > 0.07 THEN 'fail_repetition'
+              WHEN ttr < 0.55 THEN 'fail_diversity'
+              ELSE 'kept' END AS stage
+  FROM t LEFT JOIN bstats USING (doc_id)
+)
+SELECT stage, count(*) AS n FROM cls GROUP BY stage ORDER BY stage
 """,
         "events_mad": """
 WITH med AS (

@@ -1917,3 +1917,59 @@ def docs_lang_centroid(sf_dir: str) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(rows, columns=["lang", "vec_md5"])
+
+
+def docs_curation_funnel(sf_dir: str) -> pd.DataFrame:
+    """Quality-filter APPLY side — the curation funnel: every document is
+    classified by its FIRST failing gate (length -> repetition ->
+    lexical diversity) or kept, and the funnel reports per-stage counts.
+    One zero-shuffle map_batches computes all three metrics vectorized
+    per batch and emits a <=4-row stage-count partial; the driver merges
+    (stages x blocks) rows. Gates: n_tokens >= 20, top_bigram_frac <=
+    0.07, type-token ratio >= 0.55. Oracle: the same gates in SQL (both
+    engines split on RE2 \\s+, so tokenization is bit-identical)."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = pc.fill_null(t["text"], "")
+        keep = np.asarray(pc.utf8_length(pc.utf8_trim_whitespace(texts))) > 0
+        words = pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
+        stages = []
+        for ok, w in zip(keep, words.to_pylist()):
+            if not ok:
+                continue
+            w = [x for x in w if x]
+            n = len(w)
+            if n < 20:
+                stages.append("fail_length")
+                continue
+            if n >= 2:
+                bc = pd.Series(
+                    [a + " " + b for a, b in zip(w, w[1:])]
+                ).value_counts()
+                tbf = float(bc.iloc[0]) / float(bc.sum())
+            else:
+                tbf = 0.0
+            if tbf > 0.07:
+                stages.append("fail_repetition")
+                continue
+            if len(set(w)) / n < 0.55:
+                stages.append("fail_diversity")
+                continue
+            stages.append("kept")
+        vc = pd.Series(stages, dtype=object).value_counts()
+        return pa.table(
+            {
+                "stage": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "n": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("stage", as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("stage").reset_index(drop=True)
