@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_khop": q.kg_khop,
         "kg_edge_spans": q.kg_edge_spans,
         "kg_negative_samples": q.kg_negative_samples,
+        "kg_incremental_edges": q.kg_incremental_edges,
+        "docs_compress_ratio": q.docs_compress_ratio,
         # relational operator core (testdata star schema)
         "agg_lineitem": r.agg_lineitem,
         "join_orders_customer": r.join_orders_customer,
@@ -1226,6 +1228,15 @@ fixed AS (
 SELECT f.doc_id, f.subj, f.pred, f.obj, v2.obj AS neg_obj
 FROM fixed f JOIN vocab v2 ON v2.i = f.idx2
 ORDER BY f.doc_id, f.subj, f.pred, f.obj
+""",
+        "kg_incremental_edges": f"""
+SELECT subj, obj, count(*) AS n
+FROM read_parquet('{_fixture("kg_triples")}')
+GROUP BY subj, obj ORDER BY subj, obj
+""",
+        "docs_compress_ratio": f"""
+SELECT doc_id, compress_ratio
+FROM read_parquet('{_fixture("docs_compress_ratio")}') ORDER BY doc_id
 """,
         "kg_windows": f"""
 SELECT doc_id, n_windows FROM read_parquet('{_fixture("kg_windows")}')

@@ -1973,3 +1973,69 @@ def docs_curation_funnel(sf_dir: str) -> pd.DataFrame:
     out = parts.groupby("stage", as_index=False)["n"].sum()
     out["n"] = out["n"].astype("int64")
     return out.sort_values("stage").reset_index(drop=True)
+
+
+def kg_incremental_edges(sf_dir: str) -> pd.DataFrame:
+    """Incremental graph materialization: split the triple stream by doc
+    parity (yesterday's ingest vs today's), build each split's edge
+    table independently (stages/graph.edge_weights — the mergeable
+    combiner), and fold them with a (subj, obj) sum — proving the edge
+    table a daily job maintains equals the single-pass result. Oracle:
+    one-shot SQL over the full triples fixture."""
+    trip = _triples(sf_dir)
+
+    def parity(keep_even: bool):
+        def f(t: pa.Table) -> pa.Table:
+            last = np.fromiter(
+                (int(d[-1], 36) % 2 == 0 for d in t["doc_id"].to_pylist()),
+                dtype=bool,
+                count=t.num_rows,
+            )
+            return t.filter(pa.array(last if keep_even else ~last))
+
+        return f
+
+    old = graph.edge_weights(trip.map_batches(parity(True), batch_format="pyarrow"))
+    new = graph.edge_weights(trip.map_batches(parity(False), batch_format="pyarrow"))
+    merged = (
+        pd.concat([old, new])
+        .groupby(["subj", "obj"], as_index=False)["n"]
+        .sum()
+    )
+    merged["n"] = merged["n"].astype("int64")
+    return merged.sort_values(["subj", "obj"]).reset_index(drop=True)
+
+
+def docs_compress_ratio(sf_dir: str) -> pd.DataFrame:
+    """Compression-ratio quality signal (zlib level 6, the CCNet /
+    RedPajama-family redundancy heuristic): compressed_len / raw_len per
+    document — low ratios flag templated or repetitive text. Per-string
+    CPU inside map_batches (like the JSON parse and regex NER); output
+    is one small row per doc. Oracle: independent serial zlib recompute
+    fixture (not SQL-expressible)."""
+    import zlib
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def ratios(t: pa.Table) -> pa.Table:
+        texts = [x or "" for x in t["text"].to_pylist()]
+        comp = np.fromiter(
+            (len(zlib.compress(x.encode("utf-8"), 6)) for x in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        raw = np.fromiter(
+            (len(x.encode("utf-8")) for x in texts), dtype=np.int64, count=len(texts)
+        )
+        ratio = np.round(comp / np.maximum(raw, 1), 6)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "compress_ratio": pa.array(ratio),
+            }
+        )
+
+    out = docs.map_batches(ratios, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

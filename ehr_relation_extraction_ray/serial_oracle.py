@@ -976,6 +976,22 @@ def serial_lang_centroid_df(sf_dir: str, dim: int = 64) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["lang", "vec_md5"])
 
 
+def serial_compress_ratio_df(doc_ids: List, texts: List[str]) -> pd.DataFrame:
+    """zlib level-6 compression-ratio fixture (independent recompute)."""
+    import zlib as _z
+
+    rows = []
+    for did, t in zip(doc_ids, texts):
+        b = (t or "").encode("utf-8")
+        rows.append(
+            {
+                "doc_id": int(did),
+                "compress_ratio": round(len(_z.compress(b, 6)) / max(len(b), 1), 6),
+            }
+        )
+    return pd.DataFrame(rows, columns=["doc_id", "compress_ratio"])
+
+
 # -- fixture plumbing (driver oracle_sql support) ----------------------------
 
 # bump when any serial semantics above change, so stale /tmp fixtures from a
@@ -1026,6 +1042,8 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_brat_digest_df(brat_path(sf_dir))
     if name == "docs_quality":
         return serial_quality_df(*_documents(sf_dir))
+    if name == "docs_compress_ratio":
+        return serial_compress_ratio_df(*_documents(sf_dir))
     if name == "docs_lang_centroid":
         return serial_lang_centroid_df(sf_dir)
     if name == "docs_hash_embed":
