@@ -81,15 +81,34 @@ def hash_join(
     cpus = ray.cluster_resources().get("CPU")
     if cpus:
         num_partitions = max(1, min(num_partitions, int(cpus)))
-    return left.join(
-        right,
-        join_type=how,
-        num_partitions=num_partitions,
-        on=tuple(on),
-        right_on=tuple(right_on) if right_on else None,
-        left_suffix=left_suffix,
-        right_suffix=right_suffix,
-    )
+
+    def attempt(n_parts: int) -> "ray.data.Dataset":
+        return left.join(
+            right,
+            join_type=how,
+            num_partitions=n_parts,
+            on=tuple(on),
+            right_on=tuple(right_on) if right_on else None,
+            left_suffix=left_suffix,
+            right_suffix=right_suffix,
+        )
+
+    # Ray 2.49's join aggregator builds an empty partition as a
+    # SCHEMA-LESS arrow table (join.py finalize: ArrowBlockBuilder().build()
+    # when a partition received no blocks for one side), and acero then
+    # dies with KeyError(<key col>). Hit whenever a side has fewer/sparser
+    # keys than partitions (observed at sf0.001: 15 right keys, 8
+    # partitions). The join is an all-to-all barrier anyway, so
+    # materializing here costs nothing extra — and lets us retry the
+    # sparse-key regime with ONE partition, where both sides are
+    # guaranteed non-empty (the global empty-side case is handled by the
+    # callers' _arrow_schema short-circuits, as in semi_join).
+    try:
+        return attempt(num_partitions).materialize()
+    except Exception as exc:  # noqa: BLE001 - match the acero signature only
+        if num_partitions > 1 and "KeyError" in repr(exc):
+            return attempt(1).materialize()
+        raise
 
 
 def semi_join(

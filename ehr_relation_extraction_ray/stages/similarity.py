@@ -239,6 +239,13 @@ def cosine_dup_pairs_exact(
         )
 
     out = vectors.map_batches(pairs, batch_format="pyarrow").to_pandas()
+    if out.empty or "id_a" not in out.columns:
+        # zero pairs: Ray drops empty blocks and to_pandas loses columns
+        return pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")}
+        )
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
