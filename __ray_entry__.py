@@ -49,6 +49,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_spans": q.kg_edge_spans,
         "kg_negative_samples": q.kg_negative_samples,
         "kg_incremental_edges": q.kg_incremental_edges,
+        "kg_cooccurrence": q.kg_cooccurrence,
+        "kg_triangles": q.kg_triangles,
+        "docs_substring_dedup": q.docs_substring_dedup,
         "docs_compress_ratio": q.docs_compress_ratio,
         # relational operator core (testdata star schema)
         "agg_lineitem": r.agg_lineitem,
@@ -212,6 +215,39 @@ SELECT ent_type,
        count(DISTINCT substr(raw, 2, length(raw) - 2)) AS n_surfaces
 FROM m GROUP BY ent_type ORDER BY ent_type
 """
+
+
+def _cooccurrence_cte(tp: str) -> str:
+    """Shared CTE chain for the co-occurrence queries: assembled docs ->
+    per-type regex mentions (same extraction as _mentions_sql) -> distinct
+    (conv_id, "type:surface") -> doc-level pair counts."""
+    from ehr_relation_extraction_ray.lexicon import DEFAULT_LEXICON, fit_patterns
+
+    patterns = fit_patterns(DEFAULT_LEXICON)
+    selects = []
+    for ent_type, pat in patterns.items():
+        tag = f"$p{len(selects)}$"
+        selects.append(
+            f"SELECT conv_id, '{ent_type}' AS ent_type, "
+            f"unnest(regexp_extract_all(text, {tag}{pat}{tag}, 0, 'i')) AS raw "
+            f"FROM docs"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH docs AS (
+  SELECT conv_id, string_agg(COALESCE(text,''), chr(10)||chr(10) ORDER BY turn_idx) AS text
+  FROM read_parquet('{tp}') GROUP BY conv_id
+), m AS ({union}),
+de AS (
+  SELECT DISTINCT conv_id,
+         ent_type || ':' || substr(raw, 2, length(raw) - 2) AS ent
+  FROM m
+),
+p AS (
+  SELECT a.ent AS ent_a, b.ent AS ent_b, count(*) AS n_ab
+  FROM de a JOIN de b ON a.conv_id = b.conv_id AND a.ent < b.ent
+  GROUP BY 1, 2
+)"""
 
 
 def _fixture(name: str) -> str:
@@ -1233,6 +1269,49 @@ ORDER BY f.doc_id, f.subj, f.pred, f.obj
 SELECT subj, obj, count(*) AS n
 FROM read_parquet('{_fixture("kg_triples")}')
 GROUP BY subj, obj ORDER BY subj, obj
+""",
+        "kg_cooccurrence": _cooccurrence_cte(tp) + """
+, ca AS (SELECT ent, count(*) AS c FROM de GROUP BY ent),
+nd AS (SELECT count(DISTINCT conv_id) AS n FROM read_parquet('{tp}'))
+SELECT ent_a, ent_b, n_ab,
+       round(ln(CAST((SELECT n FROM nd) AS DOUBLE) * n_ab / (ca.c * cb.c)), 6) AS pmi
+FROM p
+JOIN ca ON ca.ent = ent_a
+JOIN ca cb ON cb.ent = ent_b
+ORDER BY ent_a, ent_b
+""".replace("{tp}", tp),
+        "kg_triangles": _cooccurrence_cte(tp) + """
+, e0 AS (SELECT ent_a AS a, ent_b AS b FROM p WHERE n_ab >= 2),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+GROUP BY node ORDER BY node
+""",
+        "docs_substring_dedup": r"""
+WITH words AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+                   i -> array_to_string(w[i:i+7], ' '))) AS shingle
+    FROM words WHERE len(w) >= 8)
+),
+multi AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_shingles
+FROM sh JOIN multi USING (shingle)
+GROUP BY doc_id ORDER BY doc_id
 """,
         "docs_compress_ratio": f"""
 SELECT doc_id, compress_ratio

@@ -1196,6 +1196,86 @@ def kg_pagerank(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
+_COOC_MEMO: dict = {}
+
+
+def _cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """Entity co-occurrence pair/single counts (graph.cooccurrence_counts
+    over the memoized mentions), memoized per transcripts path — the PMI
+    and triangle queries share one partition pass."""
+    path = synth.transcripts_path(sf_dir)
+    out = _COOC_MEMO.get(path)
+    if out is None:
+        out = graph.cooccurrence_counts(_mentions(sf_dir))
+        _COOC_MEMO[path] = out
+    return out
+
+
+def kg_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """Document-level entity co-occurrence PMI edges — the classic KG
+    edge-weighting signal (pre-canonicalization association strength).
+    Distributed shape: one doc_id-keyed partition pass emits vocabulary-
+    bounded pair + doc-frequency partials; the driver computes PMI over
+    the dimension-sized merge (playbook driver-partial-merge). Oracle:
+    the same regex-mention CTE as kg_mentions, self-joined per doc."""
+    counts = _cooccurrence(sf_dir)
+    n_docs = _docs(sf_dir).count()
+    singles = (
+        counts[~counts["is_pair"]].set_index("ent_a")["n"].to_dict()
+    )
+    pairs = counts[counts["is_pair"]].copy()
+    if pairs.empty:
+        return pd.DataFrame(
+            {"ent_a": pd.Series([], dtype=str), "ent_b": pd.Series([], dtype=str),
+             "n_ab": pd.Series([], dtype="int64"),
+             "pmi": pd.Series([], dtype="float64")}
+        )
+    ca = pairs["ent_a"].map(singles).to_numpy(dtype="float64")
+    cb = pairs["ent_b"].map(singles).to_numpy(dtype="float64")
+    n_ab = pairs["n"].to_numpy(dtype="int64")
+    pmi = np.round(np.log(float(n_docs) * n_ab / (ca * cb)), 6)
+    out = pd.DataFrame(
+        {"ent_a": pairs["ent_a"].to_numpy(), "ent_b": pairs["ent_b"].to_numpy(),
+         "n_ab": n_ab, "pmi": pmi}
+    )
+    return out.sort_values(["ent_a", "ent_b"]).reset_index(drop=True)
+
+
+def kg_triangles(sf_dir: str) -> pd.DataFrame:
+    """Per-node triangle counts over the entity co-occurrence graph
+    (edges = entity pairs co-occurring in >= 2 documents; the triple
+    graph itself is drug->attribute bipartite, hence triangle-free).
+    Edge set is ontology-bounded, so the triangle enumeration is driver
+    math over the distributed partials, like pagerank. Oracle: three-way
+    self-join with a < b < c over the same co-occurrence CTE."""
+    counts = _cooccurrence(sf_dir)
+    pairs = counts[counts["is_pair"] & (counts["n"] >= 2)]
+    return graph.triangles(pairs, a_col="ent_a", b_col="ent_b")
+
+
+def docs_substring_dedup(sf_dir: str) -> pd.DataFrame:
+    """Per-document duplicated-substring exposure: distinct 8-word
+    shingles shared with >= 1 other document (Lee et al. 2022 exact
+    substring dedup, fixed-window form — see dedupe.dup_shingle_partials
+    for the distributed shape). Digest merges the partition partials on
+    the driver; the write path would finish with groupby(doc_id) in Ray."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    parts = dedupe.dup_shingle_partials(docs, k=8).to_pandas()
+    if parts.empty or "doc_id" not in parts.columns:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=str),
+             "n_dup_shingles": pd.Series([], dtype="int64")}
+        )
+    out = (
+        parts.groupby("doc_id", as_index=False)["n"].sum()
+        .rename(columns={"n": "n_dup_shingles"})
+        .astype({"doc_id": str, "n_dup_shingles": "int64"})
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_budget_per_lang(sf_dir: str) -> pd.DataFrame:
     """Per-source token-budget curation: within each language, keep the
     largest documents (n_chars desc, doc_id tiebreak) until 60% of that

@@ -1251,3 +1251,71 @@ def minhash_lsh_cross_pairs(
             batch_format="pyarrow",
         )
     )
+
+
+def dup_shingle_partials(
+    docs: "ray.data.Dataset",
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Exact duplicated-substring detection at word granularity (the
+    suffix-array dedup of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", restricted to fixed-length k-word
+    windows so it distributes as a hash partition instead of a global
+    suffix sort): for every document, how many of its distinct k-word
+    shingles also occur in at least one OTHER document.
+
+    Phase 1 (map_batches, streaming): per doc, distinct shingles of
+    ``lower(text).split()`` keyed by the full 128-bit md5 of the shingle
+    string — 128 bits, not a 64-bit fold, because a collision would
+    silently inflate a count on a path labeled "exact" (ADVICE round 1
+    on exact_dedup). Phase 2 (one hash-partition pass on the digest):
+    shingles seen by >= 2 distinct docs credit each member doc once;
+    per-partition per-doc sums are emitted as partials.
+
+    Returns the partial Dataset (doc_id, n). Each partition emits at most
+    its member-doc count, so the stream is bounded by ~num_partitions x
+    n_docs rows; finish with groupby(doc_id).sum() in Ray on the write
+    path, or a driver merge when consuming the digest (the query does the
+    latter). Docs with < k words contribute nothing.
+    """
+    import hashlib
+
+    from ..functions.partitioning import groupby_partition
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for did, txt in zip(
+            (str(x) for x in t[id_col].to_pylist()), t[text_col].to_pylist()
+        ):
+            w = (txt or "").lower().split()
+            if len(w) < k:
+                continue
+            seen = {
+                hashlib.md5(" ".join(w[i : i + k]).encode()).digest()
+                for i in range(len(w) - k + 1)
+            }
+            ids.extend([did] * len(seen))
+            hashes.extend(seen)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.string()),
+                "h": pa.array(hashes, pa.binary(16)),
+            }
+        )
+
+    pairs = docs.map_batches(explode, batch_format="pyarrow")
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        g = t.group_by("h", use_threads=False).aggregate([(id_col, "count")])
+        multi = g.filter(pc.greater_equal(g[f"{id_col}_count"], 2))["h"]
+        hit = t.filter(pc.is_in(t["h"], value_set=multi.combine_chunks()))
+        out = hit.group_by(id_col, use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns([id_col, "n"])
+
+    schema = pa.schema([(id_col, pa.string()), ("n", pa.int64())])
+    return groupby_partition(
+        pairs, "h", per_partition, num_partitions=num_partitions, schema=schema
+    )

@@ -287,3 +287,116 @@ def khop(triples: "ray.data.Dataset", k: int = 3) -> pd.DataFrame:
         {"node": list(dist.keys()), "hop": pd.Series(list(dist.values()), dtype="int64")}
     )
     return out.sort_values("node").reset_index(drop=True)
+
+
+def triangles(edges: pd.DataFrame, a_col: str = "ent_a", b_col: str = "ent_b") -> pd.DataFrame:
+    """Per-node triangle participation counts over an undirected edge list.
+
+    Driver math over a dimension-bounded edge set (the co-occurrence
+    graph's node space is the closed ontology's surface vocabulary — the
+    same justification as :func:`edge_weights`/:func:`pagerank`): edges
+    are canonicalized to (min, max) pairs, each edge (a, b) contributes
+    one triangle count to every common neighbor c of a and b, so each
+    triangle {x, y, z} is credited exactly once to each of its three
+    vertices (the opposite-vertex identity). Matches a three-way
+    self-join SQL enumeration with a < b < c.
+
+    Returns (node, n_triangles) for nodes in >= 1 triangle, node-sorted.
+    """
+    und = set()
+    for a, b in zip(edges[a_col], edges[b_col]):
+        if a != b:
+            und.add((a, b) if a < b else (b, a))
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts: dict = {}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            counts[c] = counts.get(c, 0) + 1
+    if not counts:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=str),
+             "n_triangles": pd.Series([], dtype="int64")}
+        )
+    out = pd.DataFrame(
+        {"node": list(counts.keys()),
+         "n_triangles": pd.Series(list(counts.values()), dtype="int64")}
+    )
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def cooccurrence_counts(ment: "ray.data.Dataset") -> pd.DataFrame:
+    """Document-level entity co-occurrence counts from a mentions Dataset.
+
+    One hash-partition pass keyed on doc_id (groupby_partition: a doc's
+    mentions land wholly in one partition regardless of how upstream
+    blocks split), emitting per-partition partials for BOTH the pair
+    counts (docs containing entity a AND b) and the single counts (docs
+    containing entity e) — each bounded by the closed ontology's surface
+    vocabulary squared, NOT by corpus size, so the driver merge is
+    dimension-sized (playbook driver-partial-merge, same shape as
+    edge_weights). Entities are "ent_type:surface" strings.
+
+    Returns one frame with is_pair=True rows (ent_a < ent_b, n = co-doc
+    count) and is_pair=False rows (ent_b = "", n = doc frequency).
+    """
+    import numpy as np
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        de = pd.DataFrame(
+            {"doc_id": df["doc_id"], "ent": df["ent_type"] + ":" + df["text"]}
+        ).drop_duplicates()
+        sing = de.groupby("ent").size()
+        a_parts, b_parts = [], []
+        for _, grp in de.groupby("doc_id", sort=False):
+            es = np.sort(grp["ent"].to_numpy())
+            if len(es) > 1:
+                ii, jj = np.triu_indices(len(es), k=1)
+                a_parts.append(es[ii])
+                b_parts.append(es[jj])
+        if a_parts:
+            pairs = (
+                pd.DataFrame(
+                    {"ent_a": np.concatenate(a_parts),
+                     "ent_b": np.concatenate(b_parts)}
+                )
+                .groupby(["ent_a", "ent_b"])
+                .size()
+                .reset_index(name="n")
+            )
+            pairs["is_pair"] = True
+        else:
+            pairs = pd.DataFrame(
+                {"ent_a": pd.Series([], dtype=str),
+                 "ent_b": pd.Series([], dtype=str),
+                 "n": pd.Series([], dtype="int64"),
+                 "is_pair": pd.Series([], dtype=bool)}
+            )
+        singles = pd.DataFrame(
+            {"ent_a": sing.index, "ent_b": "", "n": sing.to_numpy(),
+             "is_pair": False}
+        )
+        out = pd.concat([pairs, singles], ignore_index=True)
+        return out.astype({"ent_a": str, "ent_b": str, "n": "int64", "is_pair": bool})
+
+    schema = pa.schema(
+        [("ent_a", pa.string()), ("ent_b", pa.string()),
+         ("n", pa.int64()), ("is_pair", pa.bool_())]
+    )
+    parts = groupby_partition(
+        ment, "doc_id", partial, batch_format="pandas", schema=schema
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"ent_a": pd.Series([], dtype=str), "ent_b": pd.Series([], dtype=str),
+             "n": pd.Series([], dtype="int64"), "is_pair": pd.Series([], dtype=bool)}
+        )
+    out = (
+        parts.groupby(["ent_a", "ent_b", "is_pair"], as_index=False)["n"].sum()
+        .sort_values(["is_pair", "ent_a", "ent_b"])
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
