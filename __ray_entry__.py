@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental_edges": q.kg_incremental_edges,
         "kg_cooccurrence": q.kg_cooccurrence,
         "kg_triangles": q.kg_triangles,
+        "kg_entity_components": q.kg_entity_components,
         "docs_substring_dedup": q.docs_substring_dedup,
         "docs_compress_ratio": q.docs_compress_ratio,
         # relational operator core (testdata star schema)
@@ -133,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_pairs": q.docs_simhash_pairs,
         "embeddings_topk": q.embeddings_topk,
         "embeddings_ivf_topk": q.embeddings_ivf_topk,
+        "embeddings_pq_topk": q.embeddings_pq_topk,
         "embeddings_cluster_sizes": q.embeddings_cluster_sizes,
         "embeddings_semdedup": q.embeddings_semdedup,
         "embeddings_pca": q.embeddings_pca,
@@ -1296,6 +1298,25 @@ FROM (
 )
 GROUP BY node ORDER BY node
 """,
+        "kg_entity_components": _cooccurrence_cte(tp).replace(
+            "WITH docs", "WITH RECURSIVE docs"
+        ) + """
+, e0 AS (SELECT ent_a, ent_b FROM p WHERE n_ab >= 2),
+edges AS (SELECT ent_a AS u, ent_b AS v FROM e0
+          UNION ALL SELECT ent_b, ent_a FROM e0),
+reach(node, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.node = e.v
+),
+labels AS (SELECT node AS ent, min(lab) AS component_id
+           FROM reach GROUP BY node)
+SELECT l.ent, l.component_id, CAST(c.n AS BIGINT) AS component_size
+FROM labels l
+JOIN (SELECT component_id, count(*) AS n FROM labels GROUP BY component_id) c
+  USING (component_id)
+ORDER BY ent
+""",
         "docs_substring_dedup": r"""
 WITH words AS (
   SELECT doc_id::VARCHAR AS doc_id,
@@ -1341,6 +1362,10 @@ FROM read_parquet('{_fixture("docs_simhash_pairs")}') ORDER BY doc_a, doc_b
         "embeddings_ivf_topk": f"""
 SELECT query_id, vec_id, rank
 FROM read_parquet('{_fixture("embeddings_ivf_topk")}') ORDER BY query_id, rank
+""",
+        "embeddings_pq_topk": f"""
+SELECT query_id, vec_id, rank
+FROM read_parquet('{_fixture("embeddings_pq_topk")}') ORDER BY query_id, rank
 """,
         "embeddings_pca": f"""
 SELECT dim, loading, eigval, var_ratio

@@ -573,6 +573,26 @@ def embeddings_ivf_topk(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def embeddings_pq_topk(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ADC top-k (the memory-scale ANN path: 64-dim
+    float vectors compress to 8 uint8 codes, so a 100 TB corpus's index
+    fits ~32x less RAM; codebooks are the broadcast-small model state).
+    Hash oracle: independent serial PQ recompute (full-corpus ADC + one
+    global sort, no partial-top-k merge)."""
+    from ..stages import similarity
+
+    vecs = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    books = similarity.train_pq_codebooks(vecs, m_sub=8, ksub=16)
+    qdf = vecs.filter(expr="vec_id <= 2").to_pandas().sort_values("vec_id")
+    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    out = similarity.pq_topk(
+        vecs, books, queries, query_ids=qdf["vec_id"].to_numpy(), k=5
+    )
+    return out[["query_id", "vec_id", "rank"]].astype("int64").sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+
+
 def media_path(sf_dir: str) -> str:
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     out_dir = f"/tmp/graft_media/sf{sf}"
@@ -1251,6 +1271,35 @@ def kg_triangles(sf_dir: str) -> pd.DataFrame:
     counts = _cooccurrence(sf_dir)
     pairs = counts[counts["is_pair"] & (counts["n"] >= 2)]
     return graph.triangles(pairs, a_col="ent_a", b_col="ent_b")
+
+
+def kg_entity_components(sf_dir: str) -> pd.DataFrame:
+    """Connected components of the entity co-occurrence graph (edges =
+    pairs co-occurring in >= 2 docs), via the DISTRIBUTED label-propagation
+    union-find (stages/clusters.dup_clusters) — here the closed ontology
+    makes the edge list small, but an open-vocabulary KG at 10^12 turns
+    has a corpus-scale edge list, which is exactly what dup_clusters
+    partitions; the query exercises that path on KG data. Oracle:
+    recursive-CTE transitive closure over the same co-occurrence CTE."""
+    counts = _cooccurrence(sf_dir)
+    pairs = counts[counts["is_pair"] & (counts["n"] >= 2)][["ent_a", "ent_b"]]
+    if pairs.empty:
+        return pd.DataFrame(
+            {"ent": pd.Series([], dtype=str),
+             "component_id": pd.Series([], dtype=str),
+             "component_size": pd.Series([], dtype="int64")}
+        )
+    ds = ray.data.from_pandas(
+        pairs.rename(columns={"ent_a": "doc_a", "ent_b": "doc_b"})
+        .reset_index(drop=True)
+    )
+    out = clusters.dup_clusters(ds, with_sizes=True).to_pandas()
+    out = out.rename(
+        columns={"doc_id": "ent", "cluster_id": "component_id",
+                 "cluster_size": "component_size"}
+    )
+    out["component_size"] = out["component_size"].astype("int64")
+    return out.sort_values("ent").reset_index(drop=True)
 
 
 def docs_substring_dedup(sf_dir: str) -> pd.DataFrame:

@@ -1074,6 +1074,11 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
         emb = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()])
         return serial_ivf_cluster_sizes_df(emb)
+    if name == "embeddings_pq_topk":
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        vec_ids = np.asarray(t["vec_id"])
+        emb = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()])
+        return serial_pq_topk_df(vec_ids, emb, [0, 1, 2])
     raise KeyError(name)
 
 
@@ -1131,3 +1136,66 @@ def serial_pagerank_df(docs: Dict[str, str]) -> pd.DataFrame:
     )
     edges["n"] = edges["n"].astype("int64")
     return pagerank(edges).sort_values("node").reset_index(drop=True)
+
+
+def serial_pq_topk_df(
+    vec_ids: np.ndarray,
+    embeddings: np.ndarray,
+    query_positions,
+    k: int = 5,
+    m_sub: int = 8,
+    ksub: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 13,
+) -> pd.DataFrame:
+    """Product-quantization ADC fixture: the same deterministic per-
+    subspace k-means spec as stages/similarity.train_pq_codebooks re-run
+    serially, then FULL-corpus ADC scoring and one global sort per query
+    (no Ray, no batch partial-top-k merge) — independent of the engine's
+    local-topk/merge path, same total order (score desc, vec_id asc)."""
+
+    def norm(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    m64 = norm(embeddings.astype(np.float64))
+    dim = m64.shape[1]
+    dsub = dim // m_sub
+    sample = m64[:sample_size]
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_sub, ksub, dsub), dtype=np.float64)
+    for j in range(m_sub):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        cb = sub[rng.choice(len(sub), size=min(ksub, len(sub)), replace=False)].copy()
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(len(cb)):
+                members = sub[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books[j, : len(cb)] = cb
+        if len(cb) < ksub:
+            books[j, len(cb) :] = cb[-1]
+
+    rows = []
+    for qpos in query_positions:
+        q = m64[vec_ids == qpos][0]
+        scores = np.zeros(len(m64), dtype=np.float64)
+        for j in range(m_sub):
+            sub = m64[:, j * dsub : (j + 1) * dsub]
+            d = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes = np.argmin(d, axis=1)
+            lut = books[j] @ q[j * dsub : (j + 1) * dsub]
+            scores += lut[codes]
+        order = np.lexsort((vec_ids, -scores))[:k]
+        for rank, idx in enumerate(order, start=1):
+            rows.append({"query_id": qpos, "vec_id": int(vec_ids[idx]), "rank": rank})
+    return (
+        pd.DataFrame(rows, columns=["query_id", "vec_id", "rank"])
+        .astype("int64")
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )

@@ -691,3 +691,134 @@ def semdedup_pairs(
              "cos": pd.Series([], dtype="float64")}
         )
     return pairs.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def train_pq_codebooks(
+    vectors: "ray.data.Dataset",
+    m_sub: int = 8,
+    ksub: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 13,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the (normalized) vector
+    space is split into ``m_sub`` contiguous subspaces and each gets its
+    own ``ksub``-word Euclidean k-means codebook, trained on a driver-side
+    sample — the codebooks are m_sub x ksub x dsub floats (kilobytes), the
+    canonical broadcast-small model state. One rng seeded once; its state
+    advances across subspaces, so the whole training is deterministic.
+
+    Returns float64 array of shape (m_sub, ksub, dsub).
+    """
+    sample = vectors.limit(sample_size).to_pandas()
+    m = _normalize(
+        np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    )
+    dim = m.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_sub, ksub, dsub), dtype=np.float64)
+    for j in range(m_sub):
+        sub = m[:, j * dsub : (j + 1) * dsub]
+        cb = sub[rng.choice(len(sub), size=min(ksub, len(sub)), replace=False)].copy()
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(len(cb)):
+                members = sub[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books[j, : len(cb)] = cb
+        if len(cb) < ksub:  # tiny sample: repeat last codeword
+            books[j, len(cb) :] = cb[-1]
+    return books
+
+
+def pq_encode_scores(
+    m: np.ndarray, books: np.ndarray, queries: np.ndarray
+) -> np.ndarray:
+    """ADC scoring for one batch: encode rows of ``m`` to per-subspace
+    codes (argmin Euclidean), then score = sum over subspaces of the
+    query/codeword partial dot products — a LUT gather, no full matmul.
+    Returns (len(m), len(queries)) float64 scores."""
+    m_sub, ksub, dsub = books.shape
+    scores = np.zeros((len(m), len(queries)), dtype=np.float64)
+    for j in range(m_sub):
+        sub = m[:, j * dsub : (j + 1) * dsub]
+        d = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes = np.argmin(d, axis=1)  # (batch,)
+        lut = books[j] @ queries[:, j * dsub : (j + 1) * dsub].T  # (ksub, nq)
+        scores += lut[codes]
+    return scores
+
+
+def pq_topk(
+    vectors: "ray.data.Dataset",
+    books: np.ndarray,
+    queries: np.ndarray,
+    query_ids: Optional[np.ndarray] = None,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """PQ-ADC approximate top-k: codebooks ``ray.put`` once, every batch
+    encodes + scores with the LUT gather and emits its local top-k, the
+    driver merges the (blocks x k x nq)-bounded partials. Quantization
+    makes score TIES likely (identical codes => identical scores), so the
+    ordering is the total order (score desc, vec_id asc) at BOTH the
+    local and merge steps — block-split invariant by construction.
+
+    Returns (query_id, vec_id, score, rank), k rows per query.
+    """
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    b_ref = ray.put(np.asarray(books, dtype=np.float64))
+    if query_ids is None:
+        query_ids = np.arange(len(qn))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        from ..functions.broadcast import bget
+
+        bks = bget(b_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        sims = pq_encode_scores(m, bks, qn)  # (batch, nq)
+        ids = np.asarray(batch[id_col])
+        kk = min(k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qn.shape[0]):
+            order = np.lexsort((ids, -sims[:, qi]))[:kk]
+            out_q.extend([qi] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_s.extend(sims[order, qi].astype(np.float64).tolist())
+        return pa.table(
+            {
+                "query_pos": pa.array(out_q, pa.int32()),
+                id_col: pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = vectors.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out = []
+    for qi, sub in partials.groupby("query_pos"):
+        ids = sub[id_col].to_numpy()
+        scores = sub["score"].to_numpy()
+        order = np.lexsort((ids, -scores))[:k]
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": query_ids[qi],
+                    id_col: ids[order],
+                    "score": scores[order],
+                    "rank": np.arange(1, len(order) + 1),
+                }
+            )
+        )
+    return (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame(columns=["query_id", id_col, "score", "rank"])
+    )
