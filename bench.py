@@ -114,6 +114,9 @@ def _run_bench() -> dict:
             "docs_bpe_merges": lambda: q.docs_bpe_merges(sf_dir),
             "embeddings_semdedup": lambda: q.embeddings_semdedup(sf_dir),
             "docs_shuffle": lambda: q.docs_shuffle(sf_dir),
+            "kg_cooccurrence": lambda: q.kg_cooccurrence(sf_dir),
+            "docs_substring_dedup": lambda: q.docs_substring_dedup(sf_dir),
+            "embeddings_pq_topk": lambda: q.embeddings_pq_topk(sf_dir),
         }.items():
             # two timed runs, report the min (this VM shows intermittent
             # multi-second host-noise stalls; raw runs kept for honesty)
@@ -126,6 +129,7 @@ def _run_bench() -> dict:
                 q._DOCS_MEMO.clear()
                 q._MENTIONS_MEMO.clear()
                 q._TRIPLES_MEMO.clear()
+                q._COOC_MEMO.clear()
                 t0 = time.time()
                 fn()
                 runs_q.append(round(time.time() - t0, 3))
