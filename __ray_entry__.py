@@ -152,6 +152,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ade_ingest": q.ade_ingest,
         "brat_ingest": q.brat_ingest,
         "kg_eval_invariance": q.kg_eval_invariance,
+        "docs_bm25": q.docs_bm25,
+        "docs_typo_pairs": q.docs_typo_pairs,
+        "kg_node_similarity": q.kg_node_similarity,
+        "docs_snapshot_diff": q.docs_snapshot_diff,
     }
 
 
@@ -1431,6 +1435,96 @@ ORDER BY ent_type, link_method
         "brat_ingest": f"""
 SELECT kind, span_chars, n FROM read_parquet('{_fixture("brat_ingest")}')
 ORDER BY kind
+""",
+        "docs_bm25": r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents)
+  WHERE length(tok) > 0
+),
+dl AS (
+  SELECT d.doc_id, COALESCE(t.c, 0) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY doc_id) t
+    USING (doc_id)
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+q(term) AS (VALUES ('spark'), ('window'), ('join')),
+tf AS (
+  SELECT t.doc_id, t.tok AS term, count(*) AS tf
+  FROM toks t JOIN q ON t.tok = q.term GROUP BY t.doc_id, t.tok
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+""",
+        "docs_typo_pairs": r"""
+WITH toks AS (
+  SELECT DISTINCT tok FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents)
+  WHERE regexp_matches(tok, '^[a-z]{3,}$')
+)
+SELECT a.tok AS tok_a, b.tok AS tok_b,
+       CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS d
+FROM toks a JOIN toks b ON a.tok < b.tok
+WHERE abs(length(a.tok) - length(b.tok)) <= 2
+  AND levenshtein(a.tok, b.tok) <= 2
+ORDER BY tok_a, tok_b
+""",
+        "kg_node_similarity": _cooccurrence_cte(tp) + """
+, e0 AS (SELECT ent_a, ent_b FROM p WHERE n_ab >= 2),
+und AS (SELECT ent_a AS a, ent_b AS b FROM e0
+        UNION SELECT ent_b, ent_a FROM e0),
+deg AS (SELECT a, count(*) AS dg FROM und GROUP BY a),
+wedge AS (
+  SELECT u1.a AS x, u2.a AS y, count(*) AS c
+  FROM und u1 JOIN und u2 ON u1.b = u2.b AND u1.a < u2.a
+  GROUP BY u1.a, u2.a
+)
+SELECT x AS ent_a, y AS ent_b,
+       round(c * 1.0 / (dx.dg + dy.dg - c), 6) AS jaccard
+FROM wedge
+JOIN deg dx ON dx.a = x
+JOIN deg dy ON dy.a = y
+WHERE c * 1.0 / (dx.dg + dy.dg - c) >= 0.25
+ORDER BY ent_a, ent_b
+""",
+        "docs_snapshot_diff": """
+WITH base AS (
+  SELECT doc_id, text, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS c
+  FROM documents
+),
+a AS (SELECT doc_id, md5(text) AS h FROM base),
+b AS (
+  SELECT doc_id,
+         CASE WHEN c IN ('1', '2') THEN md5(text || ' v2')
+              ELSE md5(text) END AS h
+  FROM base WHERE c <> '0'
+  UNION ALL
+  SELECT doc_id + 10000000, md5('new doc ' || CAST(doc_id AS VARCHAR))
+  FROM base WHERE c = '3'
+),
+j AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.h AS ha, b.h AS hb
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT doc_id,
+       CASE WHEN ha IS NULL THEN 'added'
+            WHEN hb IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM j
+WHERE ha IS NULL OR hb IS NULL OR ha <> hb
+ORDER BY doc_id
 """,
         # still rows-only (no oracle): kg_eval_invariance (P/R/F1
         # invariance harness — the checked property is that two pipeline

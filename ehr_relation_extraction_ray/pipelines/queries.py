@@ -26,6 +26,7 @@ from ..stages import (
     canonicalize,
     clusters,
     dedupe,
+    diff,
     graph,
     mentions as mentions_stage,
     multimodal,
@@ -2167,4 +2168,100 @@ def docs_compress_ratio(sf_dir: str) -> pd.DataFrame:
         )
 
     out = docs.map_batches(ratios, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_bm25(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-10 for a fixed 3-term query — two streamed passes
+    (block-partial corpus stats, then broadcast-constant scoring with
+    composite-key block top-k partials); see text_analysis.bm25_topk."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = text_analysis.bm25_topk(docs, ["spark", "window", "join"], k=10)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def docs_typo_pairs(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary variant pairs at Levenshtein <= 2 via SymSpell
+    symmetric-delete blocking + banded-DP verify (dedupe.typo_pairs);
+    oracle is the exhaustive levenshtein self-join, equal because the
+    delete-neighborhood blocking has recall 1 by construction."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    out = dedupe.typo_pairs(docs, max_d=2, min_len=3).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"tok_a": pd.Series([], dtype=str),
+             "tok_b": pd.Series([], dtype=str),
+             "d": pd.Series([], dtype="int64")}
+        )
+    return out.sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
+
+
+def kg_node_similarity(sf_dir: str) -> pd.DataFrame:
+    """Neighbor-set Jaccard similarity over the entity co-occurrence
+    graph (edges = pairs co-occurring in >= 2 docs) — the link-prediction
+    companion to kg_triangles, via the distributed wedge enumeration in
+    graph.neighbor_jaccard."""
+    counts = _cooccurrence(sf_dir)
+    pairs = counts[counts["is_pair"] & (counts["n"] >= 2)][["ent_a", "ent_b"]]
+    if pairs.empty:
+        return pd.DataFrame(
+            {"ent_a": pd.Series([], dtype=str),
+             "ent_b": pd.Series([], dtype=str),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+    ds = ray.data.from_pandas(pairs.reset_index(drop=True))
+    return graph.neighbor_jaccard(ds, min_jaccard=0.25)
+
+
+def docs_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """CDC snapshot diff (stages/diff.snapshot_diff): snapshot B is a
+    deterministic mutation of the documents table keyed on
+    md5(doc_id)[0] — '0' rows dropped, '1'/'2' rows edited, '3' rows
+    cloned as new ids — and the diff classifies added/removed/changed
+    from (key, digest) projections only."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def project_a(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].cast(pa.int64())
+        hs = [hashlib.md5((x or "").encode("utf-8")).hexdigest()
+              for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": ids, "h": pa.array(hs, pa.string())})
+
+    def project_b(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].cast(pa.int64()).to_pylist()
+        texts = [x or "" for x in t["text"].to_pylist()]
+        out_ids, out_h = [], []
+        for i, txt in zip(ids, texts):
+            c = hashlib.md5(str(i).encode()).hexdigest()[0]
+            if c == "0":
+                continue
+            body = txt + " v2" if c in ("1", "2") else txt
+            out_ids.append(i)
+            out_h.append(hashlib.md5(body.encode("utf-8")).hexdigest())
+            if c == "3":
+                out_ids.append(i + 10_000_000)
+                out_h.append(
+                    hashlib.md5(("new doc " + str(i)).encode("utf-8")).hexdigest()
+                )
+        return pa.table(
+            {"doc_id": pa.array(out_ids, pa.int64()),
+             "h": pa.array(out_h, pa.string())}
+        )
+
+    a = docs.map_batches(project_a, batch_format="pyarrow")
+    b = docs.map_batches(project_b, batch_format="pyarrow")
+    out = diff.snapshot_diff(a, b, key_col="doc_id", cmp_col="h").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "change": pd.Series([], dtype=str)}
+        )
+    out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)

@@ -1319,3 +1319,173 @@ def dup_shingle_partials(
     return groupby_partition(
         pairs, "h", per_partition, num_partitions=num_partitions, schema=schema
     )
+
+
+# -- SymSpell typo pairs -----------------------------------------------------
+
+
+def lev_leq(a: str, b: str, d: int):
+    """Banded Levenshtein: the distance if <= d, else None.
+
+    Classic Ukkonen band — O(len(a) * (2d+1)) cells instead of the full
+    O(len(a)*len(b)) grid; exact for distances within the band."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > d:
+        return None
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    inf = d + 1
+    prev = list(range(min(lb, d) + 1)) + [inf] * max(0, lb - d)
+    for i in range(1, la + 1):
+        lo = max(1, i - d)
+        hi = min(lb, i + d)
+        cur = [inf] * (lb + 1)
+        cur[0] = i if i <= d else inf
+        ca = a[i - 1]
+        for j in range(lo, hi + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        if min(cur[lo:hi + 1]) > d:
+            return None
+        prev = cur
+    return prev[lb] if prev[lb] <= d else None
+
+
+def delete_variants(tok: str, depth: int) -> set:
+    """All strings reachable from ``tok`` by deleting up to ``depth``
+    characters (including ``tok`` itself) — the SymSpell key set."""
+    out = {tok}
+    frontier = {tok}
+    for _ in range(depth):
+        nxt = set()
+        for w in frontier:
+            for i in range(len(w)):
+                nxt.add(w[:i] + w[i + 1:])
+        frontier = nxt - out
+        out |= nxt
+    return out
+
+
+def typo_pairs(
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    max_d: int = 2,
+    min_len: int = 3,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Vocabulary typo/variant pairs at Levenshtein distance <= ``max_d``
+    via SymSpell symmetric-delete blocking (Garbe's public algorithm:
+    dist(a,b) <= d implies the depth-d delete-neighborhoods intersect —
+    delete the edited positions from both sides), then a banded-DP verify.
+
+    Scale shape — never all-pairs:
+    1. vocabulary: per-block unique partial -> hash-partition distinct
+       (vocab rows shuffle once, corpus text never does);
+    2. each vocab token fans out to its O(len^max_d) delete variants;
+       candidate pairs form inside variant-keyed partitions only;
+    3. pair-keyed partition distinct, then the O(len) banded verify.
+    A degenerate hot variant (e.g. '' from 1-char tokens — excluded by
+    ``min_len``) would square inside its bucket; min_len >= max_d + 1
+    keeps every bucket's fan-in at vocabulary-typo scale.
+
+    Returns a Dataset (tok_a, tok_b, d) with tok_a < tok_b.
+    """
+    import pandas as pd
+
+    from ..functions.partitioning import groupby_partition
+
+    tok_pat = r"^[a-z]{%d,}$" % min_len
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
+        )
+        keep = pc.match_substring_regex(flat, tok_pat)
+        return pa.table({"tok": pc.unique(pc.filter(flat, keep))})
+
+    vocab = docs.map_batches(vocab_partial, batch_format="pyarrow")
+    tok_schema = pa.schema([("tok", pa.string())])
+    vocab = groupby_partition(
+        vocab,
+        "tok",
+        lambda t: pa.table({"tok": pc.unique(t["tok"])}),
+        num_partitions=num_partitions,
+        schema=tok_schema,
+    )
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        vs, ts = [], []
+        for tok in t["tok"].to_pylist():
+            for v in delete_variants(tok, max_d):
+                vs.append(v)
+                ts.append(tok)
+        return pa.table(
+            {"v": pa.array(vs, pa.string()), "tok": pa.array(ts, pa.string())}
+        )
+
+    variants = vocab.map_batches(fan_out, batch_format="pyarrow")
+
+    pair_schema = pa.schema([("tok_a", pa.string()), ("tok_b", pa.string())])
+
+    def bucket_pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        a_parts, b_parts = [], []
+        for _, grp in df.groupby("v", sort=False):
+            toks = np.unique(grp["tok"].to_numpy())
+            if len(toks) > 1:
+                ii, jj = np.triu_indices(len(toks), k=1)
+                a_parts.append(toks[ii])
+                b_parts.append(toks[jj])
+        if not a_parts:
+            return pd.DataFrame(
+                {"tok_a": pd.Series([], dtype=str),
+                 "tok_b": pd.Series([], dtype=str)}
+            )
+        out = pd.DataFrame(
+            {"tok_a": np.concatenate(a_parts), "tok_b": np.concatenate(b_parts)}
+        ).drop_duplicates()
+        return out.astype({"tok_a": str, "tok_b": str})
+
+    cands = groupby_partition(
+        variants,
+        "v",
+        bucket_pairs,
+        num_partitions=num_partitions,
+        batch_format="pandas",
+        schema=pair_schema,
+    )
+    cands = groupby_partition(
+        cands,
+        ["tok_a", "tok_b"],
+        lambda df: df.drop_duplicates(),
+        num_partitions=num_partitions,
+        batch_format="pandas",
+        schema=pair_schema,
+    )
+
+    out_schema = pa.schema(
+        [("tok_a", pa.string()), ("tok_b", pa.string()), ("d", pa.int64())]
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        ta, tb, dd = [], [], []
+        for a, b in zip(t["tok_a"].to_pylist(), t["tok_b"].to_pylist()):
+            d = lev_leq(a, b, max_d)
+            if d is not None:
+                ta.append(a)
+                tb.append(b)
+                dd.append(d)
+        return pa.table(
+            {
+                "tok_a": pa.array(ta, pa.string()),
+                "tok_b": pa.array(tb, pa.string()),
+                "d": pa.array(dd, pa.int64()),
+            }
+        )
+
+    return cands.map_batches(verify, batch_format="pyarrow")

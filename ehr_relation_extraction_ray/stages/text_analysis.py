@@ -748,3 +748,119 @@ def bpe_merges(
     return pd.DataFrame(
         out, columns=["rank", "left", "right", "pair_count"]
     ).astype({"rank": "int64", "pair_count": "int64"})
+
+
+def bm25_topk(
+    docs: "ray.data.Dataset",
+    query_terms,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "pd.DataFrame":
+    """Distributed BM25 retrieval (Robertson & Zaragoza 2009, the public
+    Okapi formula) — top-k documents for a fixed term query.
+
+    Scale shape (two streamed passes, zero shuffles):
+
+    1. corpus-statistics pass: each block emits ONE partial row
+       (n_docs, sum_dl, df per query term) — the driver merge is
+       blocks x O(|query|), never corpus-sized;
+    2. scoring pass with the broadcast idf/avgdl constants: each block
+       emits its local top-k ordered by the FINAL composite key
+       (score rounded to 6 dp desc, doc_id asc — the rounding happens
+       BEFORE selection so block-local ties resolve exactly like the
+       global order), so the union of blocks x k partials provably
+       contains the global top-k.
+
+    Tokenization matches the repo-wide oracle dialect:
+    split-on-whitespace of the lowercased text, empty tokens dropped.
+
+    Returns a pandas DataFrame (doc_id, score) of k rows.
+    """
+    import pandas as pd
+
+    from ..functions.broadcast import bget
+
+    terms = list(dict.fromkeys(query_terms))
+    m = len(terms)
+    term_arrays = [pa.array([t], pa.string()) for t in terms]
+
+    def _tf_dl(batch: pa.Table):
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        n = len(texts)
+        words = pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
+        flat = pc.list_flatten(words)
+        parents = np.asarray(pc.list_parent_indices(words))
+        nonempty = np.asarray(pc.utf8_length(flat)) > 0
+        dl = (
+            np.bincount(parents, weights=nonempty, minlength=n).astype(np.int64)
+            if len(parents)
+            else np.zeros(n, dtype=np.int64)
+        )
+        tf = np.zeros((m, n), dtype=np.int64)
+        for ti in range(m):
+            hit = np.asarray(pc.is_in(flat, value_set=term_arrays[ti]))
+            if len(parents):
+                tf[ti] = np.bincount(parents, weights=hit, minlength=n)
+        return dl, tf
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        dl, tf = _tf_dl(batch)
+        cols = {
+            "n_docs": pa.array([len(dl)], pa.int64()),
+            "sum_dl": pa.array([int(dl.sum())], pa.int64()),
+        }
+        for ti in range(m):
+            cols[f"df_{ti}"] = pa.array([int((tf[ti] > 0).sum())], pa.int64())
+        return pa.table(cols)
+
+    stats = (
+        docs.map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+    n_docs = int(stats["n_docs"])
+    avgdl = float(stats["sum_dl"]) / max(n_docs, 1)
+    idf = np.array(
+        [
+            np.log((n_docs - stats[f"df_{ti}"] + 0.5) / (stats[f"df_{ti}"] + 0.5) + 1.0)
+            for ti in range(m)
+        ]
+    )
+    const_ref = ray.put((idf, avgdl))
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        idf_, avgdl_ = bget(const_ref)
+        dl, tf = _tf_dl(batch)
+        doc_ids = np.asarray(batch[id_col].combine_chunks()
+                             if isinstance(batch[id_col], pa.ChunkedArray)
+                             else batch[id_col])
+        norm = k1 * (1.0 - b + b * dl / max(avgdl_, 1e-12))
+        score = np.zeros(len(dl), dtype=np.float64)
+        for ti in range(m):
+            t = tf[ti].astype(np.float64)
+            score += idf_[ti] * t * (k1 + 1.0) / np.maximum(t + norm, 1e-12)
+        keep = tf.sum(axis=0) > 0
+        score = np.round(score[keep], 6)
+        doc_ids = doc_ids[keep]
+        order = np.lexsort((doc_ids, -score))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(doc_ids[order], pa.int64()),
+                "score": pa.array(score[order], pa.float64()),
+            }
+        )
+
+    parts = docs.map_batches(score_partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {id_col: pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="float64")}
+        )
+    order = np.lexsort((parts[id_col].to_numpy(), -parts["score"].to_numpy()))[:k]
+    return parts.iloc[order].reset_index(drop=True)
