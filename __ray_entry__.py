@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_typo_pairs": q.docs_typo_pairs,
         "kg_node_similarity": q.kg_node_similarity,
         "docs_snapshot_diff": q.docs_snapshot_diff,
+        "kg_alias_fuzzy": q.kg_alias_fuzzy,
     }
 
 
@@ -195,10 +196,12 @@ def _media_sql_path() -> str:
     return q.media_path(SF_CORRECTNESS_DIR)
 
 
-def _mentions_sql(tp: str) -> str:
-    """Per-type regexp_extract_all UNION, mirroring the dictionary NER
-    (delimiter-trim via substr; DuckDB RE2 alternation semantics verified
-    to match Python re for these patterns)."""
+def _mentions_cte(tp: str) -> str:
+    """WITH-prefix shared by the mention-based oracles: assembled docs ->
+    per-type regexp_extract_all UNION (``m`` holds one row per raw match,
+    delimiters still attached), mirroring the dictionary NER (DuckDB RE2
+    alternation semantics verified to match Python re for these
+    patterns)."""
     from ehr_relation_extraction_ray.lexicon import DEFAULT_LEXICON, fit_patterns
 
     patterns = fit_patterns(DEFAULT_LEXICON)
@@ -215,7 +218,12 @@ def _mentions_sql(tp: str) -> str:
 WITH docs AS (
   SELECT conv_id, string_agg(COALESCE(text,''), chr(10)||chr(10) ORDER BY turn_idx) AS text
   FROM read_parquet('{tp}') GROUP BY conv_id
-), m AS ({union})
+), m AS ({union})"""
+
+
+def _mentions_sql(tp: str) -> str:
+    """Per-type mention counts (delimiter-trim via substr)."""
+    return _mentions_cte(tp) + """
 SELECT ent_type,
        count(*) AS n_mentions,
        count(DISTINCT substr(raw, 2, length(raw) - 2)) AS n_surfaces
@@ -1498,6 +1506,20 @@ JOIN deg dx ON dx.a = x
 JOIN deg dy ON dy.a = y
 WHERE c * 1.0 / (dx.dg + dy.dg - c) >= 0.25
 ORDER BY ent_a, ent_b
+""",
+        "kg_alias_fuzzy": _mentions_cte(tp) + r"""
+, surf AS (
+  SELECT DISTINCT ent_type,
+         regexp_replace(lower(trim(substr(raw, 2, length(raw) - 2))),
+                        '\s+', ' ', 'g') AS s
+  FROM m
+)
+SELECT a.ent_type, a.s AS surf_a, b.s AS surf_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS d
+FROM surf a JOIN surf b ON a.ent_type = b.ent_type AND a.s < b.s
+WHERE abs(length(a.s) - length(b.s)) <= 2
+  AND levenshtein(a.s, b.s) <= 2
+ORDER BY a.ent_type, surf_a, surf_b
 """,
         "docs_snapshot_diff": """
 WITH base AS (

@@ -2265,3 +2265,41 @@ def docs_snapshot_diff(sf_dir: str) -> pd.DataFrame:
         )
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def kg_alias_fuzzy(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy alias-candidate pairs for canonicalization: per-entity-type
+    surface norms at Levenshtein <= 2, via the SymSpell delete-blocked
+    pair machinery (dedupe.term_variant_pairs with group scoping). This
+    is the open-vocabulary companion to canonicalize.ALIAS_GROUPS: at
+    10^12 turns the alias-candidate generation must itself be blocked —
+    never an all-pairs over the surface vocabulary."""
+    ment = _mentions(sf_dir)
+
+    def norm_terms(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ent_type": t["ent_type"],
+                "term": pa.array(
+                    [canonicalize.normalize(x) for x in t["text"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    terms = ment.map_batches(norm_terms, batch_format="pyarrow")
+    out = dedupe.term_variant_pairs(
+        terms, term_col="term", group_col="ent_type", max_d=2
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"ent_type": pd.Series([], dtype=str),
+             "surf_a": pd.Series([], dtype=str),
+             "surf_b": pd.Series([], dtype=str),
+             "d": pd.Series([], dtype="int64")}
+        )
+    out = out.rename(columns={"term_a": "surf_a", "term_b": "surf_b"})
+    return (
+        out.sort_values(["ent_type", "surf_a", "surf_b"])
+        .reset_index(drop=True)
+    )

@@ -1392,10 +1392,6 @@ def typo_pairs(
 
     Returns a Dataset (tok_a, tok_b, d) with tok_a < tok_b.
     """
-    import pandas as pd
-
-    from ..functions.partitioning import groupby_partition
-
     tok_pat = r"^[a-z]{%d,}$" % min_len
 
     def vocab_partial(t: pa.Table) -> pa.Table:
@@ -1407,53 +1403,100 @@ def typo_pairs(
             pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
         )
         keep = pc.match_substring_regex(flat, tok_pat)
-        return pa.table({"tok": pc.unique(pc.filter(flat, keep))})
+        return pa.table({"term": pc.unique(pc.filter(flat, keep))})
 
     vocab = docs.map_batches(vocab_partial, batch_format="pyarrow")
-    tok_schema = pa.schema([("tok", pa.string())])
-    vocab = groupby_partition(
-        vocab,
-        "tok",
-        lambda t: pa.table({"tok": pc.unique(t["tok"])}),
+    out = term_variant_pairs(
+        vocab, term_col="term", max_d=max_d, num_partitions=num_partitions
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["tok_a", "tok_b", "d"]),
+        batch_format="pyarrow",
+    )
+
+
+def term_variant_pairs(
+    terms: "ray.data.Dataset",
+    term_col: str = "term",
+    group_col: str = None,
+    max_d: int = 2,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """SymSpell symmetric-delete blocking + banded verify over an
+    arbitrary term table (single words OR multi-word surfaces — the
+    delete-variant key set is character-level either way).
+
+    With ``group_col`` (e.g. an entity type for canonicalization alias
+    candidates) variant buckets are scoped per group, so pairs never
+    cross groups. Input rows need not be distinct — a partition distinct
+    runs first. Returns (group_col?, term_a, term_b, d), term_a < term_b.
+    """
+    import pandas as pd
+
+    from ..functions.partitioning import groupby_partition
+
+    gcols = [group_col] if group_col else []
+
+    term_schema = pa.schema(
+        [(c, pa.string()) for c in gcols] + [(term_col, pa.string())]
+    )
+    terms = groupby_partition(
+        terms,
+        gcols + [term_col],
+        lambda df: df.drop_duplicates(),
         num_partitions=num_partitions,
-        schema=tok_schema,
+        batch_format="pandas",
+        schema=term_schema,
     )
 
     def fan_out(t: pa.Table) -> pa.Table:
-        vs, ts = [], []
-        for tok in t["tok"].to_pylist():
-            for v in delete_variants(tok, max_d):
-                vs.append(v)
-                ts.append(tok)
-        return pa.table(
-            {"v": pa.array(vs, pa.string()), "tok": pa.array(ts, pa.string())}
+        vs, ts, gs = [], [], []
+        groups = (
+            t[group_col].to_pylist() if group_col else [""] * len(t)
         )
+        for g, term in zip(groups, t[term_col].to_pylist()):
+            for v in delete_variants(term, max_d):
+                vs.append(v)
+                ts.append(term)
+                gs.append(g)
+        cols = {"v": pa.array(vs, pa.string()),
+                "term": pa.array(ts, pa.string())}
+        if group_col:
+            cols[group_col] = pa.array(gs, pa.string())
+        return pa.table(cols)
 
-    variants = vocab.map_batches(fan_out, batch_format="pyarrow")
+    variants = terms.map_batches(fan_out, batch_format="pyarrow")
 
-    pair_schema = pa.schema([("tok_a", pa.string()), ("tok_b", pa.string())])
+    pair_cols = gcols + ["term_a", "term_b"]
+    pair_schema = pa.schema([(c, pa.string()) for c in pair_cols])
 
     def bucket_pairs(df: "pd.DataFrame") -> "pd.DataFrame":
-        a_parts, b_parts = [], []
-        for _, grp in df.groupby("v", sort=False):
-            toks = np.unique(grp["tok"].to_numpy())
+        a_parts, b_parts, g_parts = [], [], []
+        keys = ([group_col, "v"] if group_col else ["v"])
+        for key, grp in df.groupby(keys, sort=False):
+            toks = np.unique(grp["term"].to_numpy())
             if len(toks) > 1:
                 ii, jj = np.triu_indices(len(toks), k=1)
                 a_parts.append(toks[ii])
                 b_parts.append(toks[jj])
+                if group_col:
+                    g = key[0] if isinstance(key, tuple) else key
+                    g_parts.append(np.full(len(ii), g, dtype=object))
         if not a_parts:
             return pd.DataFrame(
-                {"tok_a": pd.Series([], dtype=str),
-                 "tok_b": pd.Series([], dtype=str)}
+                {c: pd.Series([], dtype=str) for c in pair_cols}
             )
-        out = pd.DataFrame(
-            {"tok_a": np.concatenate(a_parts), "tok_b": np.concatenate(b_parts)}
-        ).drop_duplicates()
-        return out.astype({"tok_a": str, "tok_b": str})
+        data = {}
+        if group_col:
+            data[group_col] = np.concatenate(g_parts)
+        data["term_a"] = np.concatenate(a_parts)
+        data["term_b"] = np.concatenate(b_parts)
+        out = pd.DataFrame(data).drop_duplicates()
+        return out[pair_cols].astype({c: str for c in pair_cols})
 
     cands = groupby_partition(
         variants,
-        "v",
+        gcols + ["v"],
         bucket_pairs,
         num_partitions=num_partitions,
         batch_format="pandas",
@@ -1461,31 +1504,33 @@ def typo_pairs(
     )
     cands = groupby_partition(
         cands,
-        ["tok_a", "tok_b"],
+        pair_cols,
         lambda df: df.drop_duplicates(),
         num_partitions=num_partitions,
         batch_format="pandas",
         schema=pair_schema,
     )
 
-    out_schema = pa.schema(
-        [("tok_a", pa.string()), ("tok_b", pa.string()), ("d", pa.int64())]
-    )
-
     def verify(t: pa.Table) -> pa.Table:
-        ta, tb, dd = [], [], []
-        for a, b in zip(t["tok_a"].to_pylist(), t["tok_b"].to_pylist()):
+        ta, tb, dd, keep_idx = [], [], [], []
+        a_list = t["term_a"].to_pylist()
+        b_list = t["term_b"].to_pylist()
+        for i, (a, b) in enumerate(zip(a_list, b_list)):
             d = lev_leq(a, b, max_d)
             if d is not None:
                 ta.append(a)
                 tb.append(b)
                 dd.append(d)
-        return pa.table(
-            {
-                "tok_a": pa.array(ta, pa.string()),
-                "tok_b": pa.array(tb, pa.string()),
-                "d": pa.array(dd, pa.int64()),
-            }
-        )
+                keep_idx.append(i)
+        cols = {}
+        if group_col:
+            groups = t[group_col].to_pylist()
+            cols[group_col] = pa.array(
+                [groups[i] for i in keep_idx], pa.string()
+            )
+        cols["term_a"] = pa.array(ta, pa.string())
+        cols["term_b"] = pa.array(tb, pa.string())
+        cols["d"] = pa.array(dd, pa.int64())
+        return pa.table(cols)
 
     return cands.map_batches(verify, batch_format="pyarrow")

@@ -184,3 +184,22 @@ def test_snapshot_diff_identical_snapshots_empty():
         ray.data.from_pandas(a), ray.data.from_pandas(a.copy())
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_term_variant_pairs_group_scoping():
+    # same surfaces in two groups: pairs must not cross groups
+    terms = pd.DataFrame(
+        {"ent_type": ["Drug", "Drug", "Drug", "Dose", "Dose"],
+         "term": ["aspirin", "asprin", "aspirin", "one tab", "one tabs"]}
+    )
+    ds = ray.data.from_pandas(terms).repartition(2)
+    out = (
+        dedupe.term_variant_pairs(ds, group_col="ent_type", max_d=2)
+        .to_pandas()
+        .sort_values(["ent_type", "term_a"])
+        .reset_index(drop=True)
+    )
+    assert list(out["ent_type"]) == ["Dose", "Drug"]
+    assert list(out["term_a"]) == ["one tab", "aspirin"]
+    assert list(out["term_b"]) == ["one tabs", "asprin"]
+    assert list(out["d"]) == [1, 1]
