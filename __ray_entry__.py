@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_wide_table": q.kg_wide_table,
         "kg_drug_graph": q.kg_drug_graph,
         "kg_nodes": q.kg_nodes,
+        "kg_nodes_fuzzy": q.kg_nodes_fuzzy,
         "kg_role_stats": q.kg_role_stats,
         "kg_tool_chains": q.kg_tool_chains,
         "kg_conv_dedup": q.kg_conv_dedup,
@@ -157,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_similarity": q.kg_node_similarity,
         "docs_snapshot_diff": q.docs_snapshot_diff,
         "kg_alias_fuzzy": q.kg_alias_fuzzy,
+        "events_late_arrivals": r.events_late_arrivals,
+        "media_dedup": q.media_dedup,
     }
 
 
@@ -1358,6 +1361,10 @@ ORDER BY doc_id
 SELECT node_id, ent_type, canonical_text, n_aliases, n_mentions
 FROM read_parquet('{_fixture("kg_nodes")}') ORDER BY node_id
 """,
+        "kg_nodes_fuzzy": f"""
+SELECT node_id, ent_type, canonical_text, n_aliases, n_mentions
+FROM read_parquet('{_fixture("kg_nodes_fuzzy")}') ORDER BY node_id
+""",
         "docs_distinct_tokens": f"""
 SELECT metric, estimate, nonzero_registers
 FROM read_parquet('{_fixture("docs_distinct_tokens")}')
@@ -1506,6 +1513,38 @@ JOIN deg dx ON dx.a = x
 JOIN deg dy ON dy.a = y
 WHERE c * 1.0 / (dx.dg + dy.dg - c) >= 0.25
 ORDER BY ent_a, ent_b
+""",
+        "events_late_arrivals": """
+WITH d AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus,
+         epoch_us(ts) + (event_id % 7) * 30000000 AS atus
+  FROM events
+),
+w AS (
+  SELECT event_id, user_id, tus,
+         max(tus) OVER (
+           PARTITION BY user_id ORDER BY atus, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM d
+)
+SELECT event_id, user_id,
+       (prev_max - tus - 60000000) // 1000000 AS late_by_s
+FROM w
+WHERE prev_max IS NOT NULL AND prev_max - tus > 60000000
+ORDER BY event_id
+""",
+        "media_dedup": f"""
+WITH media AS (SELECT media_id, payload FROM read_parquet('{mp}')),
+doubled AS (
+  SELECT media_id, payload FROM media
+  UNION ALL
+  SELECT media_id || '-copy', payload FROM media
+  WHERE CAST(substr(media_id, 3) AS INT) % 7 = 0
+),
+h AS (SELECT media_id, md5(hex(payload)) AS payload_md5 FROM doubled)
+SELECT payload_md5, CAST(count(*) AS BIGINT) AS n_copies,
+       min(media_id) AS keep_id
+FROM h GROUP BY payload_md5 HAVING count(*) > 1 ORDER BY keep_id
 """,
         "kg_alias_fuzzy": _mentions_cte(tp) + r"""
 , surf AS (

@@ -2303,3 +2303,51 @@ def kg_alias_fuzzy(sf_dir: str) -> pd.DataFrame:
         out.sort_values(["ent_type", "surf_a", "surf_b"])
         .reset_index(drop=True)
     )
+
+
+def kg_nodes_fuzzy(sf_dir: str) -> pd.DataFrame:
+    """Open-vocabulary canonicalization: node table with the fuzzy
+    (Levenshtein <= 1, SymSpell-blocked, type-scoped) alias edges merged
+    into the union-find alongside the variant rules and ALIAS_GROUPS —
+    the north rule's entity-linking step with a distributed candidate
+    generator. Oracle: serial fixture with a naive full-DP all-pairs
+    merge (independent of the engine's banded/blocked path)."""
+    ment = _mentions(sf_dir)
+    nodes, _ = canonicalize.build_nodes(ment, fuzzy_max_d=1)
+    df = nodes.to_pandas()
+    return df.sort_values("node_id").reset_index(drop=True)
+
+
+def media_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact multimodal payload dedup: the media table unioned with
+    deterministic copies (every 7th media_id re-labelled '-copy')
+    reduced to digest-only dup groups via multimodal.payload_dedup_groups
+    — payload bytes never shuffle."""
+    media = ray.data.read_parquet(media_path(sf_dir))
+
+    def make_copies(t: pa.Table) -> pa.Table:
+        ids = t["media_id"].to_pylist()
+        keep = [i for i, m in enumerate(ids) if int(m[2:]) % 7 == 0]
+        sub = t.select(["media_id", "payload"]).take(
+            pa.array(keep, pa.int64())
+        )
+        return pa.table(
+            {
+                "media_id": pa.array(
+                    [sub["media_id"][i].as_py() + "-copy" for i in range(len(sub))],
+                    pa.string(),
+                ),
+                "payload": sub["payload"],
+            }
+        )
+
+    base = media.select_columns(["media_id", "payload"])
+    doubled = base.union(media.map_batches(make_copies, batch_format="pyarrow"))
+    out = multimodal.payload_dedup_groups(doubled).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"payload_md5": pd.Series([], dtype=str),
+             "n_copies": pd.Series([], dtype="int64"),
+             "keep_id": pd.Series([], dtype=str)}
+        )
+    return out.sort_values("keep_id").reset_index(drop=True)

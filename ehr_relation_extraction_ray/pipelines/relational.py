@@ -1535,3 +1535,77 @@ def events_top_weekday(sf_dir: str) -> pd.DataFrame:
         .sort_values("event_type")
         .reset_index(drop=True)
     )
+
+
+def events_late_arrivals(sf_dir: str) -> pd.DataFrame:
+    """Streaming watermark semantics: per user, events ARRIVE in
+    simulated out-of-order delivery (arrival time = event time plus a
+    deterministic (event_id % 7) * 30 s network delay); the watermark
+    trails the running max EVENT time seen so far by 60 s, and an event
+    is LATE iff its event time falls behind the watermark at arrival
+    (the Dataflow-model allowed-lateness rule). One user_id-keyed
+    partition pass, numpy running max inside — arrival state never
+    leaves the partition, exactly how a keyed streaming shuffle would
+    hold it. Exact-integer microsecond math (playbook: epoch() is float).
+    """
+    from ..functions.partitioning import groupby_partition
+
+    ev = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def late(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64")
+        eid = df["event_id"].astype("int64")
+        df = pd.DataFrame(
+            {"event_id": eid.to_numpy(), "user_id": df["user_id"].to_numpy(),
+             "tus": ts_us.to_numpy(),
+             "atus": ts_us.to_numpy() + (eid.to_numpy() % 7) * 30_000_000}
+        ).sort_values(["user_id", "atus", "event_id"])
+        out_frames = []
+        tus_all = df["tus"].to_numpy()
+        for uid, grp_idx in df.groupby("user_id", sort=False).indices.items():
+            t = tus_all[grp_idx]
+            if len(t) < 2:
+                continue
+            run_max = np.maximum.accumulate(t)
+            prev_max = np.empty_like(t)
+            prev_max[0] = np.iinfo(np.int64).min
+            prev_max[1:] = run_max[:-1]
+            late_by_us = prev_max - t - 60_000_000
+            mask = (late_by_us > 0) & (prev_max != np.iinfo(np.int64).min)
+            if mask.any():
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            "event_id": df["event_id"].to_numpy()[grp_idx][mask],
+                            "user_id": uid,
+                            "late_by_s": late_by_us[mask] // 1_000_000,
+                        }
+                    )
+                )
+        if not out_frames:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "user_id": pd.Series([], dtype="int64"),
+                 "late_by_s": pd.Series([], dtype="int64")}
+            )
+        out = pd.concat(out_frames, ignore_index=True)
+        return out.astype(
+            {"event_id": "int64", "user_id": "int64", "late_by_s": "int64"}
+        )
+
+    import pyarrow as _pa
+
+    schema = _pa.schema(
+        [("event_id", _pa.int64()), ("user_id", _pa.int64()),
+         ("late_by_s", _pa.int64())]
+    )
+    out = groupby_partition(
+        ev, "user_id", late, batch_format="pandas", schema=schema
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"event_id": pd.Series([], dtype="int64"),
+             "user_id": pd.Series([], dtype="int64"),
+             "late_by_s": pd.Series([], dtype="int64")}
+        )
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -346,12 +346,14 @@ def serial_windows_df(docs: Dict[str, str], max_len: int = 126) -> pd.DataFrame:
     )
 
 
-def serial_nodes_df(docs: Dict[str, str]) -> pd.DataFrame:
+def serial_nodes_df(docs: Dict[str, str], fuzzy_max_d: int = 0) -> pd.DataFrame:
     """Canonicalization nodes fixture: naive dict count + serial union-find.
 
     Shares only config with stages/canonicalize.py (ALIAS_GROUPS, the
     normalization/variant spec); the clustering is re-implemented with
-    plain dict merges, no union-find class, no Ray.
+    plain dict merges, no union-find class, no Ray. With ``fuzzy_max_d``
+    the naive all-pairs full-DP Levenshtein merge stands in for the
+    engine's SymSpell-blocked distributed pair pass.
     """
     import re as _re
 
@@ -390,6 +392,23 @@ def serial_nodes_df(docs: Dict[str, str]) -> pd.DataFrame:
             members = [g for g in gnorm if (ent_type, g) in counts]
             for a, b in zip(members, members[1:]):
                 merge((ent_type, a), (ent_type, b))
+    if fuzzy_max_d > 0:
+        def lev(a: str, b: str) -> int:  # naive full-grid DP
+            dp = list(range(len(b) + 1))
+            for i in range(1, len(a) + 1):
+                prev, dp[0] = dp[0], i
+                for j in range(1, len(b) + 1):
+                    cur = dp[j]
+                    dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                                prev + (a[i - 1] != b[j - 1]))
+                    prev = cur
+            return dp[-1]
+
+        keys_sorted = sorted(counts)
+        for i, ka in enumerate(keys_sorted):
+            for kb in keys_sorted[i + 1:]:
+                if ka[0] == kb[0] and lev(ka[1], kb[1]) <= fuzzy_max_d:
+                    merge(ka, kb)
 
     seen: Set[int] = set()
     rows = []
@@ -1028,6 +1047,8 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_windows_df(_transcript_docs(sf_dir))
     if name == "kg_nodes":
         return serial_nodes_df(_transcript_docs(sf_dir))
+    if name == "kg_nodes_fuzzy":
+        return serial_nodes_df(_transcript_docs(sf_dir), fuzzy_max_d=1)
     if name == "kg_conll_export":
         return serial_conll_label_counts_df(_transcript_docs(sf_dir))
     if name == "kg_re_export":

@@ -239,3 +239,61 @@ def sample_frames(
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1,
     )
+
+
+def payload_dedup_groups(
+    media: "ray.data.Dataset",
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Exact binary-payload dedup groups for multimodal corpora.
+
+    Each block reduces its rows to (id, md5-of-payload) — the payloads
+    themselves NEVER shuffle, only 16-byte digests move (the same
+    projection discipline as stages/diff). One digest-keyed partition
+    pass emits a row per duplicate group: (payload_md5, n_copies,
+    keep_id = lexicographic-min id, the deterministic survivor).
+
+    Digest dialect: md5 over the UPPERCASE hex of the payload, so a SQL
+    oracle can recompute it as ``md5(hex(payload))`` (DuckDB has no
+    BLOB md5).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from ..functions.partitioning import groupby_partition
+
+    def digest(t: pa.Table) -> pa.Table:
+        payloads = t[payload_col].to_pylist()
+        md5s = [
+            hashlib.md5(p.hex().upper().encode("ascii")).hexdigest()
+            for p in payloads
+        ]
+        return pa.table(
+            {id_col: t[id_col], "payload_md5": pa.array(md5s, pa.string())}
+        )
+
+    hashed = media.map_batches(digest, batch_format="pyarrow")
+
+    schema = pa.schema(
+        [("payload_md5", pa.string()), ("n_copies", pa.int64()),
+         ("keep_id", pa.string())]
+    )
+
+    def groups(df: "pd.DataFrame") -> "pd.DataFrame":
+        agg = (
+            df.groupby("payload_md5")[id_col]
+            .agg(n_copies="count", keep_id="min")
+            .reset_index()
+        )
+        agg = agg[agg["n_copies"] > 1]
+        return agg.astype(
+            {"payload_md5": str, "n_copies": "int64", "keep_id": str}
+        )
+
+    return groupby_partition(
+        hashed, "payload_md5", groups,
+        num_partitions=num_partitions, batch_format="pandas", schema=schema,
+    )

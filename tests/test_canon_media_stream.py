@@ -1,0 +1,104 @@
+"""Unit tests for fuzzy canonicalization, media payload dedup, and
+watermark late-arrival detection."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from ehr_relation_extraction_ray.stages import canonicalize, multimodal
+
+
+def _mentions_ds(rows):
+    df = pd.DataFrame(rows, columns=["doc_id", "ent_id", "ent_type",
+                                     "start", "end", "text"])
+    return ray.data.from_pandas(df).repartition(2)
+
+
+def test_build_nodes_fuzzy_merges_close_surfaces():
+    rows = [
+        ("d1", "T1", "Drug", 0, 7, "aspirin"),
+        ("d2", "T1", "Drug", 0, 6, "asprin"),   # lev 1 -> merges
+        ("d3", "T1", "Drug", 0, 7, "aspirin"),
+        ("d4", "T1", "Drug", 0, 9, "ibuprofen"),  # far away
+    ]
+    nodes, _ = canonicalize.build_nodes(_mentions_ds(rows), fuzzy_max_d=1)
+    df = nodes.to_pandas().sort_values("node_id").reset_index(drop=True)
+    merged = df[df["canonical_text"] == "aspirin"]
+    assert len(merged) == 1
+    assert merged["n_aliases"].iloc[0] == 2
+    assert merged["n_mentions"].iloc[0] == 3
+    assert len(df) == 2  # ibuprofen stays its own node
+
+
+def test_build_nodes_fuzzy_default_off_matches_plain():
+    rows = [
+        ("d1", "T1", "Drug", 0, 7, "aspirin"),
+        ("d2", "T1", "Drug", 0, 6, "asprin"),
+    ]
+    plain, _ = canonicalize.build_nodes(_mentions_ds(rows))
+    assert len(plain.to_pandas()) == 2  # no fuzzy merge by default
+
+
+def test_payload_dedup_groups():
+    payloads = [b"\x00\x01", b"\x00\x01", b"\xff", b"\x00\x01", b"\xab\xcd"]
+    df = pd.DataFrame(
+        {"media_id": [f"m-{i:06d}" for i in range(len(payloads))],
+         "payload": payloads}
+    )
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = multimodal.payload_dedup_groups(ds).to_pandas()
+    assert len(out) == 1
+    assert out["n_copies"].iloc[0] == 3
+    assert out["keep_id"].iloc[0] == "m-000000"
+    exp_md5 = hashlib.md5(b"\x00\x01".hex().upper().encode()).hexdigest()
+    assert out["payload_md5"].iloc[0] == exp_md5
+
+
+def test_late_arrivals_watermark_rule():
+    from ehr_relation_extraction_ray.pipelines.relational import (
+        events_late_arrivals,
+    )
+
+    # build a tiny parquet events table under /tmp with a crafted
+    # out-of-order pattern once jittered: event 6 (delay 6*30=180s)
+    # arrives after events 7..9 advanced the watermark far past it
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2026-01-01")
+    n = 10
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": np.zeros(n, dtype=np.int64),
+            "ts": [base + pd.Timedelta(seconds=40 * i) for i in range(n)],
+            "event_type": ["x"] * n,
+            "value": np.zeros(n),
+        }
+    )
+    d = tempfile.mkdtemp(dir="/tmp")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "events.parquet"))
+
+    out = events_late_arrivals(d)
+
+    # serial recompute of the same rule
+    tus = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    atus = tus + (df["event_id"].to_numpy() % 7) * 30_000_000
+    order = np.lexsort((df["event_id"].to_numpy(), atus))
+    seen_max = None
+    exp = []
+    for i in order:
+        if seen_max is not None and seen_max - tus[i] > 60_000_000:
+            exp.append((int(df["event_id"][i]),
+                        (seen_max - tus[i] - 60_000_000) // 1_000_000))
+        seen_max = tus[i] if seen_max is None else max(seen_max, tus[i])
+    assert len(exp) > 0  # the pattern must actually produce late events
+    assert list(out["event_id"]) == [e for e, _ in exp]
+    assert list(out["late_by_s"]) == [s for _, s in exp]
