@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_alias_fuzzy": q.kg_alias_fuzzy,
         "events_late_arrivals": r.events_late_arrivals,
         "media_dedup": q.media_dedup,
+        "events_user_hll": r.events_user_hll,
+        "docs_zone_maps": r.docs_zone_maps,
     }
 
 
@@ -1532,6 +1534,16 @@ SELECT event_id, user_id,
 FROM w
 WHERE prev_max IS NOT NULL AND prev_max - tus > 60000000
 ORDER BY event_id
+""",
+        "events_user_hll": f"""
+SELECT event_type, n_users_est, nonzero_registers
+FROM read_parquet('{_fixture("events_user_hll")}') ORDER BY event_type
+""",
+        "docs_zone_maps": """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang, source ORDER BY lang, source
 """,
         "media_dedup": f"""
 WITH media AS (SELECT media_id, payload FROM read_parquet('{mp}')),

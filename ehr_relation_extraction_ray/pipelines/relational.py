@@ -1609,3 +1609,85 @@ def events_late_arrivals(sf_dir: str) -> pd.DataFrame:
              "late_by_s": pd.Series([], dtype="int64")}
         )
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_user_hll(sf_dir: str) -> pd.DataFrame:
+    """Per-group approximate distinct count as a MERGEABLE sketch UDAF:
+    each block folds its (event_type, user_id) pairs into one HLL
+    register vector per type (functions/sketch; 4 KiB each), the driver
+    merge is an elementwise max over types x blocks rows — at 10^12
+    events the exchanged state is bounded by |types| x blocks x 4 KiB,
+    never by cardinality (contrast events_distinct_users, the EXACT
+    salted holistic path). Deterministic hash -> the estimate is
+    bit-reproducible; oracle is a serial recomputation fixture."""
+    from ..functions.sketch import hll_estimate, hll_merge, hll_registers
+
+    ev = _pq(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, grp in df.groupby("event_type", sort=False):
+            regs = hll_registers(grp["user_id"].to_numpy())
+            rows.append({"event_type": et, "regs": regs.tobytes()})
+        return pd.DataFrame(rows, columns=["event_type", "regs"])
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    out_rows = []
+    for et, grp in parts.groupby("event_type"):
+        stacked = np.stack(
+            [np.frombuffer(b, dtype=np.int8) for b in grp["regs"]]
+        )
+        regs = hll_merge(stacked)
+        out_rows.append(
+            {
+                "event_type": et,
+                "n_users_est": round(hll_estimate(regs), 2),
+                "nonzero_registers": int((regs > 0).sum()),
+            }
+        )
+    out = pd.DataFrame(
+        out_rows, columns=["event_type", "n_users_est", "nonzero_registers"]
+    ).astype({"nonzero_registers": "int64"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def docs_zone_maps(sf_dir: str) -> pd.DataFrame:
+    """Scan-pruning zone maps: per (lang, source) partition cell, the
+    min/max/count metadata a reader uses to skip row groups (the
+    Parquet-footer / Iceberg-manifest story, computed as an engine
+    operator). Pure block combiner -> driver merge over a
+    dimension-bounded (cells x blocks) partial table; zero shuffles."""
+    docs = _pq(
+        sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            df.groupby(["lang", "source"])
+            .agg(
+                n_rows=("doc_id", "size"),
+                min_doc_id=("doc_id", "min"),
+                max_doc_id=("doc_id", "max"),
+                min_chars=("n_chars", "min"),
+                max_chars=("n_chars", "max"),
+            )
+            .reset_index()
+        )
+        return agg
+
+    parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (
+        parts.groupby(["lang", "source"], as_index=False)
+        .agg(
+            n_rows=("n_rows", "sum"),
+            min_doc_id=("min_doc_id", "min"),
+            max_doc_id=("max_doc_id", "max"),
+            min_chars=("min_chars", "min"),
+            max_chars=("max_chars", "max"),
+        )
+        .astype(
+            {"n_rows": "int64", "min_doc_id": "int64", "max_doc_id": "int64",
+             "min_chars": "int64", "max_chars": "int64"}
+        )
+    )
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)

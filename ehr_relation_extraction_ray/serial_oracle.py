@@ -1049,6 +1049,8 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_nodes_df(_transcript_docs(sf_dir))
     if name == "kg_nodes_fuzzy":
         return serial_nodes_df(_transcript_docs(sf_dir), fuzzy_max_d=1)
+    if name == "events_user_hll":
+        return serial_user_hll_df(sf_dir)
     if name == "kg_conll_export":
         return serial_conll_label_counts_df(_transcript_docs(sf_dir))
     if name == "kg_re_export":
@@ -1220,3 +1222,31 @@ def serial_pq_topk_df(
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
     )
+
+
+def serial_user_hll_df(sf_dir: str) -> pd.DataFrame:
+    """Serial mirror of relational.events_user_hll: one single-process HLL
+    per event_type over the raw (duplicated) user ids — register max is
+    idempotent, so block structure cannot matter."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .functions.sketch import hll_estimate, hll_registers
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+    df = t.to_pandas()
+    rows = []
+    for et in sorted(df["event_type"].unique()):
+        regs = hll_registers(df.loc[df["event_type"] == et, "user_id"].to_numpy())
+        rows.append(
+            {
+                "event_type": et,
+                "n_users_est": round(hll_estimate(regs), 2),
+                "nonzero_registers": int((regs > 0).sum()),
+            }
+        )
+    return pd.DataFrame(rows).astype({"nonzero_registers": "int64"})

@@ -102,3 +102,41 @@ def test_late_arrivals_watermark_rule():
     assert len(exp) > 0  # the pattern must actually produce late events
     assert list(out["event_id"]) == [e for e, _ in exp]
     assert list(out["late_by_s"]) == [s for _, s in exp]
+
+
+def test_user_hll_partition_invariance(tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ehr_relation_extraction_ray.functions.sketch import (
+        hll_estimate, hll_registers,
+    )
+    from ehr_relation_extraction_ray.pipelines.relational import (
+        events_user_hll,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 700, n).astype(np.int64),
+            "event_type": [f"t{i % 3}" for i in range(n)],
+            "ts": pd.Timestamp("2026-01-01"),
+            "value": np.zeros(n),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "events.parquet"))
+    out = events_user_hll(str(tmp_path))
+    assert len(out) == 3
+    for _, row in out.iterrows():
+        users = df.loc[df["event_type"] == row["event_type"], "user_id"]
+        exact = users.nunique()
+        serial = round(hll_estimate(hll_registers(users.to_numpy())), 2)
+        # distributed merge == serial fold (max is order/partition free)
+        assert row["n_users_est"] == serial
+        # and the estimate is within HLL's expected error of the truth
+        assert abs(row["n_users_est"] - exact) / exact < 0.1
