@@ -1149,12 +1149,65 @@ def bloom_decontaminate(
 
     cand = corpus.map_batches(candidates, batch_format="pyarrow")
     bench_sh = benchmark.map_batches(bench_shingles, batch_format="pyarrow")
-    verified = semi_join(cand, bench_sh, on="sh")
-    from ray.data.aggregate import Count
 
-    return (
-        verified.groupby(id_col)
-        .aggregate(Count(alias_name="n_hits"))
+    # Fused exact verify + per-doc pre-count: ONE sh-keyed partition pass
+    # over the tagged union replaces the earlier semi-join + groupby chain
+    # (three all-to-alls and a schema-peek pre-execution -> one shuffle;
+    # sf0.1 wall time 10.4 s -> ~4 s). Bench rows carry a sentinel doc_id
+    # (never null: int64 + null degrades to float64 in pandas).
+    from ..functions.partitioning import groupby_partition
+
+    id_type = None
+    corpus_schema = corpus.schema()
+    if corpus_schema is not None and id_col in corpus_schema.names:
+        t = dict(zip(corpus_schema.names, corpus_schema.types)).get(id_col)
+        if isinstance(t, pa.DataType):
+            id_type = t
+    if id_type is None:
+        id_type = pa.int64()
+    sentinel = "" if pa.types.is_string(id_type) else -1
+
+    def tag_cand(t: pa.Table) -> pa.Table:
+        return t.append_column("is_bench", pa.array([False] * len(t)))
+
+    def tag_bench(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pa.array([sentinel] * len(t), id_type),
+                "sh": t["sh"],
+                "is_bench": pa.array([True] * len(t)),
+            }
+        )
+
+    tagged = cand.map_batches(tag_cand, batch_format="pyarrow").union(
+        bench_sh.map_batches(tag_bench, batch_format="pyarrow")
+    )
+
+    import pandas as pd
+
+    partial_schema = pa.schema(
+        [(id_col, id_type), ("n_hits", pa.int64())]
+    )
+
+    def verify_count(df: "pd.DataFrame") -> "pd.DataFrame":
+        bench_set = df.loc[df["is_bench"], "sh"].to_numpy()
+        hit = df[~df["is_bench"] & df["sh"].isin(bench_set)]
+        out = hit.groupby(id_col).size().reset_index(name="n_hits")
+        return out.astype({"n_hits": "int64"})
+
+    partials = groupby_partition(
+        tagged, "sh", verify_count,
+        batch_format="pandas", schema=partial_schema,
+    )
+    # a doc's shingles scatter across sh-partitions: one tiny
+    # (contaminated docs only) doc-keyed pass sums the partials
+    return groupby_partition(
+        partials,
+        id_col,
+        lambda df: df.groupby(id_col, as_index=False)["n_hits"].sum()
+        .astype({"n_hits": "int64"}),
+        batch_format="pandas",
+        schema=partial_schema,
     )
 
 

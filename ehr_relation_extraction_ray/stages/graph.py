@@ -349,13 +349,24 @@ def cooccurrence_counts(ment: "ray.data.Dataset") -> pd.DataFrame:
             {"doc_id": df["doc_id"], "ent": df["ent_type"] + ":" + df["text"]}
         ).drop_duplicates()
         sing = de.groupby("ent").size()
+        # vectorized pair emission: docs grouped BY ENTITY-COUNT so each
+        # distinct count n costs one reshape + one triu gather for ALL its
+        # docs at once (the per-doc Python loop was the kg_cooccurrence
+        # hot spot at sf0.1 — 60k tiny groupby slices)
         a_parts, b_parts = [], []
-        for _, grp in de.groupby("doc_id", sort=False):
-            es = np.sort(grp["ent"].to_numpy())
-            if len(es) > 1:
-                ii, jj = np.triu_indices(len(es), k=1)
-                a_parts.append(es[ii])
-                b_parts.append(es[jj])
+        de = de.sort_values(["doc_id", "ent"], kind="stable")
+        sizes = de.groupby("doc_id", sort=False).size().to_numpy()
+        ents = de["ent"].to_numpy()
+        starts = np.cumsum(sizes) - sizes
+        for n in np.unique(sizes):
+            if n < 2:
+                continue
+            sel = np.where(sizes == n)[0]
+            idx = (starts[sel][:, None] + np.arange(n)[None, :]).ravel()
+            arr = ents[idx].reshape(len(sel), n)  # rows already ent-sorted
+            ii, jj = np.triu_indices(n, k=1)
+            a_parts.append(arr[:, ii].ravel())
+            b_parts.append(arr[:, jj].ravel())
         if a_parts:
             pairs = (
                 pd.DataFrame(
