@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": q.media_dedup,
         "events_user_hll": r.events_user_hll,
         "docs_zone_maps": r.docs_zone_maps,
+        "events_regression": r.events_regression,
+        "orders_half_crossing": r.orders_half_crossing,
     }
 
 
@@ -1534,6 +1536,40 @@ SELECT event_id, user_id,
 FROM w
 WHERE prev_max IS NOT NULL AND prev_max - tus > 60000000
 ORDER BY event_id
+""",
+        "events_regression": """
+WITH d AS (
+  SELECT event_type,
+         CAST(CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS DOUBLE) AS x,
+         value AS y
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(regr_slope(y, x), 6) AS slope,
+       round(regr_intercept(y, x), 6) AS intercept
+FROM d GROUP BY event_type ORDER BY event_type
+""",
+        "orders_half_crossing": """
+WITH w AS (
+  SELECT o_custkey, o_orderkey,
+         sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(o_totalprice) OVER (PARTITION BY o_custkey) AS tot,
+         count(*) OVER (PARTITION BY o_custkey) AS cnt,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+c AS (
+  SELECT o_custkey, o_orderkey, tot,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY rn) AS hit_rn
+  FROM w
+  WHERE round(2 * cum, 2) >= round(tot, 2) AND cnt >= 2
+)
+SELECT o_custkey, o_orderkey AS half_orderkey,
+       round(tot, 2) AS final_total
+FROM c WHERE hit_rn = 1 ORDER BY o_custkey
 """,
         "events_user_hll": f"""
 SELECT event_type, n_users_est, nonzero_registers

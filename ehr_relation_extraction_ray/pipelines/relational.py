@@ -1691,3 +1691,123 @@ def docs_zone_maps(sf_dir: str) -> pd.DataFrame:
         )
     )
     return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+def events_regression(sf_dir: str) -> pd.DataFrame:
+    """Per-group OLS (value ~ time-of-day seconds) via the closed-form
+    moment combiner: each block emits (n, Sx, Sy, Sxx, Sxy) per type —
+    five numbers, so the driver merge is |types| x blocks tiny — and the
+    slope/intercept algebra runs once on the merged sums. The same
+    mergeable-moments shape as events_variance_udaf/events_corr; oracle
+    is DuckDB's native regr_slope/regr_intercept."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def _xy(df: pd.DataFrame):
+        x = (
+            (df["ts"].astype("datetime64[us]").astype("int64") // 1_000_000)
+            % 86400
+        ).astype("float64")
+        return pd.DataFrame(
+            {"event_type": df["event_type"], "x": x,
+             "y": df["value"].astype("float64")}
+        )
+
+    def sums(df: pd.DataFrame) -> pd.DataFrame:
+        g = _xy(df)
+        agg = (
+            g.groupby("event_type")
+            .agg(n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"))
+            .reset_index()
+        )
+        return agg.astype({"n": "int64"})
+
+    p1 = ev.map_batches(sums, batch_format="pandas").to_pandas()
+    m1 = p1.groupby("event_type", as_index=False).sum()
+    means = {
+        r["event_type"]: (r["sx"] / r["n"], r["sy"] / r["n"])
+        for _, r in m1.iterrows()
+    }
+    means_ref = ray.put(means)
+
+    def centered(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.broadcast import bget
+
+        mm = bget(means_ref)
+        g = _xy(df)
+        mx = g["event_type"].map(lambda t: mm[t][0]).to_numpy()
+        my = g["event_type"].map(lambda t: mm[t][1]).to_numpy()
+        dx = g["x"].to_numpy() - mx
+        dy = g["y"].to_numpy() - my
+        g2 = pd.DataFrame(
+            {"event_type": g["event_type"], "cxx": dx * dx, "cxy": dx * dy}
+        )
+        return (
+            g2.groupby("event_type")
+            .agg(cxx=("cxx", "sum"), cxy=("cxy", "sum"))
+            .reset_index()
+        )
+
+    p2 = ev.map_batches(centered, batch_format="pandas").to_pandas()
+    m2 = p2.groupby("event_type", as_index=False).sum()
+    m = m1.merge(m2, on="event_type")
+    slope = m["cxy"].to_numpy() / m["cxx"].to_numpy()
+    intercept = (
+        m["sy"].to_numpy() - slope * m["sx"].to_numpy()
+    ) / m["n"].to_numpy()
+    out = pd.DataFrame(
+        {"event_type": m["event_type"], "n_events": m["n"].astype("int64"),
+         "slope": np.round(slope, 6), "intercept": np.round(intercept, 6)}
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def orders_half_crossing(sf_dir: str) -> pd.DataFrame:
+    """Per-key stateful scan: within each customer's (o_orderdate,
+    o_orderkey) order, the first order at which the running revenue
+    total crosses half the final total. One custkey-keyed partition
+    pass, vectorized groupwise cumsum inside (a keyed streaming state
+    machine shape — the running total never leaves the partition).
+    Customers with >= 2 orders only (the crossing is trivial otherwise).
+    """
+    from ..functions.partitioning import groupby_partition
+
+    orders = _pq(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def crossing(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        cum = df.groupby("o_custkey", sort=False)["o_totalprice"].cumsum()
+        tot = df.groupby("o_custkey", sort=False)["o_totalprice"].transform(
+            "sum"
+        )
+        cnt = df.groupby("o_custkey", sort=False)["o_orderkey"].transform(
+            "size"
+        )
+        # compare on 2-dp ROUNDED values: the oracle's window SUM may
+        # accumulate in a different order, and a last-ulp difference at
+        # the exact 2*cum == tot boundary would flip the crossing row
+        crossed = ((cum * 2.0).round(2) >= tot.round(2)) & (cnt >= 2)
+        hit = df[crossed].groupby("o_custkey", sort=False).head(1)
+        out = pd.DataFrame(
+            {
+                "o_custkey": hit["o_custkey"].to_numpy(),
+                "half_orderkey": hit["o_orderkey"].to_numpy(),
+                "final_total": tot[hit.index].round(2).to_numpy(),
+            }
+        )
+        return out.astype(
+            {"o_custkey": "int64", "half_orderkey": "int64"}
+        )
+
+    import pyarrow as _pa
+
+    schema = _pa.schema(
+        [("o_custkey", _pa.int64()), ("half_orderkey", _pa.int64()),
+         ("final_total", _pa.float64())]
+    )
+    out = groupby_partition(
+        orders, "o_custkey", crossing, batch_format="pandas", schema=schema
+    ).to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)
