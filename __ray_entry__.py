@@ -164,6 +164,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_zone_maps": r.docs_zone_maps,
         "events_regression": r.events_regression,
         "orders_half_crossing": r.orders_half_crossing,
+        "events_pareto": r.events_pareto,
+        "events_stream_join": r.events_stream_join,
+        "docs_upsert": q.docs_upsert,
     }
 
 
@@ -1536,6 +1539,42 @@ SELECT event_id, user_id,
 FROM w
 WHERE prev_max IS NOT NULL AND prev_max - tus > 60000000
 ORDER BY event_id
+""",
+        "events_pareto": """
+SELECT event_type, event_id FROM events e1
+WHERE NOT EXISTS (
+  SELECT 1 FROM events e2
+  WHERE e2.event_type = e1.event_type
+    AND e2.value >= e1.value AND e2.ts >= e1.ts
+    AND (e2.value > e1.value OR e2.ts > e1.ts))
+ORDER BY event_type, event_id
+""",
+        "events_stream_join": """
+SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+FROM events a JOIN events b
+  ON b.user_id = a.user_id AND b.event_id > a.event_id
+ AND b.event_type <> a.event_type
+ AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) AND epoch_us(a.ts) + 60000000
+GROUP BY a.user_id ORDER BY a.user_id
+""",
+        "docs_upsert": """
+WITH base AS (
+  SELECT doc_id, text, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS c
+  FROM documents
+),
+a AS (SELECT doc_id, md5(text) AS h FROM base),
+b AS (
+  SELECT doc_id,
+         CASE WHEN c IN ('1', '2') THEN md5(text || ' v2')
+              ELSE md5(text) END AS h
+  FROM base WHERE c <> '0'
+  UNION ALL
+  SELECT doc_id + 10000000, md5('new doc ' || CAST(doc_id AS VARCHAR))
+  FROM base WHERE c = '3'
+)
+SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id, COALESCE(b.h, a.h) AS h
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+ORDER BY doc_id
 """,
         "events_regression": """
 WITH d AS (

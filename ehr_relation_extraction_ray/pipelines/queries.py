@@ -2218,6 +2218,39 @@ def kg_node_similarity(sf_dir: str) -> pd.DataFrame:
     return graph.neighbor_jaccard(ds, min_jaccard=0.25)
 
 
+def _project_snapshot_a(t: pa.Table) -> pa.Table:
+    """(doc_id, md5(text)) digest projection of the documents table."""
+    ids = t["doc_id"].cast(pa.int64())
+    hs = [hashlib.md5((x or "").encode("utf-8")).hexdigest()
+          for x in t["text"].to_pylist()]
+    return pa.table({"doc_id": ids, "h": pa.array(hs, pa.string())})
+
+
+def _project_snapshot_b(t: pa.Table) -> pa.Table:
+    """Digest projection of the deterministic snapshot-B mutation keyed
+    on md5(doc_id)[0]: '0' dropped, '1'/'2' edited (' v2' suffix), '3'
+    additionally cloned under doc_id + 10_000_000."""
+    ids = t["doc_id"].cast(pa.int64()).to_pylist()
+    texts = [x or "" for x in t["text"].to_pylist()]
+    out_ids, out_h = [], []
+    for i, txt in zip(ids, texts):
+        c = hashlib.md5(str(i).encode()).hexdigest()[0]
+        if c == "0":
+            continue
+        body = txt + " v2" if c in ("1", "2") else txt
+        out_ids.append(i)
+        out_h.append(hashlib.md5(body.encode("utf-8")).hexdigest())
+        if c == "3":
+            out_ids.append(i + 10_000_000)
+            out_h.append(
+                hashlib.md5(("new doc " + str(i)).encode("utf-8")).hexdigest()
+            )
+    return pa.table(
+        {"doc_id": pa.array(out_ids, pa.int64()),
+         "h": pa.array(out_h, pa.string())}
+    )
+
+
 def docs_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     """CDC snapshot diff (stages/diff.snapshot_diff): snapshot B is a
     deterministic mutation of the documents table keyed on
@@ -2228,35 +2261,8 @@ def docs_snapshot_diff(sf_dir: str) -> pd.DataFrame:
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
-    def project_a(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].cast(pa.int64())
-        hs = [hashlib.md5((x or "").encode("utf-8")).hexdigest()
-              for x in t["text"].to_pylist()]
-        return pa.table({"doc_id": ids, "h": pa.array(hs, pa.string())})
-
-    def project_b(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].cast(pa.int64()).to_pylist()
-        texts = [x or "" for x in t["text"].to_pylist()]
-        out_ids, out_h = [], []
-        for i, txt in zip(ids, texts):
-            c = hashlib.md5(str(i).encode()).hexdigest()[0]
-            if c == "0":
-                continue
-            body = txt + " v2" if c in ("1", "2") else txt
-            out_ids.append(i)
-            out_h.append(hashlib.md5(body.encode("utf-8")).hexdigest())
-            if c == "3":
-                out_ids.append(i + 10_000_000)
-                out_h.append(
-                    hashlib.md5(("new doc " + str(i)).encode("utf-8")).hexdigest()
-                )
-        return pa.table(
-            {"doc_id": pa.array(out_ids, pa.int64()),
-             "h": pa.array(out_h, pa.string())}
-        )
-
-    a = docs.map_batches(project_a, batch_format="pyarrow")
-    b = docs.map_batches(project_b, batch_format="pyarrow")
+    a = docs.map_batches(_project_snapshot_a, batch_format="pyarrow")
+    b = docs.map_batches(_project_snapshot_b, batch_format="pyarrow")
     out = diff.snapshot_diff(a, b, key_col="doc_id", cmp_col="h").to_pandas()
     if out.empty:
         return pd.DataFrame(
@@ -2351,3 +2357,19 @@ def media_dedup(sf_dir: str) -> pd.DataFrame:
              "keep_id": pd.Series([], dtype=str)}
         )
     return out.sort_values("keep_id").reset_index(drop=True)
+
+
+def docs_upsert(sf_dir: str) -> pd.DataFrame:
+    """MERGE INTO (insert-or-update) applying the snapshot-B mutation
+    digests over snapshot A via stages/diff.upsert_apply; B wins on
+    conflict, A-only keys survive. Note B's '0'-class rows are absent
+    from B (deletes), so under upsert-without-tombstones they retain
+    their A digest — the oracle encodes exactly that."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    a = docs.map_batches(_project_snapshot_a, batch_format="pyarrow")
+    b = docs.map_batches(_project_snapshot_b, batch_format="pyarrow")
+    out = diff.upsert_apply(a, b, key_col="doc_id").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -1811,3 +1811,100 @@ def orders_half_crossing(sf_dir: str) -> pd.DataFrame:
         orders, "o_custkey", crossing, batch_format="pandas", schema=schema
     ).to_pandas()
     return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def _pareto_sweep(df: pd.DataFrame) -> pd.DataFrame:
+    """Non-dominated (maximize value, maximize ts) rows of one
+    event_type's frame. Dominance: v2>=v1, t2>=t1, strict in one; exact
+    (value, ts) duplicates are mutually non-dominating and all survive.
+    Vectorized sweep: per distinct value (desc), the group's max-ts rows
+    survive iff that max beats every higher-value group's max."""
+    gmax = (
+        df.groupby("value")["tus"].max().sort_index(ascending=False)
+    )
+    prev_best = gmax.cummax().shift(1, fill_value=np.iinfo(np.int64).min)
+    alive = gmax[gmax > prev_best]
+    key = pd.MultiIndex.from_frame(df[["value", "tus"]])
+    keep = key.isin(list(alive.items()))
+    return df[keep]
+
+
+def events_pareto(sf_dir: str) -> pd.DataFrame:
+    """Per-type Pareto frontier (skyline operator: maximize value AND
+    recency). Block-local frontier prune is a valid combiner —
+    frontier(union of frontiers) == frontier(all), because any dominated
+    point is dominated by some frontier point — so the driver's final
+    sweep sees only blocks x |local frontier| candidates, never the
+    table. Oracle: NOT EXISTS dominance SQL."""
+    ev = _pq(sf_dir, "events", columns=["event_id", "event_type", "ts", "value"])
+
+    def _typed_frontier(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby("event_type", group_keys=True)
+            .apply(_pareto_sweep, include_groups=False)
+            .reset_index(level=0)
+        )
+        return out[["event_id", "event_type", "value", "tus"]].astype(
+            {"event_id": "int64", "event_type": str, "tus": "int64"}
+        )
+
+    empty = pd.DataFrame(
+        {"event_id": pd.Series([], dtype="int64"),
+         "event_type": pd.Series([], dtype=str),
+         "value": pd.Series([], dtype="float64"),
+         "tus": pd.Series([], dtype="int64")}
+    )
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty
+        df = df.assign(
+            tus=df["ts"].astype("datetime64[us]").astype("int64")
+        )
+        return _typed_frontier(df)
+
+    cand = ev.map_batches(local, batch_format="pandas").to_pandas()
+    final = _typed_frontier(cand) if not cand.empty else empty
+    out = final[["event_type", "event_id"]]
+    return out.sort_values(["event_type", "event_id"]).reset_index(drop=True)
+
+
+def events_stream_join(sf_dir: str) -> pd.DataFrame:
+    """Stream-stream windowed self-join: per user, pairs of
+    different-type events within a 60 s forward window (the keyed
+    dual-buffer join a streaming runtime maintains). One user-keyed
+    partition pass; inside, per-event candidate windows come from
+    searchsorted bounds on the time-sorted arrays — state never leaves
+    the key partition. Digest: pair count per user."""
+    from ..functions.partitioning import groupby_partition
+
+    ev = _pq(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        tus_all = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        eid_all = df["event_id"].to_numpy()
+        type_all = df["event_type"].to_numpy()
+        for uid, idx in df.groupby("user_id", sort=False).indices.items():
+            t = tus_all[idx]
+            eid = eid_all[idx]
+            ty = type_all[idx]
+            n_pairs = 0
+            hi = np.searchsorted(t, t + 60_000_000, side="right")
+            for i in range(len(t)):
+                lo = np.searchsorted(t, t[i], side="left")
+                w = slice(lo, hi[i])
+                m = (eid[w] > eid[i]) & (ty[w] != ty[i])
+                n_pairs += int(m.sum())
+            if n_pairs:
+                rows.append((uid, n_pairs))
+        return pd.DataFrame(
+            rows, columns=["user_id", "n_pairs"]
+        ).astype({"user_id": "int64", "n_pairs": "int64"})
+
+    schema = pa.schema([("user_id", pa.int64()), ("n_pairs", pa.int64())])
+    out = groupby_partition(
+        ev, "user_id", pairs, batch_format="pandas", schema=schema
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -95,3 +95,43 @@ def snapshot_diff(
         batch_format="pandas",
         schema=out_schema,
     )
+
+
+def upsert_apply(
+    a: "ray.data.Dataset",
+    b: "ray.data.Dataset",
+    key_col: str = "doc_id",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """MERGE INTO semantics over snapshot projections: the result holds
+    every key of ``a`` and ``b``, with ``b``'s row winning on conflict
+    (insert-or-update; ``a`` rows without a ``b`` match survive).
+
+    Same movement discipline as :func:`snapshot_diff` — one tagged union
+    + one key-partition pass; at 10^12 rows nothing but the projected
+    columns shuffles. Deletions are out of scope here (pair with
+    snapshot_diff 'removed' rows when the source emits tombstones).
+    """
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_side", pa.array([side] * len(t), pa.string())
+            )
+
+        return fn
+
+    tagged = a.map_batches(tag("a"), batch_format="pyarrow").union(
+        b.map_batches(tag("b"), batch_format="pyarrow")
+    )
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        # b first, then one-per-key keeps the b row when both exist
+        df = df.sort_values("_side", ascending=False, kind="stable")
+        out = df.drop_duplicates(subset=[key_col], keep="first")
+        return out.drop(columns=["_side"]).reset_index(drop=True)
+
+    return groupby_partition(
+        tagged, key_col, resolve,
+        num_partitions=num_partitions, batch_format="pandas",
+    )

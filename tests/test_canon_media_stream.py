@@ -140,3 +140,56 @@ def test_user_hll_partition_invariance(tmp_path):
         assert row["n_users_est"] == serial
         # and the estimate is within HLL's expected error of the truth
         assert abs(row["n_users_est"] - exact) / exact < 0.1
+
+
+def test_pareto_sweep_vs_bruteforce():
+    from ehr_relation_extraction_ray.pipelines.relational import _pareto_sweep
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(200, dtype=np.int64),
+            "value": rng.integers(0, 12, 200).astype("float64"),
+            "tus": rng.integers(0, 15, 200).astype("int64"),
+        }
+    )
+    got = set(_pareto_sweep(df)["event_id"])
+    exp = set()
+    pts = df[["value", "tus"]].to_numpy()
+    for i in range(len(df)):
+        dominated = False
+        for j in range(len(df)):
+            if i == j:
+                continue
+            v2, t2 = pts[j]
+            v1, t1 = pts[i]
+            if v2 >= v1 and t2 >= t1 and (v2 > v1 or t2 > t1):
+                dominated = True
+                break
+        if not dominated:
+            exp.add(int(df["event_id"][i]))
+    assert got == exp
+    # combiner property: frontier(union of split frontiers) == frontier
+    half = len(df) // 2
+    f1 = _pareto_sweep(df.iloc[:half])
+    f2 = _pareto_sweep(df.iloc[half:])
+    merged = _pareto_sweep(pd.concat([f1, f2], ignore_index=True))
+    assert set(merged["event_id"]) == exp
+
+
+def test_upsert_apply_b_wins():
+    from ehr_relation_extraction_ray.stages import diff as diff_mod
+
+    a = pd.DataFrame({"doc_id": [1, 2, 3], "h": ["a1", "a2", "a3"]})
+    b = pd.DataFrame({"doc_id": [2, 4], "h": ["B2", "B4"]})
+    out = (
+        diff_mod.upsert_apply(
+            ray.data.from_pandas(a).repartition(2),
+            ray.data.from_pandas(b).repartition(2),
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [1, 2, 3, 4]
+    assert list(out["h"]) == ["a1", "B2", "a3", "B4"]
