@@ -167,6 +167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pareto": r.events_pareto,
         "events_stream_join": r.events_stream_join,
         "docs_upsert": q.docs_upsert,
+        "embeddings_dim_ablation": q.embeddings_dim_ablation,
+        "kg_kcore": q.kg_kcore,
+        "kg_pred_cardinality": q.kg_pred_cardinality,
     }
 
 
@@ -1539,6 +1542,42 @@ SELECT event_id, user_id,
 FROM w
 WHERE prev_max IS NOT NULL AND prev_max - tus > 60000000
 ORDER BY event_id
+""",
+        "embeddings_dim_ablation": """
+WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+            WHERE vec_id IN (0, 1, 2)),
+fr AS (
+  SELECT qv.query_id, e.vec_id,
+         row_number() OVER (
+           PARTITION BY qv.query_id
+           ORDER BY list_cosine_similarity(e.embedding, qv.qe) DESC,
+                    e.vec_id) AS rank
+  FROM embeddings e CROSS JOIN qv
+),
+hr AS (
+  SELECT qv.query_id, e.vec_id,
+         row_number() OVER (
+           PARTITION BY qv.query_id
+           ORDER BY list_cosine_similarity(e.embedding[1:32], qv.qe[1:32])
+                    DESC, e.vec_id) AS rank
+  FROM embeddings e CROSS JOIN qv
+)
+SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+FROM (SELECT query_id, vec_id FROM fr WHERE rank <= 5) f
+JOIN (SELECT query_id, vec_id FROM hr WHERE rank <= 5) h
+  USING (query_id, vec_id)
+GROUP BY f.query_id ORDER BY f.query_id
+""",
+        "kg_kcore": f"""
+SELECT node, core FROM read_parquet('{_fixture("kg_kcore")}')
+ORDER BY node
+""",
+        "kg_pred_cardinality": f"""
+SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_obj
+FROM read_parquet('{_fixture("kg_triples")}')
+GROUP BY pred ORDER BY pred
 """,
         "events_pareto": """
 SELECT event_type, event_id FROM events e1

@@ -2373,3 +2373,105 @@ def docs_upsert(sf_dir: str) -> pd.DataFrame:
     out = diff.upsert_apply(a, b, key_col="doc_id").to_pandas()
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def embeddings_dim_ablation(sf_dir: str, half: int = 32, k: int = 5) -> pd.DataFrame:
+    """Matryoshka-style dimension ablation: per probe query, the overlap
+    between the full-dim cosine top-k and the first-``half``-dims top-k
+    (the quality signal for truncating stored embeddings). Two
+    brute_force_topk passes — streamed partial top-k, driver set
+    overlap; the truncation happens per batch (zero-copy slice), the
+    corpus is never re-materialized at the lower dim."""
+    from ..stages import similarity
+
+    vecs = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qdf = (
+        vecs.filter(expr="vec_id <= 2")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    qids = qdf["vec_id"].to_numpy()
+    full = similarity.brute_force_topk(vecs, queries, query_ids=qids, k=k)
+
+    def truncate(t: pa.Table) -> pa.Table:
+        mat = np.stack(
+            [np.asarray(v)[:half] for v in t["embedding"].to_pylist()]
+        )
+        return pa.table(
+            {"vec_id": t["vec_id"],
+             "embedding": pa.array(list(mat), pa.list_(pa.float32()))}
+        )
+
+    half_ds = vecs.map_batches(truncate, batch_format="pyarrow")
+    halftop = similarity.brute_force_topk(
+        half_ds, queries[:, :half], query_ids=qids, k=k
+    )
+    rows = []
+    for qid in qids:
+        f = set(full.loc[full["query_id"] == qid, "vec_id"])
+        h = set(halftop.loc[halftop["query_id"] == qid, "vec_id"])
+        rows.append((int(qid), len(f & h)))
+    return pd.DataFrame(rows, columns=["query_id", "n_overlap"]).astype(
+        {"query_id": "int64", "n_overlap": "int64"}
+    )
+
+
+def kg_kcore(sf_dir: str) -> pd.DataFrame:
+    """K-core decomposition of the entity co-occurrence graph (edges =
+    pairs co-occurring in >= 2 docs) — the KG noise-pruning signal
+    (nodes below core k drop out of a k-dense backbone). Edge partials
+    are distributed (same co-occurrence pass as kg_triangles); the peel
+    itself is driver math over the ontology-bounded edge set. Oracle:
+    independent iterated-deletion fixture."""
+    counts = _cooccurrence(sf_dir)
+    pairs = counts[counts["is_pair"] & (counts["n"] >= 2)]
+    return graph.kcore(pairs, a_col="ent_a", b_col="ent_b")
+
+
+def kg_pred_cardinality(sf_dir: str) -> pd.DataFrame:
+    """Relation-type cardinality profile over the distinct triple set:
+    per predicate, triple count + distinct subject/object counts — the
+    schema-quality report a KG curator reads before canonicalization.
+    Distinct pairs pre-reduce per block (combiner), the final count is a
+    pred-keyed partition pass (predicate space = closed ontology)."""
+    from ..functions.partitioning import groupby_partition
+
+    tri = _triples(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["pred", "subj", "obj"]]
+        su = df[["pred", "subj"]].drop_duplicates()
+        ob = df[["pred", "obj"]].drop_duplicates()
+        n = df.groupby("pred").size().reset_index(name="c")
+        su = su.rename(columns={"subj": "v"}).assign(kind="s")
+        ob = ob.rename(columns={"obj": "v"}).assign(kind="o")
+        cn = n.rename(columns={"c": "v"}).assign(kind="n")
+        cn["v"] = cn["v"].astype(str)
+        out = pd.concat([su, ob, cn], ignore_index=True)
+        return out.astype({"pred": str, "v": str, "kind": str})
+
+    parts = tri.map_batches(partial, batch_format="pandas")
+
+    schema = pa.schema(
+        [("pred", pa.string()), ("n_triples", pa.int64()),
+         ("n_subj", pa.int64()), ("n_obj", pa.int64())]
+    )
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pred, grp in df.groupby("pred", sort=False):
+            n = grp.loc[grp["kind"] == "n", "v"].astype("int64").sum()
+            rows.append(
+                (pred, int(n),
+                 grp.loc[grp["kind"] == "s", "v"].nunique(),
+                 grp.loc[grp["kind"] == "o", "v"].nunique())
+            )
+        return pd.DataFrame(
+            rows, columns=["pred", "n_triples", "n_subj", "n_obj"]
+        ).astype({"n_triples": "int64", "n_subj": "int64", "n_obj": "int64"})
+
+    out = groupby_partition(
+        parts, "pred", reduce, batch_format="pandas", schema=schema
+    ).to_pandas()
+    return out.sort_values("pred").reset_index(drop=True)

@@ -1051,6 +1051,8 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_nodes_df(_transcript_docs(sf_dir), fuzzy_max_d=1)
     if name == "events_user_hll":
         return serial_user_hll_df(sf_dir)
+    if name == "kg_kcore":
+        return serial_kcore_df(_transcript_docs(sf_dir))
     if name == "kg_conll_export":
         return serial_conll_label_counts_df(_transcript_docs(sf_dir))
     if name == "kg_re_export":
@@ -1250,3 +1252,45 @@ def serial_user_hll_df(sf_dir: str) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(rows).astype({"nonzero_registers": "int64"})
+
+
+def serial_kcore_df(docs: Dict[str, str]) -> pd.DataFrame:
+    """Serial k-core fixture: naive per-doc co-occurrence edges (>= 2
+    co-docs) + ITERATED-DELETION core numbers — for each k ascending,
+    repeatedly delete nodes of degree < k until stable; a node's core is
+    the last k it survived. Independent of the engine's single-pass
+    peel."""
+    compiled = compile_patterns(fit_patterns(DEFAULT_LEXICON))
+    pair_docs: Dict[Tuple[str, str], int] = {}
+    for text in docs.values():
+        ents = sorted(
+            {f"{et}:{surf}" for _i, et, _s, _e, surf in naive_dict_ner(text, compiled)}
+        )
+        for i, a in enumerate(ents):
+            for b in ents[i + 1:]:
+                pair_docs[(a, b)] = pair_docs.get((a, b), 0) + 1
+    edges = [(a, b) for (a, b), n in pair_docs.items() if n >= 2 and a != b]
+    nodes = sorted({v for e in edges for v in e})
+    core = {v: 0 for v in nodes}
+    k = 1
+    alive = set(nodes)
+    while alive:
+        # compute the k-core by iterated deletion
+        sub = set(alive)
+        changed = True
+        while changed:
+            deg: Dict[str, int] = {v: 0 for v in sub}
+            for a, b in edges:
+                if a in sub and b in sub:
+                    deg[a] += 1
+                    deg[b] += 1
+            drop = {v for v in sub if deg[v] < k}
+            changed = bool(drop)
+            sub -= drop
+        for v in sub:
+            core[v] = k
+        alive = sub
+        k += 1
+    return pd.DataFrame(
+        {"node": nodes, "core": pd.Series([core[v] for v in nodes], dtype="int64")}
+    ).sort_values("node").reset_index(drop=True)

@@ -549,3 +549,54 @@ def neighbor_jaccard(
          "jaccard": np.round(jac[keep], 6)}
     )
     return out.sort_values(["ent_a", "ent_b"]).reset_index(drop=True)
+
+
+def kcore(
+    edges: pd.DataFrame,
+    a_col: str = "ent_a",
+    b_col: str = "ent_b",
+) -> pd.DataFrame:
+    """K-core decomposition (Matula/Beck peeling): each node's core
+    number = the largest k such that it survives in the subgraph where
+    every node has degree >= k. The KG-pruning companion to
+    triangles/pagerank — driver math over the ontology-bounded
+    co-occurrence edge set (same justification documented at
+    :func:`triangles`); an open node space would distribute the
+    per-round degree recompute as partition partials.
+
+    Returns (node, core) for every node with >= 1 edge, node-sorted.
+    """
+    adj: dict = {}
+    for a, b in zip(edges[a_col], edges[b_col]):
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core: dict = {}
+    # peel ascending k; deterministic order via sorted node names
+    remaining = dict(deg)
+    k = 0
+    while remaining:
+        k_candidates = [v for v, d in remaining.items() if d <= k]
+        if not k_candidates:
+            k += 1
+            continue
+        for v in sorted(k_candidates):
+            if v not in remaining or remaining[v] > k:
+                continue
+            core[v] = k
+            del remaining[v]
+            for u in adj[v]:
+                if u in remaining:
+                    remaining[u] = max(remaining[u] - 1, 0)
+        # re-scan at same k: decrements may pull more nodes to <= k
+    if not core:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=str),
+             "core": pd.Series([], dtype="int64")}
+        )
+    out = pd.DataFrame(
+        {"node": list(core.keys()),
+         "core": pd.Series(list(core.values()), dtype="int64")}
+    )
+    return out.sort_values("node").reset_index(drop=True)

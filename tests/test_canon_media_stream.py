@@ -193,3 +193,39 @@ def test_upsert_apply_b_wins():
     )
     assert list(out["doc_id"]) == [1, 2, 3, 4]
     assert list(out["h"]) == ["a1", "B2", "a3", "B4"]
+
+
+def test_kcore_matches_iterated_deletion():
+    from ehr_relation_extraction_ray.stages.graph import kcore
+
+    rng = np.random.default_rng(7)
+    n_nodes = 24
+    pairs = set()
+    for _ in range(60):
+        a, b = rng.integers(0, n_nodes, 2)
+        if a != b:
+            pairs.add((f"n{min(a, b):02d}", f"n{max(a, b):02d}"))
+    edges = pd.DataFrame(list(pairs), columns=["ent_a", "ent_b"])
+    got = dict(zip(kcore(edges)["node"], kcore(edges)["core"]))
+
+    # independent iterated-deletion reference
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    exp = {v: 0 for v in adj}
+    k = 1
+    alive = set(adj)
+    while alive:
+        sub = set(alive)
+        while True:
+            drop = {v for v in sub
+                    if len(adj[v] & sub) < k}
+            if not drop:
+                break
+            sub -= drop
+        for v in sub:
+            exp[v] = k
+        alive = sub
+        k += 1
+    assert got == exp
