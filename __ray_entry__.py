@@ -170,6 +170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_dim_ablation": q.embeddings_dim_ablation,
         "kg_kcore": q.kg_kcore,
         "kg_pred_cardinality": q.kg_pred_cardinality,
+        "embeddings_int8_quant": q.embeddings_int8_quant,
+        "events_hourly_distinct": r.events_hourly_distinct,
+        "events_day_over_day": r.events_day_over_day,
     }
 
 
@@ -1542,6 +1545,40 @@ SELECT event_id, user_id,
 FROM w
 WHERE prev_max IS NOT NULL AND prev_max - tus > 60000000
 ORDER BY event_id
+""",
+        "embeddings_int8_quant": """
+WITH x AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cal AS (
+  SELECT dim, min(v) AS lo, max(v) AS hi, count(*) AS n,
+         (max(v) - min(v)) / 255.0 AS scale
+  FROM x GROUP BY dim
+)
+SELECT x.dim, round(cal.scale, 6) AS scale,
+       round(avg(abs(
+         least(greatest(round((x.v - cal.lo) / greatest(cal.scale, 1e-30)),
+                        0), 255) * cal.scale + cal.lo - x.v)), 6) AS mae
+FROM x JOIN cal USING (dim)
+GROUP BY x.dim, cal.scale ORDER BY x.dim
+""",
+        "events_hourly_distinct": """
+SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1 ORDER BY hour
+""",
+        "events_day_over_day": """
+WITH d AS (
+  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       CAST(COALESCE(n - lag(n) OVER (
+         PARTITION BY event_type ORDER BY day), 0) AS BIGINT) AS delta
+FROM d ORDER BY event_type, day
 """,
         "embeddings_dim_ablation": """
 WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings

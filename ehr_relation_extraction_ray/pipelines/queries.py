@@ -2475,3 +2475,63 @@ def kg_pred_cardinality(sf_dir: str) -> pd.DataFrame:
         parts, "pred", reduce, batch_format="pandas", schema=schema
     ).to_pandas()
     return out.sort_values("pred").reset_index(drop=True)
+
+
+def embeddings_int8_quant(sf_dir: str) -> pd.DataFrame:
+    """Scalar int8 quantization audit: per dimension, the (min, max)
+    calibration from one streamed pass of block partials, then a second
+    broadcast-constant pass measuring mean absolute reconstruction
+    error — the storage-reduction quality report (PQ's scalar cousin).
+    Two zero-shuffle passes; dim-bounded driver merges only."""
+    from ..functions.broadcast import bget
+
+    vecs = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+
+    def minmax(t: pa.Table) -> pa.Table:
+        m = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()])
+        d = m.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "lo": pa.array(m.min(axis=0).astype(np.float64)),
+                "hi": pa.array(m.max(axis=0).astype(np.float64)),
+                "n": pa.array(np.full(d, len(m), dtype=np.int64)),
+            }
+        )
+
+    p1 = vecs.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    cal = p1.groupby("dim").agg(lo=("lo", "min"), hi=("hi", "max"),
+                                n=("n", "sum"))
+    lo = cal["lo"].to_numpy()
+    hi = cal["hi"].to_numpy()
+    scale = (hi - lo) / 255.0
+    cal_ref = ray.put((lo, scale))
+
+    def err(t: pa.Table) -> pa.Table:
+        lo_, scale_ = bget(cal_ref)
+        m = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+        )
+        q = np.clip(np.round((m - lo_) / np.maximum(scale_, 1e-30)), 0, 255)
+        rec = q * scale_ + lo_
+        ae = np.abs(rec - m)
+        d = m.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "sae": pa.array(ae.sum(axis=0)),
+            }
+        )
+
+    p2 = vecs.map_batches(err, batch_format="pyarrow").to_pandas()
+    sae = p2.groupby("dim")["sae"].sum()
+    out = pd.DataFrame(
+        {
+            "dim": cal.index.to_numpy(dtype="int64"),
+            "scale": np.round(scale, 6),
+            "mae": np.round(sae.to_numpy() / cal["n"].to_numpy(), 6),
+        }
+    )
+    return out.sort_values("dim").reset_index(drop=True)

@@ -1908,3 +1908,74 @@ def events_stream_join(sf_dir: str) -> pd.DataFrame:
         ev, "user_id", pairs, batch_format="pandas", schema=schema
     ).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def events_hourly_distinct(sf_dir: str) -> pd.DataFrame:
+    """Windowed COUNT DISTINCT: distinct users per event-time hour —
+    tumbling-window holistic aggregate. Block combiner pre-distincts
+    (hour, user) pairs, then one hour-keyed partition pass counts
+    uniques; the hour key co-locates each window's state exactly like a
+    streaming keyed-window operator."""
+    from ..functions.partitioning import groupby_partition
+
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        hour = (
+            df["ts"].astype("datetime64[us]").astype("int64")
+            // 3_600_000_000
+        )
+        out = pd.DataFrame(
+            {"hour": hour, "user_id": df["user_id"]}
+        ).drop_duplicates()
+        return out.astype({"hour": "int64", "user_id": "int64"})
+
+    dd = ev.map_batches(pairs, batch_format="pandas")
+
+    schema = pa.schema([("hour", pa.int64()), ("n_users", pa.int64())])
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.drop_duplicates()
+            .groupby("hour")["user_id"].nunique()
+            .reset_index(name="n_users")
+        )
+        return out.astype({"hour": "int64", "n_users": "int64"})
+
+    out = groupby_partition(
+        dd, "hour", count, batch_format="pandas", schema=schema
+    ).to_pandas()
+    return out.sort_values("hour").reset_index(drop=True)
+
+
+def events_day_over_day(sf_dir: str) -> pd.DataFrame:
+    """Period-over-period report: per (event_type, day) event counts and
+    the signed change vs the type's previous OBSERVED day (LAG over the
+    aggregated series). The aggregation is a block combiner + one
+    dimension-bounded driver merge; the lag runs on the (types x days)
+    result — the standard two-tier shape for metric dashboards."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["ts"].astype("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        )
+        out = (
+            pd.DataFrame({"event_type": df["event_type"], "day": day})
+            .groupby(["event_type", "day"])
+            .size()
+            .reset_index(name="n")
+        )
+        return out.astype({"day": "int64", "n": "int64"})
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = (
+        parts.groupby(["event_type", "day"], as_index=False)["n"].sum()
+        .sort_values(["event_type", "day"])
+    )
+    agg["delta"] = (
+        agg.groupby("event_type")["n"].diff().fillna(0).astype("int64")
+    )
+    agg["n"] = agg["n"].astype("int64")
+    return agg.reset_index(drop=True)
