@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_int8_quant": q.embeddings_int8_quant,
         "events_hourly_distinct": r.events_hourly_distinct,
         "events_day_over_day": r.events_day_over_day,
+        "kg_random_walks": q.kg_random_walks,
+        "docs_retrieve_rerank": q.docs_retrieve_rerank,
     }
 
 
@@ -210,6 +212,37 @@ def _media_sql_path() -> str:
     from ehr_relation_extraction_ray.pipelines import queries as q
 
     return q.media_path(SF_CORRECTNESS_DIR)
+
+
+
+_BM25_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents)
+  WHERE length(tok) > 0
+),
+dl AS (
+  SELECT d.doc_id, COALESCE(t.c, 0) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY doc_id) t
+    USING (doc_id)
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+q(term) AS (VALUES ('spark'), ('window'), ('join')),
+tf AS (
+  SELECT t.doc_id, t.tok AS term, count(*) AS tf
+  FROM toks t JOIN q ON t.tok = q.term GROUP BY t.doc_id, t.tok
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)"""
 
 
 def _mentions_cte(tp: str) -> str:
@@ -1464,36 +1497,25 @@ ORDER BY ent_type, link_method
 SELECT kind, span_chars, n FROM read_parquet('{_fixture("brat_ingest")}')
 ORDER BY kind
 """,
-        "docs_bm25": r"""
-WITH toks AS (
-  SELECT doc_id, tok FROM (
-    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
-    FROM documents)
-  WHERE length(tok) > 0
-),
-dl AS (
-  SELECT d.doc_id, COALESCE(t.c, 0) AS dl
-  FROM documents d
-  LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY doc_id) t
-    USING (doc_id)
-),
-stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-q(term) AS (VALUES ('spark'), ('window'), ('join')),
-tf AS (
-  SELECT t.doc_id, t.tok AS term, count(*) AS tf
-  FROM toks t JOIN q ON t.tok = q.term GROUP BY t.doc_id, t.tok
-),
-df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
-scored AS (
-  SELECT tf.doc_id,
-         sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
-             * tf.tf * 2.2
-             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
-  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
-  GROUP BY tf.doc_id
-)
+        "docs_bm25": _BM25_CTE + """
 SELECT doc_id, round(score, 6) AS score
 FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+""",
+        "docs_retrieve_rerank": _BM25_CTE + """,
+s1 AS (
+  SELECT doc_id, round(score, 6) AS score
+  FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20
+),
+ph AS (
+  SELECT d.doc_id,
+         CAST((length(lower(d.text))
+               - length(replace(lower(d.text), 'window join', '')))
+              // length('window join') AS BIGINT) AS n_phrase
+  FROM documents d JOIN s1 USING (doc_id)
+)
+SELECT s1.doc_id, ph.n_phrase, s1.score
+FROM s1 JOIN ph USING (doc_id)
+ORDER BY ph.n_phrase DESC, s1.score DESC, s1.doc_id LIMIT 5
 """,
         "docs_typo_pairs": r"""
 WITH toks AS (
@@ -1608,6 +1630,11 @@ GROUP BY f.query_id ORDER BY f.query_id
         "kg_kcore": f"""
 SELECT node, core FROM read_parquet('{_fixture("kg_kcore")}')
 ORDER BY node
+""",
+        "kg_random_walks": f"""
+SELECT start, walk_idx, path
+FROM read_parquet('{_fixture("kg_random_walks")}')
+ORDER BY start, walk_idx
 """,
         "kg_pred_cardinality": f"""
 SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,

@@ -2535,3 +2535,64 @@ def embeddings_int8_quant(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values("dim").reset_index(drop=True)
+
+
+def kg_random_walks(sf_dir: str) -> pd.DataFrame:
+    """DeepWalk-style deterministic walk corpus over the co-occurrence
+    graph (edges with >= 2 co-docs): the graph-embedding training-data
+    prep stage. Oracle: serial recomputation fixture (same md5 hop rule,
+    single process, plain dicts)."""
+    counts = _cooccurrence(sf_dir)
+    pairs = counts[counts["is_pair"] & (counts["n"] >= 2)][["ent_a", "ent_b"]]
+    if pairs.empty:
+        return pd.DataFrame(
+            {"start": pd.Series([], dtype=str),
+             "walk_idx": pd.Series([], dtype="int64"),
+             "path": pd.Series([], dtype=str)}
+        )
+    out = graph.random_walks(pairs).to_pandas()
+    out["walk_idx"] = out["walk_idx"].astype("int64")
+    return out.sort_values(["start", "walk_idx"]).reset_index(drop=True)
+
+
+def docs_retrieve_rerank(sf_dir: str) -> pd.DataFrame:
+    """Two-stage retrieval: BM25 recall (top-20) then a second-stage
+    rerank scoring ONLY the broadcast candidate set — the
+    ANN/BM25-then-cross-encoder shape with a deterministic surrogate
+    reranker (count of the exact phrase 'window join'). Final order:
+    phrase count desc, BM25 desc, doc_id; top-5."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    stage1 = text_analysis.bm25_topk(docs, ["spark", "window", "join"], k=20)
+    cand_ids = set(int(x) for x in stage1["doc_id"])
+    bm25 = {int(r["doc_id"]): float(r["score"]) for _, r in stage1.iterrows()}
+    cand_ref = ray.put(cand_ids)
+
+    def rerank(t: pa.Table) -> pa.Table:
+        from ..functions.broadcast import bget
+
+        cs = bget(cand_ref)
+        ids = [int(x) for x in t["doc_id"].to_pylist()]
+        keep = [i for i, d in enumerate(ids) if d in cs]
+        out_ids, phr = [], []
+        for i in keep:
+            txt = (t["text"][i].as_py() or "").lower()
+            out_ids.append(ids[i])
+            phr.append(txt.count("window join"))
+        return pa.table(
+            {"doc_id": pa.array(out_ids, pa.int64()),
+             "n_phrase": pa.array(phr, pa.int64())}
+        )
+
+    scored = docs.map_batches(rerank, batch_format="pyarrow").to_pandas()
+    scored["score"] = scored["doc_id"].map(bm25).round(6)
+    order = np.lexsort(
+        (scored["doc_id"].to_numpy(),
+         -scored["score"].to_numpy(),
+         -scored["n_phrase"].to_numpy())
+    )[:5]
+    out = scored.iloc[order][["doc_id", "n_phrase", "score"]]
+    return out.astype({"doc_id": "int64", "n_phrase": "int64"}).reset_index(
+        drop=True
+    )

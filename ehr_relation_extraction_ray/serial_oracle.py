@@ -1053,6 +1053,8 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_user_hll_df(sf_dir)
     if name == "kg_kcore":
         return serial_kcore_df(_transcript_docs(sf_dir))
+    if name == "kg_random_walks":
+        return serial_random_walks_df(_transcript_docs(sf_dir))
     if name == "kg_conll_export":
         return serial_conll_label_counts_df(_transcript_docs(sf_dir))
     if name == "kg_re_export":
@@ -1294,3 +1296,40 @@ def serial_kcore_df(docs: Dict[str, str]) -> pd.DataFrame:
     return pd.DataFrame(
         {"node": nodes, "core": pd.Series([core[v] for v in nodes], dtype="int64")}
     ).sort_values("node").reset_index(drop=True)
+
+
+def serial_random_walks_df(docs: Dict[str, str]) -> pd.DataFrame:
+    """Serial mirror of graph.random_walks over the naive co-occurrence
+    edges (>= 2 co-docs): same md5 hop rule, plain dict adjacency."""
+    import hashlib
+
+    compiled = compile_patterns(fit_patterns(DEFAULT_LEXICON))
+    pair_docs: Dict[Tuple[str, str], int] = {}
+    for text in docs.values():
+        ents = sorted(
+            {f"{et}:{surf}" for _i, et, _s, _e, surf in naive_dict_ner(text, compiled)}
+        )
+        for i, a in enumerate(ents):
+            for b in ents[i + 1:]:
+                pair_docs[(a, b)] = pair_docs.get((a, b), 0) + 1
+    adj: Dict[str, list] = {}
+    for (a, b), n in pair_docs.items():
+        if n >= 2 and a != b:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+    adj = {v: sorted(set(ns)) for v, ns in adj.items()}
+    rows = []
+    for s in sorted(adj):
+        for w in range(2):
+            cur = s
+            path = [cur]
+            for step in range(4):
+                ns = adj.get(cur)
+                if not ns:
+                    break
+                key = f"{s}\x00{w}\x00{step}\x00{cur}".encode("utf-8")
+                pick = int.from_bytes(hashlib.md5(key).digest()[:8], "big") % len(ns)
+                cur = ns[pick]
+                path.append(cur)
+            rows.append({"start": s, "walk_idx": w, "path": "|".join(path)})
+    return pd.DataFrame(rows).astype({"walk_idx": "int64"})

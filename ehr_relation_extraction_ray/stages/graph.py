@@ -600,3 +600,71 @@ def kcore(
          "core": pd.Series(list(core.values()), dtype="int64")}
     )
     return out.sort_values("node").reset_index(drop=True)
+
+
+def random_walks(
+    edges: pd.DataFrame,
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+    a_col: str = "ent_a",
+    b_col: str = "ent_b",
+) -> "ray.data.Dataset":
+    """Deterministic DeepWalk-style walk corpus (Perozzi et al. 2014's
+    data-prep step): ``walks_per_node`` walks of ``walk_len`` hops from
+    every node; the next hop indexes the SORTED neighbor list by an
+    md5-derived value of (start, walk_idx, step, current) — reproducible
+    at any parallelism, no RNG state.
+
+    Distributed shape: the ontology-bounded adjacency is ``ray.put``
+    once and every task extends its start-nodes' walks locally — zero
+    shuffles. An open node space swaps the broadcast for one
+    current-node-keyed partition join PER STEP (walk frontier as a
+    dataset), noted here as the scale path.
+
+    Returns a Dataset (start, walk_idx, path) with '|'-joined paths.
+    """
+    import hashlib
+
+    adj: dict = {}
+    for a, b in zip(edges[a_col], edges[b_col]):
+        if a != b:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+    adj = {v: sorted(set(ns)) for v, ns in adj.items()}
+    adj_ref = ray.put(adj)
+
+    nodes = ray.data.from_pandas(
+        pd.DataFrame({"start": sorted(adj.keys())})
+    )
+
+    def walk(t: pa.Table) -> pa.Table:
+        from ..functions.broadcast import bget
+
+        neigh = bget(adj_ref)
+        starts, widx, paths = [], [], []
+        for s in t["start"].to_pylist():
+            for w in range(walks_per_node):
+                cur = s
+                path = [cur]
+                for step in range(walk_len):
+                    ns = neigh.get(cur)
+                    if not ns:
+                        break
+                    key = f"{s}\x00{w}\x00{step}\x00{cur}".encode("utf-8")
+                    pick = int.from_bytes(
+                        hashlib.md5(key).digest()[:8], "big"
+                    ) % len(ns)
+                    cur = ns[pick]
+                    path.append(cur)
+                starts.append(s)
+                widx.append(w)
+                paths.append("|".join(path))
+        return pa.table(
+            {
+                "start": pa.array(starts, pa.string()),
+                "walk_idx": pa.array(widx, pa.int64()),
+                "path": pa.array(paths, pa.string()),
+            }
+        )
+
+    return nodes.map_batches(walk, batch_format="pyarrow")
