@@ -175,6 +175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_day_over_day": r.events_day_over_day,
         "kg_random_walks": q.kg_random_walks,
         "docs_retrieve_rerank": q.docs_retrieve_rerank,
+        "docs_split_leakage": q.docs_split_leakage,
+        "kg_turn_dedup": q.kg_turn_dedup,
     }
 
 
@@ -1636,6 +1638,32 @@ SELECT start, walk_idx, path
 FROM read_parquet('{_fixture("kg_random_walks")}')
 ORDER BY start, walk_idx
 """,
+        "docs_split_leakage": f"""
+WITH pairs AS ({_NGRAM_JACCARD_SQL}),
+tagged AS (
+  SELECT doc_a, doc_b,
+         CASE WHEN substr(md5(doc_a), 1, 1) IN ('0','1','2','3')
+              THEN 'dev' ELSE 'train' END AS split_a,
+         CASE WHEN substr(md5(doc_b), 1, 1) IN ('0','1','2','3')
+              THEN 'dev' ELSE 'train' END AS split_b
+  FROM pairs
+)
+SELECT doc_a, doc_b, split_a, split_b FROM tagged
+WHERE split_a <> split_b ORDER BY doc_a, doc_b
+""",
+        "kg_turn_dedup": """
+WITH t AS (
+  SELECT conv_id, COALESCE(text, '') AS text,
+         lag(COALESCE(text, '')) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM read_parquet('{tp}')
+)
+SELECT conv_id,
+       CAST(count(*) FILTER (WHERE text = prev) AS BIGINT) AS n_dropped
+FROM t GROUP BY conv_id
+HAVING count(*) FILTER (WHERE text = prev) > 0
+ORDER BY conv_id
+""".replace("{tp}", tp),
         "kg_pred_cardinality": f"""
 SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
        CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,

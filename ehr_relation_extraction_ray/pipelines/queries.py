@@ -2596,3 +2596,75 @@ def docs_retrieve_rerank(sf_dir: str) -> pd.DataFrame:
     return out.astype({"doc_id": "int64", "n_phrase": "int64"}).reset_index(
         drop=True
     )
+
+
+def docs_split_leakage(sf_dir: str) -> pd.DataFrame:
+    """Train/dev split contamination audit: near-dup pairs (exact n-gram
+    Jaccard >= 0.8) that CROSS a deterministic md5 hash split (first hex
+    digit 0-3 -> dev) — the leakage check every eval split needs before
+    training. Pair generation is the existing blocked dedup pass; the
+    split tag is a per-row hash, so the audit adds zero shuffles."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    pairs = dedupe.ngram_jaccard_pairs(docs, threshold=0.8, k=5)
+    if pairs.empty:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype=str),
+             "doc_b": pd.Series([], dtype=str),
+             "split_a": pd.Series([], dtype=str),
+             "split_b": pd.Series([], dtype=str)}
+        )
+
+    def split_of(ids) -> np.ndarray:
+        return np.where(
+            np.array([hashlib.md5(str(d).encode()).hexdigest()[0] in "0123"
+                      for d in ids]),
+            "dev", "train",
+        )
+
+    out = pairs.copy()
+    out["split_a"] = split_of(out["doc_a"])
+    out["split_b"] = split_of(out["doc_b"])
+    out = out[out["split_a"] != out["split_b"]]
+    out = out[["doc_a", "doc_b", "split_a", "split_b"]].astype(str)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def kg_turn_dedup(sf_dir: str) -> pd.DataFrame:
+    """Transcript stutter removal: consecutive turns with identical text
+    inside a conversation (the retry/duplicate-submit artifact every
+    agent-transcript corpus carries). One conv-keyed partition pass,
+    vectorized shift compare; emits per-conv drop counts (conversations
+    with >= 1 dropped turn)."""
+    from ..functions.partitioning import groupby_partition
+
+    path = synth.transcripts_path(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+
+    schema = pa.schema(
+        [("conv_id", pa.string()), ("n_dropped", pa.int64())]
+    )
+
+    def drops(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"])
+        same_conv = df["conv_id"].eq(df["conv_id"].shift())
+        same_text = df["text"].fillna("").eq(df["text"].fillna("").shift())
+        dup = (same_conv & same_text)
+        out = (
+            pd.DataFrame({"conv_id": df["conv_id"], "dup": dup})
+            .groupby("conv_id")["dup"].sum()
+            .reset_index(name="n_dropped")
+        )
+        out = out[out["n_dropped"] > 0]
+        return out.astype({"conv_id": str, "n_dropped": "int64"})
+
+    out = groupby_partition(
+        ds, "conv_id", drops, batch_format="pandas", schema=schema
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"conv_id": pd.Series([], dtype=str),
+             "n_dropped": pd.Series([], dtype="int64")}
+        )
+    return out.sort_values("conv_id").reset_index(drop=True)

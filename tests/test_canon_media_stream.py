@@ -229,3 +229,32 @@ def test_kcore_matches_iterated_deletion():
         alive = sub
         k += 1
     assert got == exp
+
+
+def test_turn_dedup_counts_consecutive_only(tmp_path, monkeypatch):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ehr_relation_extraction_ray.pipelines import queries as q
+
+    rows = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 4 + ["c2"] * 3,
+            "turn_idx": [0, 1, 2, 3, 0, 1, 2],
+            # c1: 'x','x','y','x' -> 1 consecutive dup (not the last x)
+            # c2: 'a','b','a' -> 0
+            "text": ["x", "x", "y", "x", "a", "b", "a"],
+            "role": ["user"] * 7,
+            "tool": [""] * 7,
+            "ts": pd.Timestamp("2026-01-01"),
+        }
+    )
+    tp = os.path.join(tmp_path, "transcripts.parquet")
+    pq.write_table(pa.Table.from_pandas(rows, preserve_index=False), tp)
+    monkeypatch.setattr(q.synth, "transcripts_path", lambda sf_dir: tp)
+
+    out = q.kg_turn_dedup(str(tmp_path))
+    assert list(out["conv_id"]) == ["c1"]
+    assert list(out["n_dropped"]) == [1]
