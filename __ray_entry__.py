@@ -177,6 +177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_retrieve_rerank": q.docs_retrieve_rerank,
         "docs_split_leakage": q.docs_split_leakage,
         "kg_turn_dedup": q.kg_turn_dedup,
+        "embeddings_kmeans_iter": q.embeddings_kmeans_iter,
+        "embeddings_logreg": q.embeddings_logreg,
     }
 
 
@@ -1637,6 +1639,14 @@ ORDER BY node
 SELECT start, walk_idx, path
 FROM read_parquet('{_fixture("kg_random_walks")}')
 ORDER BY start, walk_idx
+""",
+        "embeddings_kmeans_iter": f"""
+SELECT cell, dim, c FROM read_parquet('{_fixture("embeddings_kmeans_iter")}')
+ORDER BY cell, dim
+""",
+        "embeddings_logreg": f"""
+SELECT idx, w FROM read_parquet('{_fixture("embeddings_logreg")}')
+ORDER BY idx
 """,
         "docs_split_leakage": f"""
 WITH pairs AS ({_NGRAM_JACCARD_SQL}),

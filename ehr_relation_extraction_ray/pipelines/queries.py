@@ -2668,3 +2668,42 @@ def kg_turn_dedup(sf_dir: str) -> pd.DataFrame:
              "n_dropped": pd.Series([], dtype="int64")}
         )
     return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def embeddings_kmeans_iter(sf_dir: str) -> pd.DataFrame:
+    """Full-corpus Lloyd k-means (3 rounds, k=8): the iterative-ML
+    pattern — per-round streamed (cell, count, sum) partials + driver
+    centroid update + re-broadcast (similarity.kmeans_full). Output is
+    the flattened centroid matrix; oracle = serial single-process
+    recomputation (exact because the per-cell sums are order-free
+    modulo float addition, absorbed by the 6-dp round)."""
+    from ..stages import similarity
+
+    vecs = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    cent = similarity.kmeans_full(vecs, k=8, iters=3)
+    rows = []
+    for c in range(cent.shape[0]):
+        for dim in range(cent.shape[1]):
+            rows.append((c, dim, round(float(cent[c, dim]), 6)))
+    return pd.DataFrame(rows, columns=["cell", "dim", "c"]).astype(
+        {"cell": "int64", "dim": "int64"}
+    )
+
+
+def embeddings_logreg(sf_dir: str) -> pd.DataFrame:
+    """Distributed full-batch logistic regression (5 GD epochs over
+    streamed gradient partials; similarity.logreg_full_batch). Output:
+    the learned weight vector, bias last; serial-recompute oracle."""
+    from ..stages import similarity
+
+    vecs = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    w = similarity.logreg_full_batch(vecs, epochs=5, lr=0.5)
+    return pd.DataFrame(
+        {"idx": np.arange(len(w), dtype="int64"), "w": np.round(w, 6)}
+    )

@@ -1055,6 +1055,13 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_kcore_df(_transcript_docs(sf_dir))
     if name == "kg_random_walks":
         return serial_random_walks_df(_transcript_docs(sf_dir))
+    if name in ("embeddings_kmeans_iter", "embeddings_logreg"):
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        vec_ids = np.asarray(t["vec_id"])
+        emb = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()])
+        if name == "embeddings_kmeans_iter":
+            return serial_kmeans_df(vec_ids, emb)
+        return serial_logreg_df(vec_ids, emb)
     if name == "kg_conll_export":
         return serial_conll_label_counts_df(_transcript_docs(sf_dir))
     if name == "kg_re_export":
@@ -1333,3 +1340,45 @@ def serial_random_walks_df(docs: Dict[str, str]) -> pd.DataFrame:
                 path.append(cur)
             rows.append({"start": s, "walk_idx": w, "path": "|".join(path)})
     return pd.DataFrame(rows).astype({"walk_idx": "int64"})
+
+
+def serial_kmeans_df(vec_ids: np.ndarray, emb: np.ndarray) -> pd.DataFrame:
+    """Single-process mirror of similarity.kmeans_full (k=8, 3 Lloyd
+    rounds, lowest-id init, euclidean lowest-cell-tie assignment)."""
+    order = np.argsort(vec_ids)
+    ids = vec_ids[order]
+    m = emb[order].astype(np.float64)
+    cent = m[ids < 8][np.argsort(ids[ids < 8])]
+    for _ in range(3):
+        d2 = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = cent.copy()
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        cent = new
+    rows = []
+    for c in range(len(cent)):
+        for dim in range(cent.shape[1]):
+            rows.append((c, dim, round(cent[c, dim], 6)))
+    return pd.DataFrame(rows, columns=["cell", "dim", "c"]).astype(
+        {"cell": "int64", "dim": "int64"}
+    )
+
+
+def serial_logreg_df(vec_ids: np.ndarray, emb: np.ndarray) -> pd.DataFrame:
+    """Single-process mirror of similarity.logreg_full_batch (5 epochs,
+    lr 0.5, labels vec_id % 2, bias last)."""
+    m = emb.astype(np.float64)
+    y = (vec_ids.astype(np.int64) % 2).astype(np.float64)
+    w = np.zeros(m.shape[1] + 1)
+    for _ in range(5):
+        z = m @ w[:-1] + w[-1]
+        pr = 1.0 / (1.0 + np.exp(-z))
+        err = pr - y
+        g = np.concatenate([m.T @ err, [err.sum()]])
+        w = w - 0.5 * g / len(y)
+    return pd.DataFrame(
+        {"idx": np.arange(len(w), dtype=np.int64), "w": np.round(w, 6)}
+    )

@@ -822,3 +822,113 @@ def pq_topk(
         if out
         else pd.DataFrame(columns=["query_id", id_col, "score", "rank"])
     )
+
+
+def kmeans_full(
+    vectors: "ray.data.Dataset",
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """FULL-corpus Lloyd iterations (vs :func:`train_centroids`' driver-
+    sample fit): the canonical iterative-ML-over-Dataset shape. Each
+    round is ONE streamed pass emitting per-block (cell, count, sum)
+    partials — k x d x blocks floats to the driver, never vectors — and
+    the centroid update is driver math; the new centroids re-broadcast
+    next round. Deterministic: init = the k lowest-``id_col`` vectors,
+    euclidean assignment with lowest-cell tiebreak, no RNG.
+
+    Returns the (k, d) float64 centroid matrix after ``iters`` rounds.
+    """
+    from ..functions.broadcast import bget
+
+    init = (
+        vectors.filter(expr=f"{id_col} < {k}")
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    cent = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in init[vec_col]]
+    )
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partials(t: pa.Table) -> pa.Table:
+            c = bget(cent_ref)
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()]
+            )
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # argmin takes the LOWEST cell on ties
+            kk, dd = c.shape
+            counts = np.bincount(assign, minlength=kk).astype(np.int64)
+            sums = np.zeros((kk, dd))
+            np.add.at(sums, assign, m)
+            return pa.table(
+                {
+                    "cell": pa.array(np.arange(kk, dtype=np.int64)),
+                    "n": pa.array(counts),
+                    "s": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        p = vectors.map_batches(partials, batch_format="pyarrow").to_pandas()
+        kk, dd = cent.shape
+        n = np.zeros(kk, dtype=np.int64)
+        s = np.zeros((kk, dd))
+        for _, row in p.iterrows():
+            n[row["cell"]] += row["n"]
+            s[row["cell"]] += np.asarray(row["s"])
+        nonzero = n > 0
+        cent = cent.copy()
+        cent[nonzero] = s[nonzero] / n[nonzero, None]
+    return cent
+
+
+def logreg_full_batch(
+    vectors: "ray.data.Dataset",
+    epochs: int = 5,
+    lr: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Full-batch logistic regression by distributed gradient descent —
+    the training-loop companion to :func:`kmeans_full`. Synthetic but
+    deterministic labels (``vec_id % 2``); each epoch is one streamed
+    pass emitting per-block (gradient-sum, count) partials (d+1 floats x
+    blocks), the driver applies the averaged-gradient step and
+    re-broadcasts the weights. Float64 throughout; block structure
+    cannot change the result because the gradient sum is exact.
+
+    Returns the (d+1,) weight vector (bias last) after ``epochs`` steps.
+    """
+    from ..functions.broadcast import bget
+
+    d = len(np.asarray(vectors.limit(1).to_pandas()[vec_col].iloc[0]))
+    w = np.zeros(d + 1)
+
+    for _ in range(epochs):
+        w_ref = ray.put(w)
+
+        def grad(t: pa.Table) -> pa.Table:
+            ww = bget(w_ref)
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()]
+            )
+            y = (np.asarray(t[id_col]).astype(np.int64) % 2).astype(np.float64)
+            z = m @ ww[:-1] + ww[-1]
+            pr = 1.0 / (1.0 + np.exp(-z))
+            err = pr - y
+            g = np.concatenate([m.T @ err, [err.sum()]])
+            return pa.table(
+                {"g": pa.array([g], pa.list_(pa.float64())),
+                 "n": pa.array([len(y)], pa.int64())}
+            )
+
+        p = vectors.map_batches(grad, batch_format="pyarrow").to_pandas()
+        total_n = int(p["n"].sum())
+        gsum = np.sum(np.stack([np.asarray(x) for x in p["g"]]), axis=0)
+        w = w - lr * gsum / max(total_n, 1)
+    return w
