@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_turn_dedup": q.kg_turn_dedup,
         "embeddings_kmeans_iter": q.embeddings_kmeans_iter,
         "embeddings_logreg": q.embeddings_logreg,
+        "kg_mention_overlaps": q.kg_mention_overlaps,
     }
 
 
@@ -1639,6 +1640,11 @@ ORDER BY node
 SELECT start, walk_idx, path
 FROM read_parquet('{_fixture("kg_random_walks")}')
 ORDER BY start, walk_idx
+""",
+        "kg_mention_overlaps": f"""
+SELECT type_a, type_b, n
+FROM read_parquet('{_fixture("kg_mention_overlaps")}')
+ORDER BY type_a, type_b
 """,
         "embeddings_kmeans_iter": f"""
 SELECT cell, dim, c FROM read_parquet('{_fixture("embeddings_kmeans_iter")}')

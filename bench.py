@@ -117,6 +117,8 @@ def _run_bench() -> dict:
             "kg_cooccurrence": lambda: q.kg_cooccurrence(sf_dir),
             "docs_substring_dedup": lambda: q.docs_substring_dedup(sf_dir),
             "embeddings_pq_topk": lambda: q.embeddings_pq_topk(sf_dir),
+            "docs_bm25": lambda: q.docs_bm25(sf_dir),
+            "kg_node_similarity": lambda: q.kg_node_similarity(sf_dir),
         }.items():
             # two timed runs, report the min (this VM shows intermittent
             # multi-second host-noise stalls; raw runs kept for honesty)

@@ -2707,3 +2707,72 @@ def embeddings_logreg(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {"idx": np.arange(len(w), dtype="int64"), "w": np.round(w, 6)}
     )
+
+
+def kg_mention_overlaps(sf_dir: str) -> pd.DataFrame:
+    """Annotation-QC: counts of OVERLAPPING mention pairs per unordered
+    type pair (span conflicts are the primary noise source feeding
+    canonicalization — e.g. Dosage 'one tablet' vs Form 'tablet'). One
+    doc-keyed partition pass; inside, docs grouped by mention count so
+    each distinct n costs one vectorized interval-overlap grid (same
+    by-size trick as the co-occurrence pair emission). Oracle: serial
+    fixture (the SQL mention CTE has no span offsets)."""
+    from ..functions.partitioning import groupby_partition
+
+    ment = _mentions(sf_dir)
+
+    schema = pa.schema(
+        [("type_a", pa.string()), ("type_b", pa.string()),
+         ("n", pa.int64())]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "start", "end", "ent_id"])
+        sizes = df.groupby("doc_id", sort=False).size().to_numpy()
+        starts = df["start"].to_numpy()
+        ends = df["end"].to_numpy()
+        types = df["ent_type"].to_numpy()
+        offs = np.cumsum(sizes) - sizes
+        a_parts, b_parts = [], []
+        for n in np.unique(sizes):
+            if n < 2:
+                continue
+            sel = np.where(sizes == n)[0]
+            idx = (offs[sel][:, None] + np.arange(n)[None, :])
+            s = starts[idx.ravel()].reshape(len(sel), n)
+            e = ends[idx.ravel()].reshape(len(sel), n)
+            ty = types[idx.ravel()].reshape(len(sel), n)
+            ii, jj = np.triu_indices(n, k=1)
+            ov = (s[:, ii] < e[:, jj]) & (s[:, jj] < e[:, ii])
+            if ov.any():
+                ta = ty[:, ii][ov]
+                tb = ty[:, jj][ov]
+                a_parts.append(np.minimum(ta, tb))
+                b_parts.append(np.maximum(ta, tb))
+        if not a_parts:
+            return pd.DataFrame(
+                {"type_a": pd.Series([], dtype=str),
+                 "type_b": pd.Series([], dtype=str),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        out = (
+            pd.DataFrame({"type_a": np.concatenate(a_parts),
+                          "type_b": np.concatenate(b_parts)})
+            .groupby(["type_a", "type_b"])
+            .size()
+            .reset_index(name="n")
+        )
+        return out.astype({"type_a": str, "type_b": str, "n": "int64"})
+
+    parts = groupby_partition(
+        ment, "doc_id", partial, batch_format="pandas", schema=schema
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"type_a": pd.Series([], dtype=str),
+             "type_b": pd.Series([], dtype=str),
+             "n": pd.Series([], dtype="int64")}
+        )
+    out = parts.groupby(["type_a", "type_b"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)

@@ -1055,6 +1055,8 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_kcore_df(_transcript_docs(sf_dir))
     if name == "kg_random_walks":
         return serial_random_walks_df(_transcript_docs(sf_dir))
+    if name == "kg_mention_overlaps":
+        return serial_mention_overlaps_df(_transcript_docs(sf_dir))
     if name in ("embeddings_kmeans_iter", "embeddings_logreg"):
         t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
         vec_ids = np.asarray(t["vec_id"])
@@ -1381,4 +1383,23 @@ def serial_logreg_df(vec_ids: np.ndarray, emb: np.ndarray) -> pd.DataFrame:
         w = w - 0.5 * g / len(y)
     return pd.DataFrame(
         {"idx": np.arange(len(w), dtype=np.int64), "w": np.round(w, 6)}
+    )
+
+
+def serial_mention_overlaps_df(docs: Dict[str, str]) -> pd.DataFrame:
+    """Serial mirror of queries.kg_mention_overlaps: naive per-doc O(n^2)
+    interval-overlap loop over the dictionary NER mentions."""
+    compiled = compile_patterns(fit_patterns(DEFAULT_LEXICON))
+    counts: Dict[Tuple[str, str], int] = {}
+    for text in docs.values():
+        ms = naive_dict_ner(text, compiled)
+        ms = sorted(ms, key=lambda m: (m[2], m[3], m[0]))
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                if ms[i][2] < ms[j][3] and ms[j][2] < ms[i][3]:
+                    a, b = sorted((ms[i][1], ms[j][1]))
+                    counts[(a, b)] = counts.get((a, b), 0) + 1
+    rows = [(a, b, n) for (a, b), n in sorted(counts.items())]
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "n"]).astype(
+        {"n": "int64"}
     )
