@@ -2215,7 +2215,10 @@ def kg_node_similarity(sf_dir: str) -> pd.DataFrame:
              "jaccard": pd.Series([], dtype="float64")}
         )
     ds = ray.data.from_pandas(pairs.reset_index(drop=True))
-    return graph.neighbor_jaccard(ds, min_jaccard=0.25)
+    # driver_merge: the entity node space is the closed ontology's
+    # surface vocabulary (dimension-bounded), so the wedge-partial sum
+    # runs on the driver (same justification as kg_triangles)
+    return graph.neighbor_jaccard(ds, min_jaccard=0.25, driver_merge=True)
 
 
 def _project_snapshot_a(t: pa.Table) -> pa.Table:

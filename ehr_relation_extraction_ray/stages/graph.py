@@ -419,6 +419,7 @@ def neighbor_jaccard(
     a_col: str = "ent_a",
     b_col: str = "ent_b",
     num_partitions: int = 64,
+    driver_merge: bool = False,
 ) -> "pd.DataFrame":
     """Neighbor-set Jaccard node similarity (the classic link-prediction
     signal): for node pairs sharing >= 1 neighbor,
@@ -451,16 +452,9 @@ def neighbor_jaccard(
         )
 
     directed = edges.map_batches(to_directed, batch_format="pyarrow")
-    # distinct (hub, spoke): tolerate duplicate input edges
-    und_schema = pa.schema([("hub", pa.string()), ("spoke", pa.string())])
-    directed = groupby_partition(
-        directed,
-        ["hub", "spoke"],
-        lambda df: df.drop_duplicates(),
-        num_partitions=num_partitions,
-        batch_format="pandas",
-        schema=und_schema,
-    )
+    # no separate distinct pass: the hub partition holds ALL of a hub's
+    # rows, so np.unique over the spokes inside hub_pass dedups exactly
+    # (every Ray groupby on this box costs ~1.2 s fixed — playbook)
 
     wedge_schema = pa.schema(
         [("x", pa.string()), ("y", pa.string()), ("c", pa.int64()),
@@ -519,14 +513,21 @@ def neighbor_jaccard(
             {"x": str, "y": str, "c": "int64", "is_deg": bool}
         )
 
-    merged = groupby_partition(
-        parts,
-        ["x", "y", "is_deg"],
-        sum_pass,
-        num_partitions=num_partitions,
-        batch_format="pandas",
-        schema=sum_schema,
-    ).to_pandas()
+    if driver_merge:
+        # dimension-bounded node space (caller's assertion): the wedge
+        # partials are (pairs x partitions)-bounded — pandas-sum them on
+        # the driver instead of paying a second Ray shuffle's fixed cost
+        # (playbook driver-partial-merge)
+        merged = sum_pass(parts.to_pandas())
+    else:
+        merged = groupby_partition(
+            parts,
+            ["x", "y", "is_deg"],
+            sum_pass,
+            num_partitions=num_partitions,
+            batch_format="pandas",
+            schema=sum_schema,
+        ).to_pandas()
 
     empty = pd.DataFrame(
         {"ent_a": pd.Series([], dtype=str), "ent_b": pd.Series([], dtype=str),
