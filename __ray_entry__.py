@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_kmeans_iter": q.embeddings_kmeans_iter,
         "embeddings_logreg": q.embeddings_logreg,
         "kg_mention_overlaps": q.kg_mention_overlaps,
+        "lineitem_copurchase": r.lineitem_copurchase,
+        "events_first_touch": r.events_first_touch,
     }
 
 
@@ -1640,6 +1642,31 @@ ORDER BY node
 SELECT start, walk_idx, path
 FROM read_parquet('{_fixture("kg_random_walks")}')
 ORDER BY start, walk_idx
+""",
+        "lineitem_copurchase": """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT count(DISTINCT o) AS n_orders FROM op),
+pc AS (SELECT p, count(*) AS c FROM op GROUP BY p),
+pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_ab
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2
+)
+SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+       round(CAST(n.n_orders AS DOUBLE) * n_ab / (ca.c * cb.c), 6) AS lift
+FROM pairs
+CROSS JOIN n
+JOIN pc ca ON ca.p = part_a
+JOIN pc cb ON cb.p = part_b
+WHERE n_ab >= 2 ORDER BY part_a, part_b
+""",
+        "events_first_touch": """
+WITH f AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+FROM f WHERE rn = 1 GROUP BY event_type ORDER BY event_type
 """,
         "kg_mention_overlaps": f"""
 SELECT type_a, type_b, n

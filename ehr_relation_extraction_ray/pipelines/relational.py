@@ -1979,3 +1979,144 @@ def events_day_over_day(sf_dir: str) -> pd.DataFrame:
     )
     agg["n"] = agg["n"].astype("int64")
     return agg.reset_index(drop=True)
+
+
+def lineitem_copurchase(sf_dir: str) -> pd.DataFrame:
+    """Market-basket co-purchase lift (the classic association-rule
+    signal): part pairs sharing >= 2 orders, lift = N * n_ab /
+    (n_a * n_b) over distinct-order supports. Shapes: one orderkey
+    partition pass emits pair partials with the by-size vectorized triu
+    (baskets are small, the pair space is parts^2-bounded but the
+    EMISSION is basket-bounded); part supports are a dimension-bounded
+    block-combiner merge; pair supports sum in a pair-keyed partition
+    pass — never an all-pairs join."""
+    from ..functions.partitioning import groupby_partition
+
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    pair_schema = pa.schema(
+        [("part_a", pa.int64()), ("part_b", pa.int64()), ("n", pa.int64())]
+    )
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        op = df.drop_duplicates()
+        op = op.sort_values(["l_orderkey", "l_partkey"])
+        sizes = op.groupby("l_orderkey", sort=False).size().to_numpy()
+        parts = op["l_partkey"].to_numpy()
+        offs = np.cumsum(sizes) - sizes
+        a_p, b_p = [], []
+        for n in np.unique(sizes):
+            if n < 2:
+                continue
+            sel = np.where(sizes == n)[0]
+            idx = (offs[sel][:, None] + np.arange(n)[None, :]).ravel()
+            arr = parts[idx].reshape(len(sel), n)
+            ii, jj = np.triu_indices(n, k=1)
+            pa_, pb_ = arr[:, ii].ravel(), arr[:, jj].ravel()
+            keep = pa_ != pb_  # same part twice in an order is not a pair
+            a_p.append(pa_[keep])
+            b_p.append(pb_[keep])
+        # part supports from the SAME order-complete distinct (a block-
+        # level dedup would double-count orders whose lineitems span
+        # blocks); marker part_b = -1
+        sup = op.groupby("l_partkey").size().reset_index(name="n")
+        sup = pd.DataFrame(
+            {"part_a": sup["l_partkey"], "part_b": -1, "n": sup["n"]}
+        )
+        if a_p:
+            pairs_df = (
+                pd.DataFrame({"part_a": np.concatenate(a_p),
+                              "part_b": np.concatenate(b_p)})
+                .groupby(["part_a", "part_b"])
+                .size()
+                .reset_index(name="n")
+            )
+        else:
+            pairs_df = pd.DataFrame(
+                {"part_a": pd.Series([], dtype="int64"),
+                 "part_b": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        out = pd.concat([pairs_df, sup], ignore_index=True)
+        return out.astype(
+            {"part_a": "int64", "part_b": "int64", "n": "int64"}
+        )
+
+    pair_partials = groupby_partition(
+        li, "l_orderkey", pair_partial, batch_format="pandas",
+        schema=pair_schema,
+    )
+
+    def pair_sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["part_a", "part_b"], as_index=False)["n"].sum()
+        # support rows (part_b == -1) pass through; real pairs filter n>=2
+        out = out[(out["part_b"] == -1) | (out["n"] >= 2)]
+        return out.astype(
+            {"part_a": "int64", "part_b": "int64", "n": "int64"}
+        )
+
+    merged = groupby_partition(
+        pair_partials, ["part_a", "part_b"], pair_sum,
+        batch_format="pandas", schema=pair_schema,
+    ).to_pandas()
+    sup = merged[merged["part_b"] == -1].set_index("part_a")["n"]
+    pairs = merged[merged["part_b"] != -1]
+
+    n_orders = int(
+        li.map_batches(
+            lambda df: pd.DataFrame(
+                {"o": df["l_orderkey"].drop_duplicates()}
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()["o"]
+        .nunique()
+    )
+    if pairs.empty:
+        return pd.DataFrame(
+            {"part_a": pd.Series([], dtype="int64"),
+             "part_b": pd.Series([], dtype="int64"),
+             "n_ab": pd.Series([], dtype="int64"),
+             "lift": pd.Series([], dtype="float64")}
+        )
+    ca = pairs["part_a"].map(sup).to_numpy(dtype="float64")
+    cb = pairs["part_b"].map(sup).to_numpy(dtype="float64")
+    out = pd.DataFrame(
+        {
+            "part_a": pairs["part_a"].to_numpy(),
+            "part_b": pairs["part_b"].to_numpy(),
+            "n_ab": pairs["n"].to_numpy(),
+            "lift": np.round(
+                float(n_orders) * pairs["n"].to_numpy() / (ca * cb), 6
+            ),
+        }
+    )
+    return out.sort_values(["part_a", "part_b"]).reset_index(drop=True)
+
+
+def events_first_touch(sf_dir: str) -> pd.DataFrame:
+    """First-touch attribution: each user's FIRST event (ts, event_id
+    order) credited to its type. One user-keyed partition pass keeps
+    head-of-group rows; the per-type rollup is a dimension-bounded
+    driver merge."""
+    from ..functions.partitioning import groupby_partition
+
+    ev = _pq(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    schema = pa.schema([("event_type", pa.string()), ("n", pa.int64())])
+
+    def firsts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        head = df.groupby("user_id", sort=False).head(1)
+        out = head.groupby("event_type").size().reset_index(name="n")
+        return out.astype({"event_type": str, "n": "int64"})
+
+    parts = groupby_partition(
+        ev, "user_id", firsts, batch_format="pandas", schema=schema
+    ).to_pandas()
+    out = (
+        parts.groupby("event_type", as_index=False)["n"].sum()
+        .rename(columns={"n": "n_users"})
+        .astype({"n_users": "int64"})
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
