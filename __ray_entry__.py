@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mention_overlaps": q.kg_mention_overlaps,
         "lineitem_copurchase": r.lineitem_copurchase,
         "events_first_touch": r.events_first_touch,
+        "docs_f2_sketch": q.docs_f2_sketch,
     }
 
 
@@ -1642,6 +1643,10 @@ ORDER BY node
 SELECT start, walk_idx, path
 FROM read_parquet('{_fixture("kg_random_walks")}')
 ORDER BY start, walk_idx
+""",
+        "docs_f2_sketch": f"""
+SELECT metric, value FROM read_parquet('{_fixture("docs_f2_sketch")}')
+ORDER BY metric
 """,
         "lineitem_copurchase": """
 WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

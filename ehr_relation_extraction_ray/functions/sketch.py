@@ -153,3 +153,33 @@ def bloom_contains(words: np.ndarray, hashes: np.ndarray, n_probes: int) -> np.n
     idx = (pos >> np.uint64(6)).astype(np.int64)
     bit = np.left_shift(np.uint64(1), pos & np.uint64(63))
     return ((words[idx] & bit) != 0).all(axis=1)
+
+
+def ams_signs(tokens, n_est: int = 64) -> np.ndarray:
+    """(n_est, n_tokens) deterministic ±1 sign matrix for the AMS F2
+    sketch (Alon-Matias-Szegedy 1996): sign bit j of the avalanched
+    token hash — 64 independent-enough estimators from one mix."""
+    h = _mix64(content_hash_64([str(t) for t in tokens]))
+    bits = (h[None, :] >> np.arange(n_est, dtype=np.uint64)[:, None]) & np.uint64(1)
+    return bits.astype(np.int64) * 2 - 1
+
+
+def ams_f2_partial(counts: dict, n_est: int = 64) -> np.ndarray:
+    """Fold one block's token counts into the (n_est,) AMS dot-product
+    partial: sum_j s_j(tok) * count(tok). Linear in counts, so block
+    partials SUM to the corpus dot product — the mergeable state is
+    n_est int64s per block."""
+    if not counts:
+        return np.zeros(n_est, dtype=np.int64)
+    toks = list(counts.keys())
+    c = np.fromiter((counts[t] for t in toks), dtype=np.int64)
+    return ams_signs(toks, n_est) @ c
+
+
+def ams_f2_estimate(dot: np.ndarray, groups: int = 4) -> float:
+    """Median-of-means over the squared dots: mean within each of
+    ``groups`` buckets, median across buckets."""
+    sq = dot.astype(np.float64) ** 2
+    per = len(sq) // groups
+    means = [sq[g * per:(g + 1) * per].mean() for g in range(groups)]
+    return float(np.median(means))

@@ -2779,3 +2779,62 @@ def kg_mention_overlaps(sf_dir: str) -> pd.DataFrame:
     out = parts.groupby(["type_a", "type_b"], as_index=False)["n"].sum()
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def docs_f2_sketch(sf_dir: str) -> pd.DataFrame:
+    """Second frequency moment (self-join size) of the corpus token
+    histogram, two ways: the mergeable AMS ±1 sketch (64 estimators,
+    median-of-means — per-block state is 64 int64s regardless of
+    vocabulary) and the exact sum-of-squares (vocabulary-bounded block
+    partials). At open vocabularies only the sketch survives; carrying
+    both makes the estimate auditable. Serial-recompute fixture oracle
+    (determinism comes from the content-hash sign matrix)."""
+    from ..functions.sketch import ams_f2_estimate, ams_f2_partial
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = pc.fill_null(t["text"], "")
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
+        )
+        keep = np.asarray(pc.utf8_length(flat)) > 0
+        s = pd.Series(np.asarray(flat)[keep])
+        vc = s.value_counts(sort=False)
+        dot = ams_f2_partial(vc.to_dict())
+        exact_part = pd.DataFrame(
+            {"tok": vc.index.to_numpy(dtype=object),
+             "c": vc.to_numpy(np.int64)}
+        )
+        out = pa.table(
+            {
+                "kind": pa.array(["dot"] * 1 + ["cnt"] * len(exact_part)),
+                "tok": pa.array([""] + exact_part["tok"].tolist(), pa.string()),
+                "vals": pa.array(
+                    [dot.tolist()]
+                    + [[int(x)] for x in exact_part["c"]],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        )
+        return out
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    dots = np.sum(
+        np.stack([np.asarray(v) for v in parts.loc[parts["kind"] == "dot", "vals"]]),
+        axis=0,
+    )
+    est = ams_f2_estimate(dots)
+    cnt = parts[parts["kind"] == "cnt"].copy()
+    cnt["c"] = [int(v[0]) for v in cnt["vals"]]
+    exact = float((cnt.groupby("tok")["c"].sum() ** 2).sum())
+    return pd.DataFrame(
+        {
+            "metric": ["f2_ams", "f2_exact"],
+            "value": [round(est, 2), round(exact, 2)],
+        }
+    )

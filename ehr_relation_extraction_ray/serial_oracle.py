@@ -1057,6 +1057,8 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_random_walks_df(_transcript_docs(sf_dir))
     if name == "kg_mention_overlaps":
         return serial_mention_overlaps_df(_transcript_docs(sf_dir))
+    if name == "docs_f2_sketch":
+        return serial_f2_df(*_documents(sf_dir))
     if name in ("embeddings_kmeans_iter", "embeddings_logreg"):
         t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
         vec_ids = np.asarray(t["vec_id"])
@@ -1402,4 +1404,22 @@ def serial_mention_overlaps_df(docs: Dict[str, str]) -> pd.DataFrame:
     rows = [(a, b, n) for (a, b), n in sorted(counts.items())]
     return pd.DataFrame(rows, columns=["type_a", "type_b", "n"]).astype(
         {"n": "int64"}
+    )
+
+
+def serial_f2_df(doc_ids: List, texts: List[str]) -> pd.DataFrame:
+    """Serial mirror of queries.docs_f2_sketch: one global token count,
+    one AMS fold, exact sum of squares."""
+    from .functions.sketch import ams_f2_estimate, ams_f2_partial
+
+    counts: Dict[str, int] = {}
+    for t in texts:
+        for w in (t or "").lower().split():
+            counts[w] = counts.get(w, 0) + 1
+    dot = ams_f2_partial(counts)
+    est = ams_f2_estimate(dot)
+    exact = float(sum(c * c for c in counts.values()))
+    return pd.DataFrame(
+        {"metric": ["f2_ams", "f2_exact"],
+         "value": [round(est, 2), round(exact, 2)]}
     )

@@ -258,3 +258,24 @@ def test_turn_dedup_counts_consecutive_only(tmp_path, monkeypatch):
     out = q.kg_turn_dedup(str(tmp_path))
     assert list(out["conv_id"]) == ["c1"]
     assert list(out["n_dropped"]) == [1]
+
+
+def test_ams_f2_accuracy_and_mergeability():
+    from ehr_relation_extraction_ray.functions.sketch import (
+        ams_f2_estimate, ams_f2_partial,
+    )
+
+    rng = np.random.default_rng(5)
+    toks = [f"w{i}" for i in range(300)]
+    counts = {t: int(rng.integers(1, 50)) for t in toks}
+    exact = sum(c * c for c in counts.values())
+
+    # mergeability: split counts into 3 partial folds, sum the dots
+    items = list(counts.items())
+    dots = sum(
+        ams_f2_partial(dict(items[i::3])) for i in range(3)
+    )
+    assert (dots == ams_f2_partial(counts)).all()
+
+    est = ams_f2_estimate(dots)
+    assert abs(est - exact) / exact < 0.5  # AMS 64-estimator tolerance
