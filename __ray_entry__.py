@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_copurchase": r.lineitem_copurchase,
         "events_first_touch": r.events_first_touch,
         "docs_f2_sketch": q.docs_f2_sketch,
+        "lineitem_below_avg": r.lineitem_below_avg,
     }
 
 
@@ -1643,6 +1644,14 @@ ORDER BY node
 SELECT start, walk_idx, path
 FROM read_parquet('{_fixture("kg_random_walks")}')
 ORDER BY start, walk_idx
+""",
+        "lineitem_below_avg": """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+WHERE l.l_quantity < (
+  SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey
+)
 """,
         "docs_f2_sketch": f"""
 SELECT metric, value FROM read_parquet('{_fixture("docs_f2_sketch")}')

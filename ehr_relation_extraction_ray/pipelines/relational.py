@@ -2120,3 +2120,49 @@ def events_first_touch(sf_dir: str) -> pd.DataFrame:
         .astype({"n_users": "int64"})
     )
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def lineitem_below_avg(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape — the correlated-subquery DECORRELATION pattern:
+    revenue of small orders (quantity < 20% of the part's average).
+    Pass 1 reduces to per-part (sum_qty, n) block partials (parts are
+    dimension-bounded -> driver merge + one broadcast dict); pass 2
+    filters against the broadcast threshold and emits block revenue
+    partials. Zero shuffles; the naive plan would re-aggregate the
+    fact table once per outer row."""
+    from ..functions.broadcast import bget
+
+    li = _pq(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def avg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            df.groupby("l_partkey")
+            .agg(s=("l_quantity", "sum"), n=("l_quantity", "size"))
+            .reset_index()
+        )
+        return agg.astype({"l_partkey": "int64", "n": "int64"})
+
+    p1 = (
+        li.map_batches(avg_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("l_partkey")
+        .sum()
+    )
+    thresh = (0.2 * p1["s"] / p1["n"]).to_dict()
+    thr_ref = ray.put(thresh)
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        th = bget(thr_ref)
+        lim = df["l_partkey"].map(th).to_numpy(dtype="float64")
+        keep = df["l_quantity"].to_numpy(dtype="float64") < lim
+        return pd.DataFrame(
+            {"rev": [float(df["l_extendedprice"].to_numpy()[keep].sum())]}
+        )
+
+    total = float(
+        li.map_batches(rev_partial, batch_format="pandas").to_pandas()["rev"].sum()
+    )
+    return pd.DataFrame({"avg_yearly": [round(total / 7.0, 2)]})
