@@ -184,6 +184,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_first_touch": r.events_first_touch,
         "docs_f2_sketch": q.docs_f2_sketch,
         "lineitem_below_avg": r.lineitem_below_avg,
+        "docs_heavy_hitters": q.docs_heavy_hitters,
+        "events_markov": r.events_markov,
+        "customer_order_distribution": r.customer_order_distribution,
     }
 
 
@@ -1656,6 +1659,40 @@ WHERE l.l_quantity < (
         "docs_f2_sketch": f"""
 SELECT metric, value FROM read_parquet('{_fixture("docs_f2_sketch")}')
 ORDER BY metric
+""",
+        "docs_heavy_hitters": r"""
+WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+             FROM documents),
+t AS (SELECT token FROM tok WHERE token <> ''),
+tot AS (SELECT count(*) AS total FROM t)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM t CROSS JOIN tot
+GROUP BY token, tot.total
+HAVING count(*) * 30 >= tot.total
+ORDER BY n DESC, token
+""",
+        "events_markov": """
+WITH seq AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) * 1.0
+             / sum(count(*)) OVER (PARTITION BY prev_type), 6) AS p
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY prev_type, next_type
+""",
+        "customer_order_distribution": """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+FROM per_cust GROUP BY n_orders ORDER BY n_orders
 """,
         "lineitem_copurchase": """
 WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

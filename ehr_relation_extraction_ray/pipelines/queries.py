@@ -2838,3 +2838,76 @@ def docs_f2_sketch(sf_dir: str) -> pd.DataFrame:
             "value": [round(est, 2), round(exact, 2)],
         }
     )
+
+
+def docs_heavy_hitters(sf_dir: str, min_inv_freq: int = 30, capacity: int = 64) -> pd.DataFrame:
+    """Exact heavy hitters (tokens with frequency >= 1/min_inv_freq of
+    all tokens) via the classic two-pass sketch design: pass 1 builds a
+    per-block Misra-Gries summary (fixed ``capacity`` counters per block
+    regardless of vocabulary — the whole point at open vocabulary) plus
+    the exact block token count; MG merge on the driver guarantees NO
+    false negatives for any item above N/(capacity+1) > N/min_inv_freq.
+    Pass 2 exact-counts ONLY the <= capacity candidates (id set broadcast
+    once via ray.put) and filters with pure integer arithmetic
+    (n * min_inv_freq >= N), so the result is exact, not approximate.
+    The corpus vocabulary never moves through a shuffle."""
+    from ..functions.broadcast import bget
+    from ..functions.sketch import misra_gries, misra_gries_merge
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def _block_tokens(t: pa.Table) -> pd.Series:
+        import pyarrow.compute as pc
+
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(
+                pc.utf8_lower(pc.fill_null(t["text"], "")), r"\s+"
+            )
+        )
+        arr = np.asarray(flat)
+        return pd.Series(arr[np.asarray(pc.utf8_length(flat)) > 0])
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        toks = _block_tokens(t)
+        mg = misra_gries(toks.value_counts(sort=False).to_dict(), capacity)
+        return pa.table(
+            {
+                "token": pa.array(list(mg.keys()) + [""], pa.string()),
+                "c": pa.array(list(mg.values()) + [len(toks)], pa.int64()),
+                "is_total": pa.array([False] * len(mg) + [True]),
+            }
+        )
+
+    parts = docs.map_batches(mg_partial, batch_format="pyarrow").to_pandas()
+    n_total = int(parts.loc[parts["is_total"], "c"].sum())
+    # MG merge = sum counters across summaries, then one re-reduce
+    # (Agarwal et al., "Mergeable Summaries") — the cross-block sum is a
+    # tiny pandas groupby over <= capacity rows per block
+    summed = (
+        parts[~parts["is_total"]].groupby("token")["c"].sum().to_dict()
+    )
+    merged = misra_gries_merge([summed], capacity)
+    cand_ref = ray.put(frozenset(merged.keys()))
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        cand = bget(cand_ref)
+        toks = _block_tokens(t)
+        vc = toks[toks.isin(cand)].value_counts(sort=False)
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "n": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    exact = (
+        docs.map_batches(exact_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("token", as_index=False)["n"].sum()
+    )
+    out = exact[exact["n"] * min_inv_freq >= n_total].astype({"n": "int64"})
+    return out.sort_values(["n", "token"], ascending=[False, True]).reset_index(
+        drop=True
+    )

@@ -2166,3 +2166,91 @@ def lineitem_below_avg(sf_dir: str) -> pd.DataFrame:
         li.map_batches(rev_partial, batch_format="pandas").to_pandas()["rev"].sum()
     )
     return pd.DataFrame({"avg_yearly": [round(total / 7.0, 2)]})
+
+
+def events_markov(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences (next-event prediction / sequence QC). One user-keyed
+    partition pass sorts each user's events by (ts, event_id) and emits
+    (prev_type, next_type, n) partials; the type x type matrix is
+    dimension-bounded, so partials merge on the driver and the row
+    normalization (p = n / row total) is a tiny pandas op. Equivalent
+    to a LAG window + two-level aggregate; zero groupby shuffles beyond
+    the one user hash partition."""
+    from ..functions.partitioning import groupby_partition
+
+    ev = _pq(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    schema = pa.schema(
+        [("prev_type", pa.string()), ("next_type", pa.string()), ("n", pa.int64())]
+    )
+
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        prev = df.groupby("user_id", sort=False)["event_type"].shift(1)
+        keep = prev.notna()
+        out = (
+            pd.DataFrame(
+                {"prev_type": prev[keep], "next_type": df["event_type"][keep]}
+            )
+            .groupby(["prev_type", "next_type"])
+            .size()
+            .reset_index(name="n")
+        )
+        return out.astype({"prev_type": str, "next_type": str, "n": "int64"})
+
+    parts = groupby_partition(
+        ev, "user_id", transitions, batch_format="pandas", schema=schema
+    ).to_pandas()
+    mat = (
+        parts.groupby(["prev_type", "next_type"], as_index=False)["n"].sum()
+        .astype({"n": "int64"})
+    )
+    row_tot = mat.groupby("prev_type")["n"].transform("sum")
+    mat["p"] = (mat["n"] / row_tot).round(6)
+    return mat.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
+def customer_order_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape (custdist): distribution of customers by order
+    count, INCLUDING zero-order customers. The per-customer count needs
+    one hash partition of orders by custkey (partition-closed groups);
+    the count->histogram rollup is bounded by max orders/customer, so
+    per-partition histogram partials merge on the driver. The zero
+    bucket is total customers minus customers seen, where "seen" sums
+    per-partition distinct custkeys (partitions are key-disjoint, so
+    the sum is exact) — the customer table itself is never joined."""
+    from ..functions.partitioning import groupby_partition
+
+    orders = _pq(sf_dir, "orders", columns=["o_custkey"])
+    n_customers = _pq(sf_dir, "customer", columns=["c_custkey"]).count()
+
+    schema = pa.schema(
+        [("n_orders", pa.int64()), ("n_customers", pa.int64()), ("seen", pa.int64())]
+    )
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        per_cust = df.groupby("o_custkey").size()
+        out = per_cust.value_counts().rename_axis("n_orders").reset_index(
+            name="n_customers"
+        )
+        out["seen"] = 0
+        out.loc[len(out)] = [0, 0, int(per_cust.size)]
+        return out.astype(
+            {"n_orders": "int64", "n_customers": "int64", "seen": "int64"}
+        )
+
+    parts = groupby_partition(
+        orders, "o_custkey", hist, batch_format="pandas", schema=schema
+    ).to_pandas()
+    seen = int(parts["seen"].sum())
+    out = (
+        parts[parts["n_customers"] > 0]
+        .groupby("n_orders", as_index=False)["n_customers"].sum()
+    )
+    zero = pd.DataFrame({"n_orders": [0], "n_customers": [n_customers - seen]})
+    out = pd.concat([zero, out], ignore_index=True)
+    out = out[out["n_customers"] > 0].astype(
+        {"n_orders": "int64", "n_customers": "int64"}
+    )
+    return out.sort_values("n_orders").reset_index(drop=True)
