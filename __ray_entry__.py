@@ -187,6 +187,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_heavy_hitters": q.docs_heavy_hitters,
         "events_markov": r.events_markov,
         "customer_order_distribution": r.customer_order_distribution,
+        "kg_label_prop": q.kg_label_prop,
+        "docs_cm_profile": q.docs_cm_profile,
+        "docs_rrf_fusion": q.docs_rrf_fusion,
     }
 
 
@@ -1684,6 +1687,28 @@ SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n,
 FROM seq WHERE prev_type IS NOT NULL
 GROUP BY prev_type, next_type
 ORDER BY prev_type, next_type
+""",
+        "kg_label_prop": f"""
+SELECT node, community FROM read_parquet('{_fixture("kg_label_prop")}')
+ORDER BY node
+""",
+        "docs_cm_profile": f"""
+SELECT token, n_exact, n_cm FROM read_parquet('{_fixture("docs_cm_profile")}')
+ORDER BY n_exact DESC, token
+""",
+        "docs_rrf_fusion": _BM25_CTE + """,
+ra AS (
+  SELECT doc_id, row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS r
+  FROM scored QUALIFY r <= 50
+),
+rb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+  FROM documents QUALIFY r <= 50
+),
+u AS (SELECT doc_id, r FROM ra UNION ALL SELECT doc_id, r FROM rb)
+SELECT doc_id, round(sum(1.0 / (60 + r)), 6) AS rrf
+FROM u GROUP BY doc_id
+ORDER BY round(sum(1.0 / (60 + r)), 6) DESC, doc_id LIMIT 10
 """,
         "customer_order_distribution": """
 WITH per_cust AS (

@@ -183,3 +183,55 @@ def ams_f2_estimate(dot: np.ndarray, groups: int = 4) -> float:
     per = len(sq) // groups
     means = [sq[g * per:(g + 1) * per].mean() for g in range(groups)]
     return float(np.median(means))
+
+
+# -- Count-Min sketch (Cormode & Muthukrishnan 2005) --------------------------
+#
+# Linear sketch: cm_partial over a block's counts is a (d x w) int64 matrix
+# and block matrices SUM to the corpus sketch — the mergeable state is
+# d*w int64s regardless of vocabulary. Estimates only OVERestimate
+# (eps = e/w of the total count with probability 1 - e^-d).
+
+_CM_ROW_SEEDS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def _cm_positions(tokens, w: int, d: int) -> np.ndarray:
+    """(d x len(tokens)) column indices; row i uses an independent
+    avalanche of the base 64-bit string hash."""
+    from .textstats import vec_string_hash_64
+
+    base = vec_string_hash_64(tokens)
+    rows = [
+        (_mix64(base ^ _CM_ROW_SEEDS[i % len(_CM_ROW_SEEDS)] + np.uint64(i))
+         % np.uint64(w)).astype(np.int64)
+        for i in range(d)
+    ]
+    return np.stack(rows)
+
+
+def cm_partial(counts: dict, w: int = 256, d: int = 4) -> np.ndarray:
+    """Fold one block's token->count dict into a (d x w) CM matrix."""
+    mat = np.zeros((d, w), dtype=np.int64)
+    if not counts:
+        return mat
+    toks = list(counts.keys())
+    c = np.fromiter((counts[t] for t in toks), dtype=np.int64)
+    pos = _cm_positions(toks, w, d)
+    for i in range(d):
+        np.add.at(mat[i], pos[i], c)
+    return mat
+
+
+def cm_query(mat: np.ndarray, tokens) -> np.ndarray:
+    """Point-frequency estimates: min over the d rows at each token's
+    positions. Never underestimates."""
+    tokens = list(tokens)
+    if not tokens:
+        return np.zeros(0, dtype=np.int64)
+    d, w = mat.shape
+    pos = _cm_positions(tokens, w, d)
+    ests = np.stack([mat[i][pos[i]] for i in range(d)])
+    return ests.min(axis=0)

@@ -2911,3 +2911,144 @@ def docs_heavy_hitters(sf_dir: str, min_inv_freq: int = 30, capacity: int = 64) 
     return out.sort_values(["n", "token"], ascending=[False, True]).reset_index(
         drop=True
     )
+
+
+def kg_label_prop(sf_dir: str) -> pd.DataFrame:
+    """Community detection over the KG edge list via deterministic
+    synchronous weighted label propagation — the distributed part is the
+    edge-weight combiner (graph.edge_weights, dimension-bounded driver
+    merge); the fixed-point iteration runs on the driver exactly like
+    kg_pagerank. Serial fixture oracle re-runs the identical spec on the
+    serial pipeline's triples."""
+    trip = _triples(sf_dir)
+    edges = graph.edge_weights(trip)
+    out = graph.label_propagation(edges)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def docs_cm_profile(
+    sf_dir: str, capacity: int = 64, w: int = 256, d: int = 4, k: int = 10
+) -> pd.DataFrame:
+    """Count-Min-audited top-k terms: ONE streamed pass folds each block's
+    token counts into BOTH a Misra-Gries candidate summary and a (d x w)
+    Count-Min partial (the CM sketch is linear, so block matrices SUM to
+    the corpus sketch — d*w int64s of mergeable state regardless of
+    vocabulary); a second pass exact-counts only the <= capacity
+    broadcast candidates. Output: top-k by exact count with the CM
+    point estimate alongside (n_cm >= n_exact always — CM never
+    underestimates), the standard sketch-audit layout. Candidate
+    completeness needs capacity > N/freq(k-th term) — at open vocabulary
+    size capacity accordingly (the MG guarantee, see docs_heavy_hitters).
+    """
+    from ..functions.broadcast import bget
+    from ..functions.sketch import cm_partial, cm_query, misra_gries, misra_gries_merge
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def _block_counts(t: pa.Table) -> pd.Series:
+        import pyarrow.compute as pc
+
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(
+                pc.utf8_lower(pc.fill_null(t["text"], "")), r"\s+"
+            )
+        )
+        arr = np.asarray(flat)
+        s = pd.Series(arr[np.asarray(pc.utf8_length(flat)) > 0])
+        return s.value_counts(sort=False)
+
+    def fold_partial(t: pa.Table) -> pa.Table:
+        vc = _block_counts(t).to_dict()
+        mg = misra_gries(vc, capacity)
+        cm = cm_partial(vc, w, d).ravel()
+        return pa.table(
+            {
+                "kind": pa.array(["mg"] * len(mg) + ["cm"]),
+                "token": pa.array(list(mg.keys()) + [""], pa.string()),
+                "vals": pa.array(
+                    [[int(c)] for c in mg.values()] + [cm.tolist()],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        )
+
+    parts = docs.map_batches(fold_partial, batch_format="pyarrow").to_pandas()
+    mg_rows = parts[parts["kind"] == "mg"]
+    # cross-block MG counter sum (mergeable-summaries composition)
+    acc: dict = {}
+    for t, v in zip(mg_rows["token"], mg_rows["vals"]):
+        acc[t] = acc.get(t, 0) + int(v[0])
+    merged = misra_gries_merge([acc], capacity)
+    cm_mat = np.sum(
+        [np.asarray(v).reshape(d, w) for v in parts.loc[parts["kind"] == "cm", "vals"]],
+        axis=0,
+    )
+    cand_ref = ray.put(frozenset(merged.keys()))
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        cand = bget(cand_ref)
+        vc = _block_counts(t)
+        vc = vc[vc.index.isin(cand)]
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "n": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    exact = (
+        docs.map_batches(exact_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("token", as_index=False)["n"].sum()
+        .sort_values(["n", "token"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    exact["n_cm"] = cm_query(cm_mat, exact["token"].tolist()).astype("int64")
+    return exact.rename(columns={"n": "n_exact"}).astype(
+        {"n_exact": "int64", "n_cm": "int64"}
+    )
+
+
+def docs_rrf_fusion(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    rankings: BM25 top-50 for the fixed term query and a length prior
+    (n_chars desc) top-50. Both rankings reduce via block-local top-k
+    partials (never a global sort); the fusion itself is driver math
+    over <= 100 rows. rrf = sum 1/(60 + rank); top-10 reported."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ra = text_analysis.bm25_topk(docs, ["spark", "window", "join"], k=50)
+    ra["doc_id"] = ra["doc_id"].astype("int64")
+    ra["r"] = np.arange(1, len(ra) + 1)
+
+    meta = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+
+    def top_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        )
+        return pa.Table.from_pandas(df.head(50), preserve_index=False)
+
+    rb = (
+        meta.map_batches(top_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .head(50)
+        .reset_index(drop=True)
+    )
+    rb["r"] = np.arange(1, len(rb) + 1)
+
+    both = pd.concat(
+        [ra[["doc_id", "r"]], rb[["doc_id", "r"]]], ignore_index=True
+    )
+    both["rrf"] = 1.0 / (60.0 + both["r"])
+    out = both.groupby("doc_id", as_index=False)["rrf"].sum()
+    out["rrf"] = out["rrf"].round(6)
+    out = out.sort_values(["rrf", "doc_id"], ascending=[False, True]).head(10)
+    return out.astype({"doc_id": "int64"}).reset_index(drop=True)

@@ -1099,6 +1099,10 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_ivf_topk_df(vec_ids, emb, [0, 1, 2])
     if name == "kg_pagerank":
         return serial_pagerank_df(_transcript_docs(sf_dir))
+    if name == "kg_label_prop":
+        return serial_label_prop_df(_transcript_docs(sf_dir))
+    if name == "docs_cm_profile":
+        return serial_cm_profile_df(*_documents(sf_dir))
     if name == "embeddings_pca":
         t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
         emb = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()])
@@ -1422,4 +1426,45 @@ def serial_f2_df(doc_ids: List, texts: List[str]) -> pd.DataFrame:
     return pd.DataFrame(
         {"metric": ["f2_ams", "f2_exact"],
          "value": [round(est, 2), round(exact, 2)]}
+    )
+
+
+def serial_label_prop_df(docs: Dict[str, str]) -> pd.DataFrame:
+    """Label-propagation fixture: serial triples -> pandas edge weights ->
+    the shared deterministic synchronous LPA (stages/graph
+    .label_propagation). Validates the distributed edge-weight
+    aggregation, exactly like serial_pagerank_df."""
+    from .stages.graph import label_propagation
+
+    trip = serial_triples_df(docs)
+    edges = (
+        trip.groupby(["subj", "obj"], as_index=False)
+        .agg(n=("doc_id", "count"))
+        .sort_values(["subj", "obj"])
+        .reset_index(drop=True)
+    )
+    edges["n"] = edges["n"].astype("int64")
+    return label_propagation(edges).sort_values("node").reset_index(drop=True)
+
+
+def serial_cm_profile_df(doc_ids: List, texts: List[str], w: int = 256,
+                         d: int = 4, k: int = 10) -> pd.DataFrame:
+    """Serial mirror of queries.docs_cm_profile: one global token count,
+    ONE Count-Min fold (linearity makes this exactly equal to the
+    distributed block-partial sum), exact top-k with CM estimates."""
+    from .functions.sketch import cm_partial, cm_query
+
+    counts: Dict[str, int] = {}
+    for t in texts:
+        for wd in (t or "").lower().split():
+            counts[wd] = counts.get(wd, 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    toks = [t for t, _ in top]
+    mat = cm_partial(counts, w, d)
+    return pd.DataFrame(
+        {
+            "token": toks,
+            "n_exact": np.array([c for _, c in top], dtype="int64"),
+            "n_cm": cm_query(mat, toks).astype("int64"),
+        }
     )

@@ -669,3 +669,51 @@ def random_walks(
         )
 
     return nodes.map_batches(walk, batch_format="pyarrow")
+
+
+def label_propagation(edges: pd.DataFrame, iters: int = 10) -> pd.DataFrame:
+    """Deterministic synchronous weighted label propagation (Raghavan et
+    al. 2007) — community detection over the bounded KG edge list, same
+    driver-iteration-over-distributed-aggregate shape as :func:`pagerank`
+    (the edge weights come from the distributed combiner; the label
+    updates are pure order-deterministic math).
+
+    Determinism: synchronous updates (all nodes flip on the round's
+    frozen labels), ties broken by the SMALLEST label index, fixed
+    ``iters`` rounds with early exit on a fixed point. Labels are node
+    indices into the sorted node array; the reported community id is
+    the lexicographically smallest member's name.
+    """
+    import numpy as np
+
+    if edges.empty:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=str),
+             "community": pd.Series([], dtype=str)}
+        )
+    nodes = np.unique(
+        np.concatenate([edges["subj"].to_numpy(), edges["obj"].to_numpy()])
+    )
+    idx = {n: i for i, n in enumerate(nodes)}
+    s = edges["subj"].map(idx).to_numpy(dtype=np.int64)
+    o = edges["obj"].map(idx).to_numpy(dtype=np.int64)
+    wgt = edges["n"].to_numpy(dtype=np.float64)
+    src = np.concatenate([s, o])  # undirected voting
+    dst = np.concatenate([o, s])
+    w = np.concatenate([wgt, wgt])
+    labels = np.arange(len(nodes), dtype=np.int64)
+    for _ in range(iters):
+        votes = (
+            pd.DataFrame({"dst": dst, "lab": labels[src], "w": w})
+            .groupby(["dst", "lab"], as_index=False)["w"].sum()
+            .sort_values(["dst", "w", "lab"], ascending=[True, False, True])
+        )
+        best = votes.groupby("dst", sort=False).head(1)
+        new = labels.copy()
+        new[best["dst"].to_numpy()] = best["lab"].to_numpy()
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    # canonical community name: smallest MEMBER name per final label
+    comm = pd.Series(nodes).groupby(labels).transform("min")
+    return pd.DataFrame({"node": nodes, "community": comm.to_numpy()})
