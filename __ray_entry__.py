@@ -190,6 +190,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_label_prop": q.kg_label_prop,
         "docs_cm_profile": q.docs_cm_profile,
         "docs_rrf_fusion": q.docs_rrf_fusion,
+        "local_supplier_volume": r.local_supplier_volume,
+        "large_volume_orders": r.large_volume_orders,
+        "top_supplier": r.top_supplier,
     }
 
 
@@ -1691,6 +1694,42 @@ ORDER BY prev_type, next_type
         "kg_label_prop": f"""
 SELECT node, community FROM read_parquet('{_fixture("kg_label_prop")}')
 ORDER BY node
+""",
+        "local_supplier_volume": """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY n_name
+""",
+        "large_volume_orders": """
+WITH qual AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT c.c_name, o.o_orderkey, o.o_totalprice, q.sum_qty
+FROM qual q
+JOIN orders o ON o.o_orderkey = q.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+""",
+        "top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r USING (s_suppkey)
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
 """,
         "docs_cm_profile": f"""
 SELECT token, n_exact, n_cm FROM read_parquet('{_fixture("docs_cm_profile")}')

@@ -2254,3 +2254,224 @@ def customer_order_distribution(sf_dir: str) -> pd.DataFrame:
         {"n_orders": "int64", "n_customers": "int64"}
     )
     return out.sort_values("n_orders").reset_index(drop=True)
+
+
+def local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape: 6-table local-supplier revenue by nation for one
+    region and one order-date year. Strategy split mirrors
+    segment_priority_revenue: region/nation/customer/supplier are all
+    broadcast as dense key->nationkey numpy arrays (customer is the
+    largest at ~150k x SF int32 — megabytes, ray.put once); the only
+    shuffle is the unavoidable fact-fact lineitem x orders hash join.
+    Orders are pre-FILTERED to the region + date window before the join
+    (selectivity pushdown: ~1/5 x 1/7 of the fact rows move), and the
+    same-nation correlation (c_nationkey = s_nationkey) is a per-batch
+    numpy compare, never a join."""
+    from ..stages import joins
+
+    region = "ASIA"
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1997-01-01")
+
+    nat = _pq(sf_dir, "nation").to_pandas()
+    reg = _pq(sf_dir, "region").to_pandas()
+    rkey = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    region_nations = set(nat.loc[nat["n_regionkey"] == rkey, "n_nationkey"])
+    nation_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust_nat = np.full(int(cust["c_custkey"].max()) + 1, -1, dtype=np.int32)
+    cust_nat[cust["c_custkey"].to_numpy()] = cust["c_nationkey"].to_numpy()
+    sup = _pq(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp_nat = np.full(int(sup["s_suppkey"].max()) + 1, -1, dtype=np.int32)
+    supp_nat[sup["s_suppkey"].to_numpy()] = sup["s_nationkey"].to_numpy()
+    cust_ref, supp_ref = ray.put(cust_nat), ray.put(supp_nat)
+    nations_ref = ray.put(np.array(sorted(region_nations), dtype=np.int32))
+
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        dates = np.asarray(batch["o_orderdate"], dtype="datetime64[us]")
+        nk = _bget(cust_ref)[np.asarray(batch["o_custkey"])]
+        keep = (
+            (dates >= lo) & (dates < hi)
+            & np.isin(nk, _bget(nations_ref))
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(np.asarray(batch["o_orderkey"])[keep]),
+                "c_nat": pa.array(nk[keep], pa.int32()),
+            }
+        )
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow")
+    li = _pq(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    joined = joins.hash_join(li, tagged, on="l_orderkey", right_on="o_orderkey")
+
+    def combine(batch: pa.Table) -> pa.Table:
+        c_nat = np.asarray(batch["c_nat"])
+        s_nat = _bget(supp_ref)[np.asarray(batch["l_suppkey"])]
+        keep = c_nat == s_nat
+        rev = (
+            np.asarray(batch["l_extendedprice"], np.float64)[keep]
+            * (1.0 - np.asarray(batch["l_discount"], np.float64)[keep])
+        )
+        df = pd.DataFrame({"nk": c_nat[keep], "rev": rev})
+        g = df.groupby("nk", sort=False)["rev"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = joined.map_batches(combine, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"n_name": pd.Series([], dtype=str),
+             "revenue": pd.Series([], dtype="float64")}
+        )
+    out = parts.groupby("nk", as_index=False)["rev"].sum()
+    out["n_name"] = out["nk"].map(nation_names)
+    out["revenue"] = out["rev"].round(2)
+    return (
+        out[["n_name", "revenue"]].sort_values("n_name").reset_index(drop=True)
+    )
+
+
+def large_volume_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape (large-volume customers): HAVING over a fact
+    aggregate, then fetch-back of the qualifying rows. Pass 1 is one
+    orderkey hash partition of lineitem emitting ONLY the qualifying
+    (orderkey, sum_qty) rows (partition-closed groups make the HAVING
+    exact inside the pass — the full per-order aggregate never
+    shuffles); the qualifying set is tiny by construction (heavy-tail
+    cutoff), so it broadcasts and orders/customer attach via one
+    map_batches filter + a dense custkey->name lookup. The naive plan
+    shuffles the whole fact table twice."""
+    from ..functions.partitioning import groupby_partition
+
+    threshold = 300.0
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    schema = pa.schema([("o_orderkey", pa.int64()), ("sum_qty", pa.float64())])
+
+    def qualifying(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("l_orderkey")["l_quantity"].sum()
+        s = s[s > threshold]
+        return pd.DataFrame(
+            {"o_orderkey": s.index.to_numpy(np.int64),
+             "sum_qty": s.to_numpy(np.float64)}
+        )
+
+    qual = groupby_partition(
+        li, "l_orderkey", qualifying, batch_format="pandas", schema=schema
+    ).to_pandas()
+    if qual.empty:
+        return pd.DataFrame(
+            {"c_name": pd.Series([], dtype=str),
+             "o_orderkey": pd.Series([], dtype="int64"),
+             "o_totalprice": pd.Series([], dtype="float64"),
+             "sum_qty": pd.Series([], dtype="float64")}
+        )
+    qual_keys = np.sort(qual["o_orderkey"].to_numpy(np.int64))
+    qty_sorted = qual.set_index("o_orderkey")["sum_qty"].loc[qual_keys].to_numpy()
+    qual_ref = ray.put((qual_keys, qty_sorted))
+
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    names = np.full(int(cust["c_custkey"].max()) + 1, "", dtype=object)
+    names[cust["c_custkey"].to_numpy()] = cust["c_name"].to_numpy()
+    names_ref = ray.put(names)
+
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        qk, qv = _bget(qual_ref)
+        keys = np.asarray(batch["o_orderkey"])
+        pos = np.searchsorted(qk, keys)  # vectorized sorted-set membership
+        pos = np.clip(pos, 0, len(qk) - 1)
+        keep = qk[pos] == keys
+        if not keep.any():
+            return pa.table(
+                {"c_name": pa.array([], pa.string()),
+                 "o_orderkey": pa.array([], pa.int64()),
+                 "o_totalprice": pa.array([], pa.float64()),
+                 "sum_qty": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "c_name": pa.array(
+                    _bget(names_ref)[np.asarray(batch["o_custkey"])[keep]],
+                    pa.string(),
+                ),
+                "o_orderkey": pa.array(keys[keep]),
+                "o_totalprice": pa.array(
+                    np.asarray(batch["o_totalprice"])[keep]
+                ),
+                "sum_qty": pa.array(qv[pos[keep]], pa.float64()),
+            }
+        )
+
+    out = orders.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    return (
+        out.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .head(100)
+        .reset_index(drop=True)
+    )
+
+
+def top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape (top supplier view): quarterly per-supplier
+    revenue with an argmax-equality filter. The argmax PUSHES DOWN:
+    supplier groups are partition-closed after one suppkey hash
+    partition, so each partition emits only its OWN maximal rows
+    (ties kept) and the driver takes the max-of-maxima over
+    n_partitions rows — the full supplier revenue vector never
+    materializes anywhere. Revenue is rounded to 2 dp BEFORE the max
+    comparison on both paths so float tie semantics are identical."""
+    from ..functions.partitioning import groupby_partition
+
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1996-04-01")
+    li = _pq(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    schema = pa.schema([("s_suppkey", pa.int64()), ("total_revenue", pa.float64())])
+
+    def local_max(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["l_shipdate"].to_numpy("datetime64[us]")
+        m = (d >= lo) & (d < hi)
+        if not m.any():
+            return pd.DataFrame(
+                {"s_suppkey": pd.Series([], dtype="int64"),
+                 "total_revenue": pd.Series([], dtype="float64")}
+            )
+        rev = (
+            pd.DataFrame(
+                {"k": df["l_suppkey"].to_numpy()[m],
+                 "r": df["l_extendedprice"].to_numpy()[m]
+                      * (1.0 - df["l_discount"].to_numpy()[m])}
+            )
+            .groupby("k")["r"].sum().round(2)
+        )
+        best = rev[rev == rev.max()]
+        return pd.DataFrame(
+            {"s_suppkey": best.index.to_numpy(np.int64),
+             "total_revenue": best.to_numpy(np.float64)}
+        )
+
+    cand = groupby_partition(
+        li, "l_suppkey", local_max, batch_format="pandas", schema=schema
+    ).to_pandas()
+    if cand.empty:
+        return pd.DataFrame(
+            {"s_suppkey": pd.Series([], dtype="int64"),
+             "s_name": pd.Series([], dtype=str),
+             "total_revenue": pd.Series([], dtype="float64")}
+        )
+    best = cand[cand["total_revenue"] == cand["total_revenue"].max()]
+    sup = _pq(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    out = best.merge(sup, on="s_suppkey")
+    return (
+        out[["s_suppkey", "s_name", "total_revenue"]]
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
