@@ -193,6 +193,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": r.local_supplier_volume,
         "large_volume_orders": r.large_volume_orders,
         "top_supplier": r.top_supplier,
+        "events_type_weekday_chisq": r.events_type_weekday_chisq,
+        "events_hll_overlap": r.events_hll_overlap,
+        "events_cusum": r.events_cusum,
     }
 
 
@@ -1716,6 +1719,31 @@ FROM qual q
 JOIN orders o ON o.o_orderkey = q.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
 ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+""",
+        "events_type_weekday_chisq": """
+WITH c AS (
+  SELECT event_type, isodow(ts) AS dow, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT sum(n) AS total FROM c),
+rt AS (SELECT event_type, sum(n) AS rn FROM c GROUP BY 1),
+ct AS (SELECT dow, sum(n) AS cn FROM c GROUP BY 1)
+SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow, CAST(c.n AS BIGINT) AS n,
+       round(rt.rn * ct.cn * 1.0 / tot.total, 6) AS expected,
+       round(pow(c.n - rt.rn * ct.cn * 1.0 / tot.total, 2)
+             / (rt.rn * ct.cn * 1.0 / tot.total), 6) AS contrib
+FROM c JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot
+ORDER BY event_type, dow
+""",
+        "events_hll_overlap": f"""
+SELECT type_a, type_b, n_exact, n_est
+FROM read_parquet('{_fixture("events_hll_overlap")}')
+ORDER BY type_a, type_b
+""",
+        "events_cusum": f"""
+SELECT event_type, max_cusum, peak_day
+FROM read_parquet('{_fixture("events_cusum")}')
+ORDER BY event_type
 """,
         "top_supplier": """
 WITH rev AS (

@@ -2475,3 +2475,148 @@ def top_supplier(sf_dir: str) -> pd.DataFrame:
         .sort_values("s_suppkey")
         .reset_index(drop=True)
     )
+
+
+def events_type_weekday_chisq(sf_dir: str) -> pd.DataFrame:
+    """Chi-square independence test of event_type x ISO weekday — the
+    classic contingency-table analytics op. One streamed pass emits
+    (type, dow, n) block partials (|types| x 7 rows per block, dimension
+    -bounded driver merge); expected counts and per-cell chi-square
+    contributions are driver math over the tiny table. The statistic is
+    sum(contrib) — reported per cell so skewed cells are attributable."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dow = df["ts"].dt.dayofweek + 1  # ISO: Mon=1..Sun=7
+        out = (
+            pd.DataFrame({"event_type": df["event_type"], "dow": dow})
+            .groupby(["event_type", "dow"])
+            .size()
+            .reset_index(name="n")
+        )
+        return out.astype({"event_type": str, "dow": "int64", "n": "int64"})
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    c = parts.groupby(["event_type", "dow"], as_index=False)["n"].sum()
+    n_total = float(c["n"].sum())
+    row = c.groupby("event_type")["n"].transform("sum").to_numpy(float)
+    col = c.groupby("dow")["n"].transform("sum").to_numpy(float)
+    e = row * col / n_total
+    c["expected"] = np.round(e, 6)
+    c["contrib"] = np.round((c["n"].to_numpy(float) - e) ** 2 / e, 6)
+    c["n"] = c["n"].astype("int64")
+    return c.sort_values(["event_type", "dow"]).reset_index(drop=True)
+
+
+def events_hll_overlap(sf_dir: str) -> pd.DataFrame:
+    """HLL SET ALGEBRA: pairwise distinct-user overlap between event
+    types, estimated by inclusion-exclusion over mergeable register
+    vectors (|A∩B| ≈ E(A) + E(B) - E(max(regs_A, regs_B)) — union of
+    HLLs is the elementwise register max), carried next to the EXACT
+    overlap for audit. Sketch state is |types| x 4 KiB per block; the
+    exact pair counts come from one user-keyed partition pass emitting
+    type-pair partials (pairs are dimension-bounded). The register max
+    is order- and duplicate-insensitive, so the distributed merge is
+    bit-identical to the serial fixture's single fold."""
+    from ..functions.partitioning import groupby_partition
+    from ..functions.sketch import hll_estimate, hll_merge, hll_registers
+
+    ev = _pq(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def sketch_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, grp in df.groupby("event_type", sort=False):
+            rows.append(
+                {"event_type": et,
+                 "regs": hll_registers(grp["user_id"].to_numpy()).tobytes()}
+            )
+        return pd.DataFrame(rows, columns=["event_type", "regs"])
+
+    parts = ev.map_batches(sketch_partial, batch_format="pandas").to_pandas()
+    regs = {
+        et: hll_merge(
+            np.stack([np.frombuffer(b, dtype=np.int8) for b in grp["regs"]])
+        )
+        for et, grp in parts.groupby("event_type")
+    }
+
+    pair_schema = pa.schema(
+        [("type_a", pa.string()), ("type_b", pa.string()), ("n", pa.int64())]
+    )
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sets = df.groupby("user_id")["event_type"].agg(lambda s: sorted(set(s)))
+        rows: dict = {}
+        for types in sets:
+            for i in range(len(types)):
+                for j in range(i + 1, len(types)):
+                    k = (types[i], types[j])
+                    rows[k] = rows.get(k, 0) + 1
+        return pd.DataFrame(
+            [{"type_a": a, "type_b": b, "n": n} for (a, b), n in rows.items()],
+            columns=["type_a", "type_b", "n"],
+        ).astype({"type_a": str, "type_b": str, "n": "int64"})
+
+    exact = (
+        groupby_partition(
+            ev, "user_id", pair_partial, batch_format="pandas", schema=pair_schema
+        )
+        .to_pandas()
+        .groupby(["type_a", "type_b"], as_index=False)["n"].sum()
+    )
+
+    ests = {et: hll_estimate(r) for et, r in regs.items()}
+    out_rows = []
+    for _, r in exact.iterrows():
+        a, b = r["type_a"], r["type_b"]
+        union = hll_estimate(np.maximum(regs[a], regs[b]))
+        inter = max(ests[a] + ests[b] - union, 0.0)
+        out_rows.append(
+            {"type_a": a, "type_b": b, "n_exact": int(r["n"]),
+             "n_est": round(inter, 2)}
+        )
+    out = pd.DataFrame(out_rows, columns=["type_a", "type_b", "n_exact", "n_est"])
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def events_cusum(sf_dir: str) -> pd.DataFrame:
+    """CUSUM change-point scan per event type over the daily count
+    series: S_t = max(0, S_{t-1} + (x_t - mean)), reporting the peak
+    statistic and the day it peaks (first day on ties). The recurrence
+    is inherently sequential BUT only over the dimension-bounded
+    (type x day) aggregate — one streamed pass reduces the event log to
+    daily-count partials, the driver merge is |types| x |days| rows,
+    and the scan runs there (the same shape as pagerank's driver
+    iteration). Not SQL-expressible (clamped recurrence) -> serial
+    fixture oracle."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].dt.floor("D")
+        out = (
+            pd.DataFrame({"event_type": df["event_type"], "day": day})
+            .groupby(["event_type", "day"])
+            .size()
+            .reset_index(name="n")
+        )
+        return out.astype({"event_type": str, "n": "int64"})
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    daily = parts.groupby(["event_type", "day"], as_index=False)["n"].sum()
+    out_rows = []
+    for et, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("day")
+        x = grp["n"].to_numpy(np.float64)
+        mean = x.mean()
+        s = 0.0
+        best, best_i = -1.0, 0
+        for i, v in enumerate(x):
+            s = max(0.0, s + (v - mean))
+            if s > best:
+                best, best_i = s, i
+        out_rows.append(
+            {"event_type": et, "max_cusum": round(best, 4),
+             "peak_day": str(grp["day"].iloc[best_i].date())}
+        )
+    out = pd.DataFrame(out_rows, columns=["event_type", "max_cusum", "peak_day"])
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -1101,6 +1101,10 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_pagerank_df(_transcript_docs(sf_dir))
     if name == "kg_label_prop":
         return serial_label_prop_df(_transcript_docs(sf_dir))
+    if name == "events_hll_overlap":
+        return serial_hll_overlap_df(sf_dir)
+    if name == "events_cusum":
+        return serial_cusum_df(sf_dir)
     if name == "docs_cm_profile":
         return serial_cm_profile_df(*_documents(sf_dir))
     if name == "embeddings_pca":
@@ -1468,3 +1472,70 @@ def serial_cm_profile_df(doc_ids: List, texts: List[str], w: int = 256,
             "n_cm": cm_query(mat, toks).astype("int64"),
         }
     )
+
+
+def serial_hll_overlap_df(sf_dir: str) -> pd.DataFrame:
+    """Serial mirror of relational.events_hll_overlap: single-process HLL
+    per type + exact pandas pair overlap; register max idempotence makes
+    the global fold equal the distributed merge bit-for-bit."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .functions.sketch import hll_estimate, hll_registers
+
+    df = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    ).to_pandas()
+    types = sorted(df["event_type"].unique())
+    regs = {
+        et: hll_registers(df.loc[df["event_type"] == et, "user_id"].to_numpy())
+        for et in types
+    }
+    ests = {et: hll_estimate(r) for et, r in regs.items()}
+    users = {et: set(df.loc[df["event_type"] == et, "user_id"]) for et in types}
+    rows = []
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            a, b = types[i], types[j]
+            n_exact = len(users[a] & users[b])
+            if n_exact == 0:
+                continue
+            union = hll_estimate(np.maximum(regs[a], regs[b]))
+            rows.append(
+                {"type_a": a, "type_b": b, "n_exact": n_exact,
+                 "n_est": round(max(ests[a] + ests[b] - union, 0.0), 2)}
+            )
+    out = pd.DataFrame(rows, columns=["type_a", "type_b", "n_exact", "n_est"])
+    out["n_exact"] = out["n_exact"].astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def serial_cusum_df(sf_dir: str) -> pd.DataFrame:
+    """Serial mirror of relational.events_cusum: pandas daily counts +
+    the identical clamped-recurrence scan."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    ).to_pandas()
+    df["day"] = df["ts"].dt.floor("D")
+    daily = df.groupby(["event_type", "day"]).size().reset_index(name="n")
+    rows = []
+    for et, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("day")
+        x = grp["n"].to_numpy(np.float64)
+        mean = x.mean()
+        s, best, best_i = 0.0, -1.0, 0
+        for i, v in enumerate(x):
+            s = max(0.0, s + (v - mean))
+            if s > best:
+                best, best_i = s, i
+        rows.append(
+            {"event_type": et, "max_cusum": round(best, 4),
+             "peak_day": str(grp["day"].iloc[best_i].date())}
+        )
+    out = pd.DataFrame(rows, columns=["event_type", "max_cusum", "peak_day"])
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -1,0 +1,79 @@
+"""Chi-square contingency, HLL set algebra, CUSUM change-point."""
+
+import numpy as np
+import pandas as pd
+
+from ehr_relation_extraction_ray.pipelines import relational
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_chisq_matches_pandas(ray_session):
+    got = relational.events_type_weekday_chisq(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "ts"])
+    c = (
+        pd.DataFrame(
+            {"event_type": ev["event_type"], "dow": ev["ts"].dt.dayofweek + 1}
+        )
+        .groupby(["event_type", "dow"]).size().reset_index(name="n")
+    )
+    n = float(c["n"].sum())
+    e = (
+        c.groupby("event_type")["n"].transform("sum").to_numpy(float)
+        * c.groupby("dow")["n"].transform("sum").to_numpy(float) / n
+    )
+    want = c.assign(
+        expected=np.round(e, 6),
+        contrib=np.round((c["n"].to_numpy(float) - e) ** 2 / e, 6),
+    ).sort_values(["event_type", "dow"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # marginals of expected match marginals of observed
+    assert abs(got["expected"].sum() - got["n"].sum()) < 1e-3
+
+
+def test_hll_overlap_exact_and_estimate(ray_session):
+    got = relational.events_hll_overlap(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+    users = {
+        et: set(g["user_id"]) for et, g in ev.groupby("event_type")
+    }
+    for _, r in got.iterrows():
+        exact = len(users[r["type_a"]] & users[r["type_b"]])
+        assert r["n_exact"] == exact
+        # HLL inclusion-exclusion is approximate: within 15% + small abs slack
+        assert abs(r["n_est"] - exact) <= max(0.15 * exact, 25)
+
+
+def test_cusum_flags_injected_shift(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # flat series with a level shift on day 30 -> CUSUM peaks at the end
+    # of the elevated run, and max_cusum ≈ total injected excess mass
+    days = pd.date_range("2020-01-01", periods=60, freq="D")
+    rows = []
+    eid = 0
+    for i, d in enumerate(days):
+        n = 10 + (20 if 30 <= i < 40 else 0)
+        for _ in range(n):
+            rows.append((eid, d, 1, "click", 0.0, "{}"))
+            eid += 1
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    out = relational.events_cusum(str(tmp_path))
+    assert out["peak_day"].iloc[0] == "2020-02-09"  # day index 39
+    # excess over the mean accumulated across the 10 elevated days
+    mean = (60 * 10 + 10 * 20) / 60
+    want = sum(max(0, 30 - mean) for _ in range(10))
+    assert abs(out["max_cusum"].iloc[0] - round(want, 4)) < 1e-6
