@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": r.local_supplier_volume,
         "large_volume_orders": r.large_volume_orders,
         "top_supplier": r.top_supplier,
+        "docs_ppjoin_pairs": q.docs_ppjoin_pairs,
         "events_type_weekday_chisq": r.events_type_weekday_chisq,
         "events_hll_overlap": r.events_hll_overlap,
         "events_cusum": r.events_cusum,
@@ -1223,6 +1224,29 @@ GROUP BY bin ORDER BY bin
         # recall is 1 — asserted here by using the exact SQL as the oracle
         # (VERDICT r1 item 2b).
         "docs_minhash_pairs": _NGRAM_JACCARD_SQL,
+        # Prefix filtering has recall 1 by THEOREM (smallest common shingle
+        # is in both prefixes), so the uncapped exact self-join is an
+        # unconditional oracle — stronger than the minhash recall argument.
+        "docs_ppjoin_pairs": r"""
+WITH words AS (SELECT doc_id::VARCHAR AS doc_id, string_split_regex(lower(text), '\s+') AS w
+               FROM documents WHERE length(trim(text)) > 0),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+                   i -> array_to_string(w[i:i+4], ' '))) AS shingle
+    FROM words)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+ORDER BY doc_a, doc_b
+""",
         "docs_dup_clusters": _DUP_CLUSTERS_SQL,
         "events_quantiles_cont": """
 SELECT event_type, count(*) AS n_events,

@@ -3052,3 +3052,30 @@ def docs_rrf_fusion(sf_dir: str) -> pd.DataFrame:
     out["rrf"] = out["rrf"].round(6)
     out = out.sort_values(["rrf", "doc_id"], ascending=[False, True]).head(10)
     return out.astype({"doc_id": "int64"}).reset_index(drop=True)
+
+
+def docs_ppjoin_pairs(sf_dir: str) -> pd.DataFrame:
+    """Exact set-similarity join with GUARANTEED recall (prefix
+    filtering — dedupe.ppjoin_pairs): unlike docs_minhash_pairs, the
+    oracle equality here is unconditional, not recall-permitting, and
+    unlike docs_ngram_jaccard no df cap is involved and only the
+    (1-t) prefix fraction of each doc's shingles is exploded."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    docs = docs.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("doc_id"),
+            "doc_id",
+            t["doc_id"].cast(pa.string()),
+        ),
+        batch_format="pyarrow",
+    )
+    verified = dedupe.ppjoin_pairs(docs, threshold=0.8, k=5).to_pandas()
+    if verified.empty:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype=str), "doc_b": pd.Series([], dtype=str),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+    verified["jaccard"] = verified["jaccard"].round(4)
+    return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

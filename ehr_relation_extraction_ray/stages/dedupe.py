@@ -1587,3 +1587,113 @@ def term_variant_pairs(
         return pa.table(cols)
 
     return cands.map_batches(verify, batch_format="pyarrow")
+
+
+def ppjoin_pairs(
+    docs: "ray.data.Dataset",
+    threshold: float = 0.8,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Exact set-similarity join via PREFIX FILTERING (Chaudhuri et al.
+    2006 / Xiao et al. PPJoin 2008) — all pairs with k-word-shingle
+    Jaccard >= threshold, with GUARANTEED recall 1 (unlike MinHash-LSH,
+    whose recall is probabilistic):
+
+    sort each doc's distinct shingle hashes under one global total order
+    (the hash value itself — any fixed order is correct; df-ascending is
+    only a candidate-count optimization and would need a corpus-scale df
+    table at 100 TB), keep only the first ``|x| - ceil(t*|x|) + 1``
+    as the doc's PREFIX, and bucket by prefix shingle. Theorem: if
+    J(x,y) >= t, the smallest common shingle (in the global order) lies
+    in BOTH prefixes, so every qualifying pair shares a bucket. A length
+    filter (t*|x| <= |y|) prunes inside each bucket. Candidates then go
+    through the distributed exact verify (:func:`verify_jaccard`) —
+    only ~(1-t) of each doc's shingles are ever exploded, vs ALL of
+    them in :func:`ngram_jaccard_pairs`, and no df cap is needed.
+    """
+    import math
+
+    def explode_prefix(batch: pa.Table) -> pa.Table:
+        ids, hashes, sizes = [], [], []
+        for doc_id, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            h = word_shingle_hashes(text or "", k)
+            n = len(h)
+            if n == 0:
+                continue
+            p = n - math.ceil(threshold * n) + 1
+            pref = np.sort(h.astype(np.int64))[:p]
+            ids.extend([str(doc_id)] * p)
+            hashes.extend(pref.tolist())
+            sizes.extend([n] * p)
+        return pa.table(
+            {
+                "sh": pa.array(hashes, pa.int64()),
+                "doc_id": pa.array(ids, pa.string()),
+                "size": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    prefixes = docs.map_batches(explode_prefix, batch_format="pyarrow")
+
+    from ..functions.partitioning import groupby_partition
+
+    pair_schema = pa.schema([("doc_a", pa.string()), ("doc_b", pa.string())])
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        """Same-shingle pair emission over one hash partition, vectorized
+        by run length exactly like ngram_jaccard_pairs, plus the PPJoin
+        length filter t*max(|x|,|y|) <= min(|x|,|y|)."""
+        sh = np.asarray(group["sh"])
+        cats, codes = np.unique(
+            np.asarray(group["doc_id"].to_pylist(), dtype=object),
+            return_inverse=True,
+        )
+        size = np.asarray(group["size"])
+        order = np.lexsort((codes, sh))
+        sh_s, code_s, size_s = sh[order], codes[order], size[order]
+        _, starts, counts = np.unique(sh_s, return_index=True, return_counts=True)
+        keep = counts >= 2
+        a_parts, b_parts = [], []
+        for c in np.unique(counts[keep]):
+            run_starts = starts[keep][counts[keep] == c]
+            idx = run_starts[:, None] + np.arange(c)[None, :]
+            mat, msize = code_s[idx], size_s[idx]
+            iu, ju = np.triu_indices(c, k=1)
+            a, b = mat[:, iu].ravel(), mat[:, ju].ravel()
+            sa, sb = msize[:, iu].ravel(), msize[:, ju].ravel()
+            ok = (a != b) & (
+                threshold * np.maximum(sa, sb) <= np.minimum(sa, sb)
+            )
+            a_parts.append(a[ok])
+            b_parts.append(b[ok])
+        if not a_parts:
+            return pair_schema.empty_table()
+        import pandas as pd
+
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        out = pd.DataFrame({"doc_a": cats[lo], "doc_b": cats[hi]})
+        out = out.drop_duplicates(ignore_index=True)  # partition-local dedup
+        return pa.table(
+            {
+                "doc_a": pa.array(out["doc_a"], pa.string()),
+                "doc_b": pa.array(out["doc_b"], pa.string()),
+            }
+        )
+
+    candidates = groupby_partition(
+        prefixes, "sh", bucket_pairs, num_partitions=num_partitions,
+        schema=pair_schema,
+    )
+    # cross-partition duplicates remain (one per shared prefix shingle in a
+    # different partition); verify_jaccard dedups internally
+    return verify_jaccard(
+        candidates, docs, threshold=threshold, k=k,
+        text_col=text_col, id_col=id_col,
+    )
