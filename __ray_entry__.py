@@ -197,6 +197,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_weekday_chisq": r.events_type_weekday_chisq,
         "events_hll_overlap": r.events_hll_overlap,
         "events_cusum": r.events_cusum,
+        "events_bitmap_distinct": r.events_bitmap_distinct,
+        "events_time_weighted_avg": r.events_time_weighted_avg,
     }
 
 
@@ -1768,6 +1770,35 @@ ORDER BY type_a, type_b
 SELECT event_type, max_cusum, peak_day
 FROM read_parquet('{_fixture("events_cusum")}')
 ORDER BY event_type
+""",
+        "events_bitmap_distinct": """
+WITH d AS (SELECT event_type, count(DISTINCT user_id) AS n_users
+           FROM events GROUP BY event_type),
+t2 AS (SELECT event_type FROM d ORDER BY event_type LIMIT 2),
+ov AS (
+  SELECT count(*) AS n FROM (
+    SELECT user_id FROM events WHERE event_type = (SELECT min(event_type) FROM t2)
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = (SELECT max(event_type) FROM t2)
+  )
+)
+SELECT d.event_type, CAST(d.n_users AS BIGINT) AS n_users,
+       CAST(ov.n AS BIGINT) AS first_pair_overlap
+FROM d CROSS JOIN ov ORDER BY d.event_type
+""",
+        "events_time_weighted_avg": """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS t, value,
+         lead(epoch_us(ts)) OVER w AS t2, lead(value) OVER w AS v2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       round(sum((t2 - t) * (value + v2) / 2.0) / (max(t) - min(t)), 6)
+         AS twavg
+FROM s GROUP BY user_id
+HAVING max(t) > min(t)
+ORDER BY user_id
 """,
         "top_supplier": """
 WITH rev AS (

@@ -2620,3 +2620,84 @@ def events_cusum(sf_dir: str) -> pd.DataFrame:
         )
     out = pd.DataFrame(out_rows, columns=["event_type", "max_cusum", "peak_day"])
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_bitmap_distinct(sf_dir: str) -> pd.DataFrame:
+    """EXACT distinct users per event type via BITMAP-INDEX algebra (the
+    roaring-bitmap aggregate pattern): each block packs its user ids
+    into one fixed-width bit vector per type (np.packbits), the driver
+    merge is bitwise OR over |types| x blocks vectors, and the count is
+    a popcount. Mergeable like HLL but exact; state is ceil(U/8) bytes
+    per (type, block) — the documented boundedness assumption is a
+    DENSE user-id space (10^9 users = 125 MB/vector; beyond that,
+    switch the vector to a compressed/roaring layout, same algebra).
+    The pairwise AND gives exact overlaps with no second pass — shown
+    for the lexicographically first type pair. Oracle: plain
+    COUNT(DISTINCT) SQL, exactly (not approximately) equal."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "user_id"])
+    n_bits = int(ev.max("user_id")) + 1
+    n_bytes = (n_bits + 7) // 8
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, grp in df.groupby("event_type", sort=False):
+            bits = np.zeros(n_bits, dtype=bool)
+            bits[grp["user_id"].to_numpy()] = True
+            rows.append({"event_type": et, "bm": np.packbits(bits).tobytes()})
+        return pd.DataFrame(rows, columns=["event_type", "bm"])
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = {}
+    for et, grp in parts.groupby("event_type"):
+        acc = np.zeros(n_bytes, dtype=np.uint8)
+        for b in grp["bm"]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        merged[et] = acc
+    types = sorted(merged)
+    out = pd.DataFrame(
+        {
+            "event_type": types,
+            "n_users": [
+                int(np.unpackbits(merged[t]).sum()) for t in types
+            ],
+        }
+    ).astype({"n_users": "int64"})
+    if len(types) >= 2:
+        inter = int(np.unpackbits(merged[types[0]] & merged[types[1]]).sum())
+        out["first_pair_overlap"] = np.int64(inter)
+    else:
+        out["first_pair_overlap"] = np.int64(0)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_time_weighted_avg(sf_dir: str) -> pd.DataFrame:
+    """Time-weighted (trapezoidal) average of `value` per user over the
+    user's irregular event timeline — the standard telemetry aggregate
+    that plain AVG gets wrong under uneven sampling. One user-keyed
+    partition pass sorts each user's events by (ts, event_id) and
+    integrates sum((t2-t1)*(v1+v2)/2) / (t_last-t_first); users with a
+    single event (zero span) are dropped, matching the SQL's NULL
+    division semantics."""
+    from ..functions.partitioning import groupby_partition
+
+    ev = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    schema = pa.schema([("user_id", pa.int64()), ("twavg", pa.float64())])
+
+    def integrate(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        rows = []
+        for uid, grp in df.groupby("user_id", sort=False):
+            t = grp["ts"].to_numpy("datetime64[us]").astype(np.int64)
+            v = grp["value"].to_numpy(np.float64)
+            span = t[-1] - t[0]
+            if span <= 0:
+                continue
+            area = float(np.sum(np.diff(t) * (v[:-1] + v[1:]) / 2.0))
+            rows.append({"user_id": int(uid), "twavg": round(area / span, 6)})
+        return pd.DataFrame(rows, columns=["user_id", "twavg"])
+
+    out = groupby_partition(
+        ev, "user_id", integrate, batch_format="pandas", schema=schema
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
