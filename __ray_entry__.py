@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cusum": r.events_cusum,
         "events_bitmap_distinct": r.events_bitmap_distinct,
         "events_time_weighted_avg": r.events_time_weighted_avg,
+        "orders_lineitem_join_size": r.orders_lineitem_join_size,
     }
 
 
@@ -1770,6 +1771,10 @@ ORDER BY type_a, type_b
 SELECT event_type, max_cusum, peak_day
 FROM read_parquet('{_fixture("events_cusum")}')
 ORDER BY event_type
+""",
+        "orders_lineitem_join_size": f"""
+SELECT metric, value FROM read_parquet('{_fixture("orders_lineitem_join_size")}')
+ORDER BY metric
 """,
         "events_bitmap_distinct": """
 WITH d AS (SELECT event_type, count(DISTINCT user_id) AS n_users

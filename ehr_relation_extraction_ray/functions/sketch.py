@@ -235,3 +235,14 @@ def cm_query(mat: np.ndarray, tokens) -> np.ndarray:
     pos = _cm_positions(tokens, w, d)
     ests = np.stack([mat[i][pos[i]] for i in range(d)])
     return ests.min(axis=0)
+
+
+def ams_join_estimate(dot_a: np.ndarray, dot_b: np.ndarray, groups: int = 4) -> float:
+    """AGMS join-size estimation (Alon, Gibbons, Matias, Szegedy 1999):
+    E[dot_a_j * dot_b_j] = |A join B| when both sides fold their key
+    counts with the SAME sign function (ams_f2_partial). Median-of-means
+    over the elementwise products, mirroring ams_f2_estimate."""
+    prod = dot_a.astype(np.float64) * dot_b.astype(np.float64)
+    per = len(prod) // groups
+    means = [prod[g * per:(g + 1) * per].mean() for g in range(groups)]
+    return float(np.median(means))

@@ -2701,3 +2701,69 @@ def events_time_weighted_avg(sf_dir: str) -> pd.DataFrame:
         ev, "user_id", integrate, batch_format="pandas", schema=schema
     ).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def orders_lineitem_join_size(sf_dir: str) -> pd.DataFrame:
+    """Join-size estimation WITHOUT running the join — the AGMS sketch
+    dot product (Alon-Gibbons-Matias-Szegedy): each side folds its
+    per-block key counts into a 64-estimator ±1 dot partial (shared
+    deterministic sign function), partials SUM, and
+    E[dot_o · dot_l] = |orders ⋈ lineitem|. The query-optimizer use
+    case: the sketch state is 64 int64s per block regardless of key
+    cardinality. The exact size is carried for audit via pre-aggregated
+    (key, n) partials through ONE key partition (Σ n_o(k)·n_l(k)) —
+    never by materializing the join. Serial fixture oracle (linearity
+    makes the distributed fold exactly equal the serial one)."""
+    from ..functions.partitioning import groupby_partition
+    from ..functions.sketch import ams_f2_partial, ams_join_estimate
+
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey"])
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def fold(col: str):
+        def partial(t: pa.Table) -> pa.Table:
+            vc = pd.Series(np.asarray(t[col])).value_counts(sort=False)
+            dot = ams_f2_partial(
+                {str(k): int(v) for k, v in vc.items()}
+            )
+            counts = pa.table(
+                {
+                    "key": pa.array(vc.index.to_numpy(np.int64)),
+                    "n": pa.array(vc.to_numpy(np.int64)),
+                    "dot": pa.array([None] * len(vc), pa.list_(pa.int64())),
+                }
+            )
+            dotrow = pa.table(
+                {
+                    "key": pa.array([-1], pa.int64()),
+                    "n": pa.array([0], pa.int64()),
+                    "dot": pa.array([dot.tolist()], pa.list_(pa.int64())),
+                }
+            )
+            return pa.concat_tables([counts, dotrow])
+
+        return partial
+
+    parts_o = orders.map_batches(fold("o_orderkey"), batch_format="pyarrow")
+    parts_l = li.map_batches(fold("l_orderkey"), batch_format="pyarrow")
+
+    po = parts_o.to_pandas()
+    pl = parts_l.to_pandas()
+    dot_o = np.sum(np.stack([np.asarray(d) for d in po.loc[po["key"] == -1, "dot"]]), axis=0)
+    dot_l = np.sum(np.stack([np.asarray(d) for d in pl.loc[pl["key"] == -1, "dot"]]), axis=0)
+    est = ams_join_estimate(dot_o, dot_l)
+
+    co = po[po["key"] != -1].groupby("key")["n"].sum()
+    cl = pl[pl["key"] != -1].groupby("key")["n"].sum()
+    # exact Σ n_o(k)·n_l(k): the (key, n) partials are key-cardinality-
+    # bounded here; at open key spaces route them through ONE
+    # groupby_partition(key) pass instead of this driver merge — the
+    # per-partition product-sum is the same math (partition-closed keys)
+    common = co.index.intersection(cl.index)
+    exact = float((co.loc[common] * cl.loc[common]).sum())
+    return pd.DataFrame(
+        {
+            "metric": ["join_size_ams", "join_size_exact"],
+            "value": [round(est, 2), round(exact, 2)],
+        }
+    )

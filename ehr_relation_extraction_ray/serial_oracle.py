@@ -1103,6 +1103,8 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_label_prop_df(_transcript_docs(sf_dir))
     if name == "events_hll_overlap":
         return serial_hll_overlap_df(sf_dir)
+    if name == "orders_lineitem_join_size":
+        return serial_join_size_df(sf_dir)
     if name == "events_cusum":
         return serial_cusum_df(sf_dir)
     if name == "docs_cm_profile":
@@ -1539,3 +1541,30 @@ def serial_cusum_df(sf_dir: str) -> pd.DataFrame:
         )
     out = pd.DataFrame(rows, columns=["event_type", "max_cusum", "peak_day"])
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def serial_join_size_df(sf_dir: str) -> pd.DataFrame:
+    """Serial mirror of relational.orders_lineitem_join_size: global key
+    counts per side, one AGMS fold each, exact product-sum."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .functions.sketch import ams_f2_partial, ams_join_estimate
+
+    o = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey"]
+    ).to_pandas()["o_orderkey"].value_counts(sort=False)
+    l = pq.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey"]
+    ).to_pandas()["l_orderkey"].value_counts(sort=False)
+    est = ams_join_estimate(
+        ams_f2_partial({str(k): int(v) for k, v in o.items()}),
+        ams_f2_partial({str(k): int(v) for k, v in l.items()}),
+    )
+    common = o.index.intersection(l.index)
+    exact = float((o.loc[common] * l.loc[common]).sum())
+    return pd.DataFrame(
+        {"metric": ["join_size_ams", "join_size_exact"],
+         "value": [round(est, 2), round(exact, 2)]}
+    )

@@ -77,3 +77,14 @@ def test_cusum_flags_injected_shift(ray_session, tmp_path):
     mean = (60 * 10 + 10 * 20) / 60
     want = sum(max(0, 30 - mean) for _ in range(10))
     assert abs(out["max_cusum"].iloc[0] - round(want, 4)) < 1e-6
+
+
+def test_join_size_estimate_accuracy(ray_session):
+    got = relational.orders_lineitem_join_size(SF)
+    o = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey"])
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey"])
+    true = float(len(li.merge(o, left_on="l_orderkey", right_on="o_orderkey")))
+    vals = dict(zip(got["metric"], got["value"]))
+    assert vals["join_size_exact"] == true
+    # AGMS guarantee: relative error within a few sigma of 1/sqrt(16)
+    assert abs(vals["join_size_ams"] - true) / true < 0.5
