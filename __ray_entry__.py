@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bitmap_distinct": r.events_bitmap_distinct,
         "events_time_weighted_avg": r.events_time_weighted_avg,
         "orders_lineitem_join_size": r.orders_lineitem_join_size,
+        "events_decayed_sum": r.events_decayed_sum,
+        "events_diff_in_diff": r.events_diff_in_diff,
     }
 
 
@@ -1775,6 +1777,33 @@ ORDER BY event_type
         "orders_lineitem_join_size": f"""
 SELECT metric, value FROM read_parquet('{_fixture("orders_lineitem_join_size")}')
 ORDER BY metric
+""",
+        "events_decayed_sum": """
+WITH mx AS (SELECT max(epoch_us(ts)) AS t_max FROM events)
+SELECT event_type,
+       round(sum(value * pow(2.0,
+             -(mx.t_max - epoch_us(ts)) / (7.0 * 24 * 3600 * 1000000))), 4)
+         AS decayed_sum
+FROM events CROSS JOIN mx
+GROUP BY event_type ORDER BY event_type
+""",
+        "events_diff_in_diff": """
+WITH cells AS (
+  SELECT event_type,
+         (user_id % 2 = 0) AS treat,
+         (ts >= TIMESTAMP '2024-01-15') AS post,
+         avg(value) AS m
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       round(
+         (max(CASE WHEN treat AND post THEN m END)
+          - max(CASE WHEN treat AND NOT post THEN m END))
+         - (max(CASE WHEN NOT treat AND post THEN m END)
+            - max(CASE WHEN NOT treat AND NOT post THEN m END)), 6) AS did
+FROM cells GROUP BY event_type
+HAVING count(*) = 4
+ORDER BY event_type
 """,
         "events_bitmap_distinct": """
 WITH d AS (SELECT event_type, count(DISTINCT user_id) AS n_users

@@ -2767,3 +2767,85 @@ def orders_lineitem_join_size(sf_dir: str) -> pd.DataFrame:
             "value": [round(est, 2), round(exact, 2)],
         }
     )
+
+
+def events_decayed_sum(sf_dir: str) -> pd.DataFrame:
+    """Exponentially time-decayed sum per event type (half-life 7 days,
+    anchored at the corpus max timestamp) — the streaming 'recency-
+    weighted counter' evaluated batch-side. Two cheap passes: a global
+    max(ts) aggregate, then per-block (type, Σ value·2^(-Δt/h)) partials
+    merged on the driver (decay against a FIXED anchor is linear, so
+    block partials sum exactly — the trick that makes the decayed
+    counter mergeable)."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "ts", "value"])
+    t_max = pd.Timestamp(ev.max("ts")).to_datetime64().astype("datetime64[us]")
+    half_us = 7 * 24 * 3600 * 1_000_000.0
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dt = (
+            t_max.astype(np.int64)
+            - df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        ).astype(np.float64)
+        w = df["value"].to_numpy(np.float64) * np.power(2.0, -dt / half_us)
+        out = (
+            pd.DataFrame({"event_type": df["event_type"], "w": w})
+            .groupby("event_type")["w"].sum().reset_index()
+        )
+        return out.astype({"event_type": str})
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("event_type", as_index=False)["w"].sum()
+    out["decayed_sum"] = out["w"].round(4)
+    return (
+        out[["event_type", "decayed_sum"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+def events_diff_in_diff(sf_dir: str) -> pd.DataFrame:
+    """Difference-in-differences per event type: treatment = even
+    user_id, period split at 2024-01-15. The whole estimator reduces to
+    (type, group, period, Σvalue, n) block partials — 4 cells per type,
+    dimension-bounded driver merge — then
+    DiD = (treat_post − treat_pre) − (ctrl_post − ctrl_pre) of cell
+    means. The classic observational-analytics aggregate as one
+    streamed combiner pass."""
+    ev = _pq(sf_dir, "events", columns=["user_id", "event_type", "ts", "value"])
+    split = np.datetime64("2024-01-15")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "treat": (df["user_id"].to_numpy() % 2 == 0),
+                    "post": df["ts"].to_numpy("datetime64[us]") >= split,
+                    "v": df["value"].to_numpy(np.float64),
+                }
+            )
+            .groupby(["event_type", "treat", "post"])
+            .agg(s=("v", "sum"), n=("v", "size"))
+            .reset_index()
+        )
+        return out.astype({"event_type": str, "n": "int64"})
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    cells = parts.groupby(["event_type", "treat", "post"], as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum")
+    )
+    cells["mean"] = cells["s"] / cells["n"]
+    rows = []
+    for et, g in cells.groupby("event_type"):
+        m = {
+            (bool(r["treat"]), bool(r["post"])): r["mean"]
+            for _, r in g.iterrows()
+        }
+        if len(m) < 4:
+            continue
+        did = (m[(True, True)] - m[(True, False)]) - (
+            m[(False, True)] - m[(False, False)]
+        )
+        rows.append({"event_type": et, "did": round(did, 6)})
+    out = pd.DataFrame(rows, columns=["event_type", "did"])
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -88,3 +88,41 @@ def test_join_size_estimate_accuracy(ray_session):
     assert vals["join_size_exact"] == true
     # AGMS guarantee: relative error within a few sigma of 1/sqrt(16)
     assert abs(vals["join_size_ams"] - true) / true < 0.5
+
+
+def test_decayed_sum_bounds_and_match(ray_session):
+    got = relational.events_decayed_sum(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "ts", "value"])
+    t_max = ev["ts"].max().to_datetime64().astype("datetime64[us]").astype(np.int64)
+    dt = t_max - ev["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    w = ev["value"].to_numpy(float) * 2.0 ** (-dt / (7 * 24 * 3600 * 1e6))
+    want = (
+        pd.DataFrame({"event_type": ev["event_type"], "w": w})
+        .groupby("event_type")["w"].sum().round(4)
+        .rename("decayed_sum").reset_index()
+        .sort_values("event_type").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # decayed sum is strictly below the plain sum (every weight < 1 except t_max)
+    plain = ev.groupby("event_type")["value"].sum()
+    for _, r in got.iterrows():
+        assert r["decayed_sum"] < plain[r["event_type"]]
+
+
+def test_diff_in_diff_matches_pandas(ray_session):
+    got = relational.events_diff_in_diff(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["treat"] = ev["user_id"] % 2 == 0
+    ev["post"] = ev["ts"] >= pd.Timestamp("2024-01-15")
+    m = ev.groupby(["event_type", "treat", "post"])["value"].mean()
+    rows = []
+    for et in sorted(ev["event_type"].unique()):
+        try:
+            did = (m[(et, True, True)] - m[(et, True, False)]) - (
+                m[(et, False, True)] - m[(et, False, False)]
+            )
+        except KeyError:
+            continue
+        rows.append({"event_type": et, "did": round(did, 6)})
+    want = pd.DataFrame(rows)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
