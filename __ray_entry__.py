@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_join_size": r.orders_lineitem_join_size,
         "events_decayed_sum": r.events_decayed_sum,
         "events_diff_in_diff": r.events_diff_in_diff,
+        "kg_linkpred_auc": q.kg_linkpred_auc,
     }
 
 
@@ -1777,6 +1778,10 @@ ORDER BY event_type
         "orders_lineitem_join_size": f"""
 SELECT metric, value FROM read_parquet('{_fixture("orders_lineitem_join_size")}')
 ORDER BY metric
+""",
+        "kg_linkpred_auc": f"""
+SELECT n_pos, n_neg, auc FROM read_parquet('{_fixture("kg_linkpred_auc")}')
+ORDER BY auc
 """,
         "events_decayed_sum": """
 WITH mx AS (SELECT max(epoch_us(ts)) AS t_max FROM events)

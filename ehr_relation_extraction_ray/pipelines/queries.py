@@ -3079,3 +3079,62 @@ def docs_ppjoin_pairs(sf_dir: str) -> pd.DataFrame:
         )
     verified["jaccard"] = verified["jaccard"].round(4)
     return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def kg_linkpred_auc(sf_dir: str) -> pd.DataFrame:
+    """Link-prediction evaluation over the entity co-occurrence graph:
+    hold out a deterministic 1/5 of edges (md5 of the canonical pair),
+    score candidate pairs by neighbor-Jaccard computed on the TRAIN
+    graph (graph.neighbor_jaccard — distributed wedge pass), and report
+    Mann-Whitney AUC of held-out edges vs all train-node non-edges
+    (non-wedge pairs score 0). The negative/positive enumeration is
+    driver math over the dimension-bounded node space — the same
+    justification as pagerank; at an open node space sample negatives
+    per hash instead. Serial fixture oracle re-runs the identical spec
+    on the serial pipeline's mentions."""
+    import hashlib as _hl
+
+    counts = _cooccurrence(sf_dir)
+    pairs = counts[counts["is_pair"] & (counts["n"] >= 2)][["ent_a", "ent_b"]]
+    empty = pd.DataFrame(
+        {"n_pos": pd.Series([], dtype="int64"),
+         "n_neg": pd.Series([], dtype="int64"),
+         "auc": pd.Series([], dtype="float64")}
+    )
+    if pairs.empty:
+        return empty
+    key = [
+        int(_hl.md5(f"{a}|{b}".encode()).hexdigest()[:8], 16) % 5 == 0
+        for a, b in zip(pairs["ent_a"], pairs["ent_b"])
+    ]
+    key = np.asarray(key)
+    test = pairs[key]
+    train = pairs[~key]
+    if test.empty or train.empty:
+        return empty
+    ds = ray.data.from_pandas(train.reset_index(drop=True))
+    scores = graph.neighbor_jaccard(ds, min_jaccard=0.0, driver_merge=True)
+    smap = {
+        (a, b): j
+        for a, b, j in zip(scores["ent_a"], scores["ent_b"], scores["jaccard"])
+    }
+    node_set = set(train["ent_a"]) | set(train["ent_b"])
+    nodes = sorted(node_set)
+    all_edges = set(zip(pairs["ent_a"], pairs["ent_b"]))
+    pos = [
+        smap.get((a, b), 0.0)
+        for a, b in zip(test["ent_a"], test["ent_b"])
+        if a in node_set and b in node_set
+    ]
+    neg = [
+        smap.get((a, b), 0.0)
+        for i, a in enumerate(nodes)
+        for b in nodes[i + 1:]
+        if (a, b) not in all_edges
+    ]
+    auc = graph.ranked_auc(pos, neg)
+    return pd.DataFrame(
+        {"n_pos": np.array([len(pos)], dtype="int64"),
+         "n_neg": np.array([len(neg)], dtype="int64"),
+         "auc": [round(auc, 6)]}
+    )

@@ -1105,6 +1105,8 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_hll_overlap_df(sf_dir)
     if name == "orders_lineitem_join_size":
         return serial_join_size_df(sf_dir)
+    if name == "kg_linkpred_auc":
+        return serial_linkpred_auc_df(_transcript_docs(sf_dir))
     if name == "events_cusum":
         return serial_cusum_df(sf_dir)
     if name == "docs_cm_profile":
@@ -1567,4 +1569,67 @@ def serial_join_size_df(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {"metric": ["join_size_ams", "join_size_exact"],
          "value": [round(est, 2), round(exact, 2)]}
+    )
+
+
+def serial_linkpred_auc_df(docs: Dict[str, str]) -> pd.DataFrame:
+    """Serial mirror of queries.kg_linkpred_auc: naive co-occurrence
+    edges (n >= 2, like serial_kcore_df), the identical md5 holdout,
+    set-math neighbor Jaccard on the train graph (rounded to 6 dp like
+    the distributed wedge pass), shared ranked_auc."""
+    import hashlib as _hl
+
+    from .stages.graph import ranked_auc
+
+    compiled = compile_patterns(fit_patterns(DEFAULT_LEXICON))
+    pair_docs: Dict[Tuple[str, str], int] = {}
+    for text in docs.values():
+        ents = sorted(
+            {f"{et}:{surf}" for _i, et, _s, _e, surf in naive_dict_ner(text, compiled)}
+        )
+        for i, a in enumerate(ents):
+            for b in ents[i + 1:]:
+                pair_docs[(a, b)] = pair_docs.get((a, b), 0) + 1
+    edges = sorted((a, b) for (a, b), n in pair_docs.items() if n >= 2 and a != b)
+    empty = pd.DataFrame(
+        {"n_pos": pd.Series([], dtype="int64"),
+         "n_neg": pd.Series([], dtype="int64"),
+         "auc": pd.Series([], dtype="float64")}
+    )
+    if not edges:
+        return empty
+    test = [
+        e for e in edges
+        if int(_hl.md5(f"{e[0]}|{e[1]}".encode()).hexdigest()[:8], 16) % 5 == 0
+    ]
+    train = [e for e in edges if e not in set(test)]
+    if not test or not train:
+        return empty
+    nbrs: Dict[str, set] = {}
+    for a, b in train:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    node_set = set(nbrs)
+    nodes = sorted(node_set)
+
+    def score(a: str, b: str) -> float:
+        na, nb = nbrs.get(a, set()), nbrs.get(b, set())
+        i = len(na & nb)
+        if i == 0:
+            return 0.0
+        return round(i / len(na | nb), 6)
+
+    all_edges = set(edges)
+    pos = [score(a, b) for a, b in test if a in node_set and b in node_set]
+    neg = [
+        score(a, b)
+        for i, a in enumerate(nodes)
+        for b in nodes[i + 1:]
+        if (a, b) not in all_edges
+    ]
+    auc = ranked_auc(pos, neg)
+    return pd.DataFrame(
+        {"n_pos": np.array([len(pos)], dtype="int64"),
+         "n_neg": np.array([len(neg)], dtype="int64"),
+         "auc": [round(auc, 6)]}
     )

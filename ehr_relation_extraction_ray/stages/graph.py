@@ -717,3 +717,23 @@ def label_propagation(edges: pd.DataFrame, iters: int = 10) -> pd.DataFrame:
     # canonical community name: smallest MEMBER name per final label
     comm = pd.Series(nodes).groupby(labels).transform("min")
     return pd.DataFrame({"node": nodes, "community": comm.to_numpy()})
+
+
+def ranked_auc(pos_scores, neg_scores) -> float:
+    """Mann-Whitney AUC with average-rank tie handling — the standard
+    link-prediction / ranking evaluation statistic. Pure deterministic
+    math shared by the distributed query and the serial fixture oracle
+    (same precedent as the pagerank iteration)."""
+    import numpy as np
+
+    pos = np.asarray(pos_scores, dtype=np.float64)
+    neg = np.asarray(neg_scores, dtype=np.float64)
+    if len(pos) == 0 or len(neg) == 0:
+        return float("nan")
+    scores = np.concatenate([pos, neg])
+    _, inv, counts = np.unique(scores, return_inverse=True, return_counts=True)
+    cum = np.cumsum(counts)
+    avg_rank = cum - (counts - 1) / 2.0  # average rank of each tie group
+    r = avg_rank[inv]
+    n_pos, n_neg = len(pos), len(neg)
+    return float((r[:n_pos].sum() - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg))

@@ -101,3 +101,26 @@ def test_docs_rrf_fusion_matches_naive(ray_session):
         .head(10).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ranked_auc_properties():
+    from ehr_relation_extraction_ray.stages.graph import ranked_auc
+
+    assert ranked_auc([2.0, 3.0], [0.0, 1.0]) == 1.0
+    assert ranked_auc([0.0, 1.0], [2.0, 3.0]) == 0.0
+    assert abs(ranked_auc([1.0] * 3, [1.0] * 5) - 0.5) < 1e-12
+    # complement symmetry: AUC(pos, neg) + AUC(neg, pos) == 1
+    pos, neg = [0.9, 0.4, 0.4], [0.4, 0.1]
+    assert abs(ranked_auc(pos, neg) + ranked_auc(neg, pos) - 1.0) < 1e-12
+
+
+def test_kg_linkpred_auc_sane(ray_session):
+    out = queries.kg_linkpred_auc(SF)
+    assert list(out.columns) == ["n_pos", "n_neg", "auc"]
+    assert len(out) == 1 and out["n_pos"].iloc[0] > 0 and out["n_neg"].iloc[0] > 0
+    auc = out["auc"].iloc[0]
+    assert 0.0 <= auc <= 1.0
+    # deterministic: the holdout and scores are content-hashed, so a
+    # rerun is bit-identical (no >0.5 claim — at sf0.001 the graph is
+    # near-complete and the few non-edges are systematically unusual)
+    pd.testing.assert_frame_equal(out, queries.kg_linkpred_auc(SF))
