@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_decayed_sum": r.events_decayed_sum,
         "events_diff_in_diff": r.events_diff_in_diff,
         "kg_linkpred_auc": q.kg_linkpred_auc,
+        "media_phash_dup": q.media_phash_dup,
     }
 
 
@@ -1782,6 +1783,11 @@ ORDER BY metric
         "kg_linkpred_auc": f"""
 SELECT n_pos, n_neg, auc FROM read_parquet('{_fixture("kg_linkpred_auc")}')
 ORDER BY auc
+""",
+        "media_phash_dup": f"""
+SELECT media_a, media_b, hamming
+FROM read_parquet('{_fixture("media_phash_dup")}')
+ORDER BY media_a, media_b
 """,
         "events_decayed_sum": """
 WITH mx AS (SELECT max(epoch_us(ts)) AS t_max FROM events)

@@ -3138,3 +3138,39 @@ def kg_linkpred_auc(sf_dir: str) -> pd.DataFrame:
          "n_neg": np.array([len(neg)], dtype="int64"),
          "auc": [round(auc, 6)]}
     )
+
+
+def _perturbed_media(t: pa.Table) -> pa.Table:
+    """Every 5th media row duplicated with ONE byte flipped — the
+    deterministic near-duplicate injection shared by media_phash_dup
+    and its serial mirror."""
+    ids = t["media_id"].to_pylist()
+    payloads = t["payload"].to_pylist()
+    out_ids, out_payloads = [], []
+    for m, p in zip(ids, payloads):
+        if int(m[2:]) % 5 == 0:
+            b = bytearray(p)
+            b[0] = (b[0] + 1) % 256
+            out_ids.append(m + "-p")
+            out_payloads.append(bytes(b))
+    return pa.table(
+        {
+            "media_id": pa.array(ids + out_ids, pa.string()),
+            "payload": pa.array(payloads + out_payloads, pa.large_binary()),
+        }
+    )
+
+
+def media_phash_dup(sf_dir: str) -> pd.DataFrame:
+    """Perceptual-hash near-duplicate detection over the media corpus
+    plus injected 1-byte-flip copies: actor-pool aHash, 4x16-bit
+    pigeonhole banding (recall 1 for hamming <= 2 by construction),
+    popcount verify — multimodal.phash_near_dup_pairs. Payload bytes
+    never shuffle. Serial fixture oracle: identical hash spec +
+    exhaustive O(n^2) hamming."""
+    media = ray.data.read_parquet(media_path(sf_dir))
+    withdups = media.map_batches(
+        lambda t: _perturbed_media(t.select(["media_id", "payload"])),
+        batch_format="pyarrow",
+    )
+    return multimodal.phash_near_dup_pairs(withdups, max_hamming=2)

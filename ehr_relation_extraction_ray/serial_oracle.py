@@ -1107,6 +1107,8 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_join_size_df(sf_dir)
     if name == "kg_linkpred_auc":
         return serial_linkpred_auc_df(_transcript_docs(sf_dir))
+    if name == "media_phash_dup":
+        return serial_phash_dup_df(sf_dir)
     if name == "events_cusum":
         return serial_cusum_df(sf_dir)
     if name == "docs_cm_profile":
@@ -1633,3 +1635,34 @@ def serial_linkpred_auc_df(docs: Dict[str, str]) -> pd.DataFrame:
          "n_neg": np.array([len(neg)], dtype="int64"),
          "auc": [round(auc, 6)]}
     )
+
+
+def serial_phash_dup_df(sf_dir: str) -> pd.DataFrame:
+    """Serial mirror of queries.media_phash_dup: same synth media + the
+    shared 1-byte-flip injection, per-item aHash via the SAME
+    perceptual_hash/stub decode, exhaustive O(n^2) hamming <= 2."""
+    from .pipelines.queries import _perturbed_media, media_path
+    from .stages.multimodal import MediaFeaturizer, perceptual_hash
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(media_path(sf_dir), columns=["media_id", "payload"])
+    t = _perturbed_media(t)
+    feat = MediaFeaturizer(decoder="fake")
+    ids = t["media_id"].to_pylist()
+    ph = {
+        m: perceptual_hash(feat._fake_decode(p))
+        for m, p in zip(ids, t["payload"].to_pylist())
+    }
+    ids = sorted(ids)
+    rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = bin(ph[ids[i]] ^ ph[ids[j]]).count("1")
+            if h <= 2:
+                rows.append(
+                    {"media_a": ids[i], "media_b": ids[j], "hamming": h}
+                )
+    out = pd.DataFrame(rows, columns=["media_a", "media_b", "hamming"])
+    out["hamming"] = out["hamming"].astype("int64")
+    return out.sort_values(["media_a", "media_b"]).reset_index(drop=True)

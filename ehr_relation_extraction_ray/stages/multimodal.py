@@ -297,3 +297,135 @@ def payload_dedup_groups(
         hashed, "payload_md5", groups,
         num_partitions=num_partitions, batch_format="pandas", schema=schema,
     )
+
+
+PHASH_PAIRS = pa.schema(
+    [("media_a", pa.string()), ("media_b", pa.string()), ("hamming", pa.int64())]
+)
+
+
+def perceptual_hash(vec: np.ndarray) -> int:
+    """64-bit aHash over a decoded feature vector: bit i = (v_i > median).
+    With the real pil/ffmpeg decoders the vector is the downscaled
+    grayscale grid (classic average-hash); with the deterministic stub
+    decoder it is the byte histogram — the hashing, banding and verify
+    plumbing are identical either way."""
+    med = np.median(vec)
+    bits = (vec > med).astype(np.uint8)
+    return int.from_bytes(np.packbits(bits[:64]).tobytes(), "big")
+
+
+class PerceptualHasher:
+    """Actor-pool stage: payload -> (media_id, phash uint64 as int64)."""
+
+    def __init__(self, decoder: str = "fake", dim: int = 64):
+        self._feat = MediaFeaturizer(decoder=decoder, dim=dim)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = [
+            np.int64(np.uint64(perceptual_hash(self._feat._fake_decode(p))))
+            for p in batch["payload"].to_pylist()
+        ]
+        mid = (
+            batch["media_id"].combine_chunks()
+            if isinstance(batch["media_id"], pa.ChunkedArray)
+            else batch["media_id"]
+        )
+        return pa.table({"media_id": mid, "ph": pa.array(hashes, pa.int64())})
+
+
+def phash_near_dup_pairs(
+    media: "ray.data.Dataset",
+    max_hamming: int = 2,
+    concurrency: "int | None" = 4,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Perceptual-hash near-duplicate pairs over a multimodal corpus:
+    actor-pool aHash per payload, then the simhash-style PIGEONHOLE
+    bucketing — 4 bands of 16 bits; hamming <= 2 flips at most 2 bands,
+    so >= 2 bands match exactly and RECALL IS 1 by construction. Pairs
+    sharing a band bucket are verified by exact popcount. Payloads
+    never shuffle — only (id, 64-bit hash) rows move."""
+    import pandas as pd
+
+    from ..functions.partitioning import groupby_partition
+
+    hashes = media.map_batches(
+        PerceptualHasher, batch_format="pyarrow",
+        concurrency=concurrency, num_cpus=1, batch_size=64,
+    ).materialize()
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ph = np.asarray(t["ph"]).astype(np.uint64)
+        ids = np.asarray(t["media_id"].to_pylist(), dtype=object)
+        bands, keys, out_ids, phs = [], [], [], []
+        for b in range(4):
+            sub = ((ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            bands.append(np.full(len(ph), b, dtype=np.int64))
+            keys.append(sub)
+            out_ids.append(ids)
+            phs.append(ph.astype(np.int64))
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bands)),
+                "key": pa.array(np.concatenate(keys)),
+                "media_id": pa.array(np.concatenate(out_ids), pa.string()),
+                "ph": pa.array(np.concatenate(phs)),
+            }
+        )
+
+    banded = hashes.map_batches(band_rows, batch_format="pyarrow")
+
+    def bucket_pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        rows_a, rows_b, hams = [], [], []
+        for _, grp in df.groupby(["band", "key"], sort=False):
+            if len(grp) < 2:
+                continue
+            ids = grp["media_id"].to_numpy(dtype=object)
+            ph = grp["ph"].to_numpy(np.int64).astype(np.uint64)
+            order = np.argsort(ids)
+            ids, ph = ids[order], ph[order]
+            iu, ju = np.triu_indices(len(ids), k=1)
+            x = ph[iu] ^ ph[ju]
+            # vectorized popcount via byte-view + bincount table
+            bytes_ = x.view(np.uint8).reshape(len(x), 8)
+            ham = _POPCOUNT8[bytes_].sum(axis=1).astype(np.int64)
+            ok = ham <= max_hamming  # closure-captured, ships with the fn
+            rows_a.append(ids[iu][ok])
+            rows_b.append(ids[ju][ok])
+            hams.append(ham[ok])
+        if not rows_a:
+            return pd.DataFrame(
+                {"media_a": pd.Series([], dtype=str),
+                 "media_b": pd.Series([], dtype=str),
+                 "hamming": pd.Series([], dtype="int64")}
+            )
+        out = pd.DataFrame(
+            {
+                "media_a": np.concatenate(rows_a),
+                "media_b": np.concatenate(rows_b),
+                "hamming": np.concatenate(hams),
+            }
+        ).drop_duplicates(subset=["media_a", "media_b"], ignore_index=True)
+        return out.astype({"media_a": str, "media_b": str, "hamming": "int64"})
+
+    pairs = groupby_partition(
+        banded, ["band", "key"], bucket_pairs,
+        num_partitions=num_partitions, batch_format="pandas",
+        schema=PHASH_PAIRS,
+    ).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame(
+            {"media_a": pd.Series([], dtype=str),
+             "media_b": pd.Series([], dtype=str),
+             "hamming": pd.Series([], dtype="int64")}
+        )
+    out = pairs.drop_duplicates(subset=["media_a", "media_b"], ignore_index=True)
+    return out.sort_values(["media_a", "media_b"]).reset_index(drop=True)
+
+
+_POPCOUNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.int64)

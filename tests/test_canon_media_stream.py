@@ -279,3 +279,54 @@ def test_ams_f2_accuracy_and_mergeability():
 
     est = ams_f2_estimate(dots)
     assert abs(est - exact) / exact < 0.5  # AMS 64-estimator tolerance
+
+
+def test_phash_near_dup_recall_vs_exhaustive(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ehr_relation_extraction_ray.stages.multimodal import (
+        MediaFeaturizer,
+        perceptual_hash,
+        phash_near_dup_pairs,
+        synth_media,
+    )
+
+    t = synth_media(40)
+    # inject exact copies (hamming 0) and 1-byte flips
+    ids = t["media_id"].to_pylist()
+    payloads = t["payload"].to_pylist()
+    extra_ids, extra_p = [], []
+    for i in (0, 7, 14):
+        extra_ids.append(ids[i] + "-dup")
+        extra_p.append(payloads[i])
+        b = bytearray(payloads[i])
+        b[1] = (b[1] + 3) % 256
+        extra_ids.append(ids[i] + "-near")
+        extra_p.append(bytes(b))
+    tab = pa.table(
+        {
+            "media_id": pa.array(ids + extra_ids, pa.string()),
+            "payload": pa.array(payloads + extra_p, pa.large_binary()),
+        }
+    )
+    got = phash_near_dup_pairs(ray.data.from_arrow(tab), max_hamming=2)
+
+    feat = MediaFeaturizer(decoder="fake")
+    ph = {
+        m: perceptual_hash(feat._fake_decode(p))
+        for m, p in zip(tab["media_id"].to_pylist(), tab["payload"].to_pylist())
+    }
+    allids = sorted(ph)
+    want = sorted(
+        (a, b, bin(ph[a] ^ ph[b]).count("1"))
+        for i, a in enumerate(allids)
+        for b in allids[i + 1:]
+        if bin(ph[a] ^ ph[b]).count("1") <= 2
+    )
+    assert sorted(zip(got["media_a"], got["media_b"], got["hamming"])) == want
+    # exact copies must be present at hamming 0
+    found0 = {(a, b) for a, b, h in want if h == 0}
+    for i in (0, 7, 14):
+        assert (ids[i], ids[i] + "-dup") in found0
