@@ -204,6 +204,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_diff_in_diff": r.events_diff_in_diff,
         "kg_linkpred_auc": q.kg_linkpred_auc,
         "media_phash_dup": q.media_phash_dup,
+        "kg_ppr": q.kg_ppr,
+        "docs_partition_skew": q.docs_partition_skew,
+        "docs_scd2": q.docs_scd2,
     }
 
 
@@ -1788,6 +1791,46 @@ ORDER BY auc
 SELECT media_a, media_b, hamming
 FROM read_parquet('{_fixture("media_phash_dup")}')
 ORDER BY media_a, media_b
+""",
+        "kg_ppr": f"""
+SELECT node, "rank" FROM read_parquet('{_fixture("kg_ppr")}')
+ORDER BY node
+""",
+        "docs_partition_skew": f"""
+SELECT n_partitions, n_rows, occupied, max_rows, min_rows, skew_ratio, cv
+FROM read_parquet('{_fixture("docs_partition_skew")}')
+""",
+        "docs_scd2": """
+WITH base AS (
+  SELECT doc_id, text, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS c
+  FROM documents
+),
+a AS (SELECT doc_id, md5(text) AS h FROM base),
+b AS (
+  SELECT doc_id,
+         CASE WHEN c IN ('1', '2') THEN md5(text || ' v2')
+              ELSE md5(text) END AS h
+  FROM base WHERE c <> '0'
+  UNION ALL
+  SELECT doc_id + 10000000, md5('new doc ' || CAST(doc_id AS VARCHAR))
+  FROM base WHERE c = '3'
+),
+j AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.h AS ha, b.h AS hb
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT doc_id, CAST(1 AS BIGINT) AS version, ha AS h,
+       '2024-01-01' AS valid_from,
+       CASE WHEN hb IS NOT NULL AND ha = hb THEN '9999-12-31'
+            ELSE '2024-02-01' END AS valid_to
+FROM j WHERE ha IS NOT NULL
+UNION ALL
+SELECT doc_id, CAST(2 AS BIGINT), hb, '2024-02-01', '9999-12-31'
+FROM j WHERE ha IS NOT NULL AND hb IS NOT NULL AND ha <> hb
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT), hb, '2024-02-01', '9999-12-31'
+FROM j WHERE ha IS NULL
+ORDER BY doc_id, version
 """,
         "events_decayed_sum": """
 WITH mx AS (SELECT max(epoch_us(ts)) AS t_max FROM events)

@@ -3174,3 +3174,120 @@ def media_phash_dup(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
     )
     return multimodal.phash_near_dup_pairs(withdups, max_hamming=2)
+
+
+def kg_ppr(sf_dir: str) -> pd.DataFrame:
+    """Personalized PageRank from the lexicographically smallest subject
+    node (the same deterministic seed rule as kg_khop): distributed
+    edge-weight combiner + driver random-walk-with-restart
+    (graph.personalized_pagerank). The graph-retrieval primitive —
+    'rank everything by relevance to X'."""
+    trip = _triples(sf_dir)
+    edges = graph.edge_weights(trip)
+    if edges.empty:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=str),
+             "rank": pd.Series([], dtype="float64")}
+        )
+    seed = edges["subj"].min()
+    out = graph.personalized_pagerank(edges, seed)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def docs_partition_skew(sf_dir: str, num_partitions: int = 64) -> pd.DataFrame:
+    """Engine diagnostics: hash-partition balance report for the
+    documents table under the repo's own partitioner
+    (functions/partitioning.add_hash_partition on doc_id) — the tool a
+    100-TB operator runs BEFORE picking a partition count. One streamed
+    pass emits per-block (partition, n) partials (bounded by
+    num_partitions x blocks); the driver reports occupancy and skew.
+    Serial fixture oracle re-runs the identical hash over the table."""
+    from ..functions.partitioning import add_hash_partition
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        tagged = add_hash_partition(t, ["doc_id"], num_partitions)
+        g = (
+            tagged.select(["_part"])
+            .group_by("_part", use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["part", "n"])
+
+    parts = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("part")["n"].sum()
+    )
+    counts = parts.reindex(range(num_partitions), fill_value=0).to_numpy(np.int64)
+    mean = counts.mean()
+    return pd.DataFrame(
+        {
+            "n_partitions": np.array([num_partitions], dtype="int64"),
+            "n_rows": np.array([int(counts.sum())], dtype="int64"),
+            "occupied": np.array([int((counts > 0).sum())], dtype="int64"),
+            "max_rows": np.array([int(counts.max())], dtype="int64"),
+            "min_rows": np.array([int(counts.min())], dtype="int64"),
+            "skew_ratio": [round(float(counts.max() / mean), 4)],
+            "cv": [round(float(counts.std() / mean), 4)],
+        }
+    )
+
+
+def docs_scd2(sf_dir: str) -> pd.DataFrame:
+    """Slowly-changing-dimension TYPE 2 history build from two snapshots
+    (the docs_snapshot_diff A/B pair): one doc_id-keyed partition pass
+    over the unioned (key, digest, side) projections emits versioned
+    rows with validity ranges — unchanged keys get one open row,
+    changed keys a closed v1 + open v2, removed keys a closed v1, added
+    keys an open v1. Digests only — text never shuffles. The warehouse
+    upsert-history op, as one co-grouped pass."""
+    from ..functions.partitioning import groupby_partition
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    def _tag(project, side):
+        def fn(t: pa.Table) -> pa.Table:
+            p = project(t)
+            return p.append_column("side", pa.array([side] * len(p), pa.int32()))
+
+        return fn
+
+    a = docs.map_batches(_tag(_project_snapshot_a, 0), batch_format="pyarrow")
+    b = docs.map_batches(_tag(_project_snapshot_b, 1), batch_format="pyarrow")
+    t0, t1, t_inf = "2024-01-01", "2024-02-01", "9999-12-31"
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("version", pa.int64()), ("h", pa.string()),
+         ("valid_from", pa.string()), ("valid_to", pa.string())]
+    )
+
+    def versions(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, grp in df.groupby("doc_id", sort=False):
+            ha = grp.loc[grp["side"] == 0, "h"]
+            hb = grp.loc[grp["side"] == 1, "h"]
+            ha = ha.iloc[0] if len(ha) else None
+            hb = hb.iloc[0] if len(hb) else None
+            if ha is not None and hb is not None:
+                if ha == hb:
+                    rows.append((doc_id, 1, ha, t0, t_inf))
+                else:
+                    rows.append((doc_id, 1, ha, t0, t1))
+                    rows.append((doc_id, 2, hb, t1, t_inf))
+            elif ha is not None:
+                rows.append((doc_id, 1, ha, t0, t1))
+            else:
+                rows.append((doc_id, 1, hb, t1, t_inf))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "version", "h", "valid_from", "valid_to"]
+        ).astype({"doc_id": "int64", "version": "int64"})
+
+    out = groupby_partition(
+        a.union(b), "doc_id", versions, batch_format="pandas", schema=schema
+    ).to_pandas()
+    return out.sort_values(["doc_id", "version"]).reset_index(drop=True)

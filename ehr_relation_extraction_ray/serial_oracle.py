@@ -1109,6 +1109,10 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_linkpred_auc_df(_transcript_docs(sf_dir))
     if name == "media_phash_dup":
         return serial_phash_dup_df(sf_dir)
+    if name == "kg_ppr":
+        return serial_ppr_df(_transcript_docs(sf_dir))
+    if name == "docs_partition_skew":
+        return serial_partition_skew_df(sf_dir)
     if name == "events_cusum":
         return serial_cusum_df(sf_dir)
     if name == "docs_cm_profile":
@@ -1666,3 +1670,56 @@ def serial_phash_dup_df(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame(rows, columns=["media_a", "media_b", "hamming"])
     out["hamming"] = out["hamming"].astype("int64")
     return out.sort_values(["media_a", "media_b"]).reset_index(drop=True)
+
+
+def serial_ppr_df(docs: Dict[str, str]) -> pd.DataFrame:
+    """PPR fixture: serial triples -> pandas edge weights -> the shared
+    deterministic restart iteration (stages/graph.personalized_pagerank),
+    seeded at the smallest subject — mirror of serial_pagerank_df."""
+    from .stages.graph import personalized_pagerank
+
+    trip = serial_triples_df(docs)
+    edges = (
+        trip.groupby(["subj", "obj"], as_index=False)
+        .agg(n=("doc_id", "count"))
+        .sort_values(["subj", "obj"])
+        .reset_index(drop=True)
+    )
+    edges["n"] = edges["n"].astype("int64")
+    if edges.empty:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=str),
+             "rank": pd.Series([], dtype="float64")}
+        )
+    seed = edges["subj"].min()
+    return (
+        personalized_pagerank(edges, seed)
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+def serial_partition_skew_df(sf_dir: str, num_partitions: int = 64) -> pd.DataFrame:
+    """Serial mirror of queries.docs_partition_skew: the identical
+    add_hash_partition over the whole table in one process."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .functions.partitioning import add_hash_partition
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    part = add_hash_partition(t, ["doc_id"], num_partitions)["_part"]
+    counts = np.bincount(np.asarray(part), minlength=num_partitions).astype(np.int64)
+    mean = counts.mean()
+    return pd.DataFrame(
+        {
+            "n_partitions": np.array([num_partitions], dtype="int64"),
+            "n_rows": np.array([int(counts.sum())], dtype="int64"),
+            "occupied": np.array([int((counts > 0).sum())], dtype="int64"),
+            "max_rows": np.array([int(counts.max())], dtype="int64"),
+            "min_rows": np.array([int(counts.min())], dtype="int64"),
+            "skew_ratio": [round(float(counts.max() / mean), 4)],
+            "cv": [round(float(counts.std() / mean), 4)],
+        }
+    )

@@ -737,3 +737,41 @@ def ranked_auc(pos_scores, neg_scores) -> float:
     r = avg_rank[inv]
     n_pos, n_neg = len(pos), len(neg)
     return float((r[:n_pos].sum() - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg))
+
+
+def personalized_pagerank(
+    edges: pd.DataFrame, seed: str, damping: float = 0.85, iters: int = 30
+) -> pd.DataFrame:
+    """Personalized PageRank (random walk with restart to ONE seed node)
+    over the bounded edge list — the graph-retrieval primitive ("what is
+    relevant to X"). Identical driver-iteration-over-combiner-aggregate
+    shape as :func:`pagerank`; restart AND dangling mass both return to
+    the seed, the standard PPR formulation. Deterministic: edges arrive
+    canonically sorted."""
+    import numpy as np
+
+    nodes = np.unique(
+        np.concatenate([edges["subj"].to_numpy(), edges["obj"].to_numpy()])
+    )
+    idx = {n: i for i, n in enumerate(nodes)}
+    if seed not in idx:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=str),
+             "rank": pd.Series([], dtype="float64")}
+        )
+    src = edges["subj"].map(idx).to_numpy(dtype=np.int64)
+    dst = edges["obj"].map(idx).to_numpy(dtype=np.int64)
+    w = edges["n"].to_numpy(dtype=np.float64)
+    n = len(nodes)
+    out_w = np.zeros(n)
+    np.add.at(out_w, src, w)
+    s = idx[seed]
+    rank = np.zeros(n)
+    rank[s] = 1.0
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, rank[src] * w / out_w[src])
+        dangling = rank[out_w == 0].sum()
+        rank = damping * contrib
+        rank[s] += (1.0 - damping) + damping * dangling
+    return pd.DataFrame({"node": nodes, "rank": np.round(rank, 6)})

@@ -1,0 +1,68 @@
+"""Personalized PageRank, SCD Type-2 history, partition-skew report."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from ehr_relation_extraction_ray.pipelines import queries
+from ehr_relation_extraction_ray.stages.graph import (
+    pagerank,
+    personalized_pagerank,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ppr_concentrates_on_seed_neighborhood():
+    # chain a-b-c-d: PPR from 'a' must rank b above d, and mass sums to 1
+    edges = pd.DataFrame(
+        {"subj": ["a", "b", "c"], "obj": ["b", "c", "d"], "n": [1, 1, 1]}
+    )
+    out = personalized_pagerank(edges, "a")
+    r = dict(zip(out["node"], out["rank"]))
+    assert r["a"] > r["b"] > r["c"] > r["d"]
+    assert abs(out["rank"].sum() - 1.0) < 1e-3
+    # differs from global pagerank (which has no seed preference)
+    g = dict(zip(*pagerank(edges).to_numpy().T))
+    assert r["a"] > g["a"]
+
+
+def test_ppr_unknown_seed_empty():
+    edges = pd.DataFrame({"subj": ["a"], "obj": ["b"], "n": [1]})
+    assert len(personalized_pagerank(edges, "zzz")) == 0
+
+
+def test_scd2_version_semantics(ray_session):
+    out = queries.docs_scd2(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    cls = {
+        int(i): hashlib.md5(str(i).encode()).hexdigest()[0]
+        for i in docs["doc_id"]
+    }
+    by_id = dict(tuple(out.groupby("doc_id")))
+    for i, c in cls.items():
+        g = by_id[i]
+        if c == "0":  # removed: one closed version
+            assert len(g) == 1 and g["valid_to"].iloc[0] == "2024-02-01"
+        elif c in ("1", "2"):  # changed: closed v1 + open v2
+            assert len(g) == 2
+            assert g.sort_values("version")["valid_to"].tolist() == [
+                "2024-02-01", "9999-12-31"
+            ]
+        else:  # unchanged: one open version
+            assert len(g) == 1 and g["valid_to"].iloc[0] == "9999-12-31"
+        if c == "3":  # cloned: the new id is an open v1 starting at t1
+            gn = by_id[i + 10_000_000]
+            assert len(gn) == 1 and gn["valid_from"].iloc[0] == "2024-02-01"
+    # validity ranges never invert
+    assert (out["valid_from"] < out["valid_to"]).all()
+
+
+def test_partition_skew_consistency(ray_session):
+    out = queries.docs_partition_skew(SF)
+    n_docs = len(pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"]))
+    r = out.iloc[0]
+    assert r["n_rows"] == n_docs
+    assert r["min_rows"] <= n_docs / r["n_partitions"] <= r["max_rows"]
+    assert r["skew_ratio"] >= 1.0 and r["occupied"] <= r["n_partitions"]
