@@ -207,6 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ppr": q.kg_ppr,
         "docs_partition_skew": q.docs_partition_skew,
         "docs_scd2": q.docs_scd2,
+        "kg_adamic_adar": q.kg_adamic_adar,
+        "customer_rfm": r.customer_rfm,
     }
 
 
@@ -1795,6 +1797,45 @@ ORDER BY media_a, media_b
         "kg_ppr": f"""
 SELECT node, "rank" FROM read_parquet('{_fixture("kg_ppr")}')
 ORDER BY node
+""",
+        "kg_adamic_adar": _cooccurrence_cte(tp) + """
+, e0 AS (SELECT ent_a, ent_b FROM p WHERE n_ab >= 2),
+und AS (SELECT ent_a AS a, ent_b AS b FROM e0
+        UNION SELECT ent_b, ent_a FROM e0),
+deg AS (SELECT a, count(*) AS dg FROM und GROUP BY a)
+SELECT u1.a AS ent_a, u2.a AS ent_b,
+       round(sum(1.0 / ln(dz.dg)), 6) AS aa
+FROM und u1 JOIN und u2 ON u1.b = u2.b AND u1.a < u2.a
+JOIN deg dz ON dz.a = u1.b
+GROUP BY u1.a, u2.a
+ORDER BY ent_a, ent_b
+""",
+        "customer_rfm": """
+WITH per AS (
+  SELECT o_custkey AS c_custkey,
+         date_diff('day', max(o_orderdate),
+                   (SELECT max(o_orderdate) FROM orders)) AS r_days,
+         CAST(count(*) AS BIGINT) AS f,
+         round(sum(o_totalprice), 2) AS m
+  FROM orders GROUP BY 1
+),
+q AS (
+  SELECT quantile_disc(r_days, 0.25) AS r1, quantile_disc(r_days, 0.5) AS r2,
+         quantile_disc(r_days, 0.75) AS r3,
+         quantile_disc(f, 0.25) AS f1, quantile_disc(f, 0.5) AS f2,
+         quantile_disc(f, 0.75) AS f3,
+         quantile_disc(m, 0.25) AS m1, quantile_disc(m, 0.5) AS m2,
+         quantile_disc(m, 0.75) AS m3
+  FROM per
+)
+SELECT c_custkey, CAST(r_days AS BIGINT) AS r_days, f, m,
+       CAST(5 - (1 + (r_days > q.r1)::INT + (r_days > q.r2)::INT
+                   + (r_days > q.r3)::INT) AS BIGINT) AS r_code,
+       CAST(1 + (f > q.f1)::INT + (f > q.f2)::INT + (f > q.f3)::INT
+            AS BIGINT) AS f_code,
+       CAST(1 + (m > q.m1)::INT + (m > q.m2)::INT + (m > q.m3)::INT
+            AS BIGINT) AS m_code
+FROM per CROSS JOIN q ORDER BY c_custkey
 """,
         "docs_partition_skew": f"""
 SELECT n_partitions, n_rows, occupied, max_rows, min_rows, skew_ratio, cv

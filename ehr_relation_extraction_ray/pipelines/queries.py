@@ -3291,3 +3291,20 @@ def docs_scd2(sf_dir: str) -> pd.DataFrame:
         a.union(b), "doc_id", versions, batch_format="pandas", schema=schema
     ).to_pandas()
     return out.sort_values(["doc_id", "version"]).reset_index(drop=True)
+
+
+def kg_adamic_adar(sf_dir: str) -> pd.DataFrame:
+    """Adamic-Adar link scores over the co-occurrence graph (edges =
+    pairs co-occurring in >= 2 docs) — the rarity-weighted companion to
+    kg_node_similarity, sharing its wedge enumeration shape
+    (graph.adamic_adar)."""
+    counts = _cooccurrence(sf_dir)
+    pairs = counts[counts["is_pair"] & (counts["n"] >= 2)][["ent_a", "ent_b"]]
+    if pairs.empty:
+        return pd.DataFrame(
+            {"ent_a": pd.Series([], dtype=str),
+             "ent_b": pd.Series([], dtype=str),
+             "aa": pd.Series([], dtype="float64")}
+        )
+    ds = ray.data.from_pandas(pairs.reset_index(drop=True))
+    return graph.adamic_adar(ds)

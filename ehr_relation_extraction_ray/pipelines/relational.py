@@ -2849,3 +2849,64 @@ def events_diff_in_diff(sf_dir: str) -> pd.DataFrame:
         rows.append({"event_type": et, "did": round(did, 6)})
     out = pd.DataFrame(rows, columns=["event_type", "did"])
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def customer_rfm(sf_dir: str) -> pd.DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartile codes)
+    per customer — the classic CRM analytics op. One custkey partition
+    pass reduces orders to per-customer (last order date, n, Σprice);
+    the quartile thresholds are exact order statistics over the
+    customer aggregate (DuckDB quantile_disc convention: sorted value
+    at ceil(q·n)-1), computed on the driver over the customer-bounded
+    frame, and codes are value-threshold CASEs identical on both
+    sides."""
+    import math
+
+    from ..functions.partitioning import groupby_partition
+
+    orders = _pq(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    t_max = pd.Timestamp(orders.max("o_orderdate")).to_datetime64()
+
+    schema = pa.schema(
+        [("c_custkey", pa.int64()), ("r_days", pa.int64()),
+         ("f", pa.int64()), ("m", pa.float64())]
+    )
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey").agg(
+            last=("o_orderdate", "max"), f=("o_orderdate", "size"),
+            m=("o_totalprice", "sum"),
+        ).reset_index()
+        r = (
+            (t_max - g["last"].to_numpy("datetime64[us]"))
+            / np.timedelta64(1, "D")
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"c_custkey": g["o_custkey"].astype("int64"),
+             "r_days": r, "f": g["f"].astype("int64"),
+             "m": g["m"].round(2)}
+        )
+
+    per = groupby_partition(
+        orders, "o_custkey", per_cust, batch_format="pandas", schema=schema
+    ).to_pandas()
+
+    def disc_q(v: np.ndarray, q: float) -> float:
+        s = np.sort(v)
+        return float(s[max(math.ceil(q * len(s)) - 1, 0)])
+
+    def codes(v: np.ndarray, reverse: bool = False) -> np.ndarray:
+        qs = [disc_q(v, q) for q in (0.25, 0.5, 0.75)]
+        c = 1 + sum((v > t).astype(np.int64) for t in qs)
+        return 5 - c if reverse else c  # recency: smaller is better
+
+    per["r_code"] = codes(per["r_days"].to_numpy(np.float64), reverse=True)
+    per["f_code"] = codes(per["f"].to_numpy(np.float64))
+    per["m_code"] = codes(per["m"].to_numpy(np.float64))
+    return (
+        per[["c_custkey", "r_days", "f", "m", "r_code", "f_code", "m_code"]]
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )

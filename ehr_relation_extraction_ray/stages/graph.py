@@ -775,3 +775,74 @@ def personalized_pagerank(
         rank = damping * contrib
         rank[s] += (1.0 - damping) + damping * dangling
     return pd.DataFrame({"node": nodes, "rank": np.round(rank, 6)})
+
+
+def adamic_adar(
+    edges: "ray.data.Dataset",
+    a_col: str = "ent_a",
+    b_col: str = "ent_b",
+    num_partitions: int = 64,
+) -> pd.DataFrame:
+    """Adamic-Adar link-prediction score: AA(x,y) = Σ_z 1/ln(deg(z)) over
+    common neighbors z — the rarity-weighted sibling of
+    :func:`neighbor_jaccard`, same distributed wedge shape: edges double
+    to directed (hub, spoke) rows, one HUB-keyed partition pass holds
+    hub-complete adjacency (so deg(hub) is local) and emits
+    (x, y, 1/ln(deg(hub))) weighted-wedge partials; the pair-keyed sum
+    is a dimension-bounded driver merge. A common neighbor always has
+    degree >= 2, so ln never hits zero."""
+    import numpy as np
+
+    def to_directed(t: pa.Table) -> pa.Table:
+        a = t[a_col].combine_chunks() if isinstance(t[a_col], pa.ChunkedArray) else t[a_col]
+        b = t[b_col].combine_chunks() if isinstance(t[b_col], pa.ChunkedArray) else t[b_col]
+        return pa.table(
+            {
+                "hub": pa.concat_arrays([pa.array(a.to_pylist(), pa.string()),
+                                         pa.array(b.to_pylist(), pa.string())]),
+                "spoke": pa.concat_arrays([pa.array(b.to_pylist(), pa.string()),
+                                           pa.array(a.to_pylist(), pa.string())]),
+            }
+        )
+
+    directed = edges.map_batches(to_directed, batch_format="pyarrow")
+
+    schema = pa.schema(
+        [("x", pa.string()), ("y", pa.string()), ("w", pa.float64())]
+    )
+
+    def hub_pass(df: "pd.DataFrame") -> "pd.DataFrame":
+        xs, ys, ws = [], [], []
+        for _hub, grp in df.groupby("hub", sort=False):
+            nbrs = np.unique(grp["spoke"].to_numpy())
+            if len(nbrs) > 1:
+                ii, jj = np.triu_indices(len(nbrs), k=1)
+                xs.append(nbrs[ii])
+                ys.append(nbrs[jj])
+                ws.append(np.full(len(ii), 1.0 / np.log(len(nbrs))))
+        if not xs:
+            return pd.DataFrame(
+                {"x": pd.Series([], dtype=str), "y": pd.Series([], dtype=str),
+                 "w": pd.Series([], dtype="float64")}
+            )
+        out = pd.DataFrame(
+            {"x": np.concatenate(xs), "y": np.concatenate(ys),
+             "w": np.concatenate(ws)}
+        )
+        # partition-local pre-sum: what crosses to the driver is pairs x
+        # partitions, not raw wedges
+        return out.groupby(["x", "y"], as_index=False)["w"].sum()
+
+    parts = groupby_partition(
+        directed, "hub", hub_pass,
+        num_partitions=num_partitions, batch_format="pandas", schema=schema,
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"ent_a": pd.Series([], dtype=str), "ent_b": pd.Series([], dtype=str),
+             "aa": pd.Series([], dtype="float64")}
+        )
+    out = parts.groupby(["x", "y"], as_index=False)["w"].sum()
+    out = out.rename(columns={"x": "ent_a", "y": "ent_b", "w": "aa"})
+    out["aa"] = out["aa"].round(6)
+    return out.sort_values(["ent_a", "ent_b"]).reset_index(drop=True)

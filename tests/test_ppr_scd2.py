@@ -6,6 +6,7 @@ import numpy as np
 import pandas as pd
 
 from ehr_relation_extraction_ray.pipelines import queries
+from ehr_relation_extraction_ray.pipelines import relational as relational_mod
 from ehr_relation_extraction_ray.stages.graph import (
     pagerank,
     personalized_pagerank,
@@ -66,3 +67,41 @@ def test_partition_skew_consistency(ray_session):
     assert r["n_rows"] == n_docs
     assert r["min_rows"] <= n_docs / r["n_partitions"] <= r["max_rows"]
     assert r["skew_ratio"] >= 1.0 and r["occupied"] <= r["n_partitions"]
+
+
+def test_adamic_adar_matches_set_math(ray_session):
+    import ray.data
+    from ehr_relation_extraction_ray.stages.graph import adamic_adar
+
+    edges = pd.DataFrame(
+        {"ent_a": ["a", "a", "b", "c"], "ent_b": ["b", "c", "c", "d"]}
+    )
+    got = adamic_adar(ray.data.from_pandas(edges))
+    # adjacency: a-{b,c}, b-{a,c}, c-{a,b,d}, d-{c}
+    nbrs = {"a": {"b", "c"}, "b": {"a", "c"}, "c": {"a", "b", "d"}, "d": {"c"}}
+    nodes = sorted(nbrs)
+    want = []
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            common = nbrs[x] & nbrs[y]
+            s = sum(1.0 / np.log(len(nbrs[z])) for z in common)
+            if common:
+                want.append((x, y, round(s, 6)))
+    assert sorted(zip(got["ent_a"], got["ent_b"], got["aa"])) == sorted(want)
+
+
+def test_customer_rfm_codes(ray_session):
+    got = relational_mod.customer_rfm(SF)
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    per = orders.groupby("o_custkey").agg(
+        last=("o_orderdate", "max"), f=("o_orderdate", "size"),
+        m=("o_totalprice", "sum"),
+    )
+    assert len(got) == len(per)
+    # codes are quartile-balanced: each code bucket holds >= 10% of customers
+    for col in ("r_code", "f_code", "m_code"):
+        assert set(got[col]) <= {1, 2, 3, 4}
+        assert (got[col].value_counts() / len(got)).min() > 0.10
+    # best recency code (4) goes to the most recent customers
+    recent = got.nsmallest(10, "r_days")
+    assert (recent["r_code"] == 4).all()
