@@ -209,6 +209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_scd2": q.docs_scd2,
         "kg_adamic_adar": q.kg_adamic_adar,
         "customer_rfm": r.customer_rfm,
+        "docs_zipf_fit": q.docs_zipf_fit,
+        "events_tier_join": r.events_tier_join,
     }
 
 
@@ -1809,6 +1811,28 @@ FROM und u1 JOIN und u2 ON u1.b = u2.b AND u1.a < u2.a
 JOIN deg dz ON dz.a = u1.b
 GROUP BY u1.a, u2.a
 ORDER BY ent_a, ent_b
+""",
+        "docs_zipf_fit": r"""
+WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+             FROM documents),
+c AS (SELECT token, count(*) AS n FROM tok WHERE token <> '' GROUP BY token),
+ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token) AS DOUBLE)) AS x,
+         ln(CAST(n AS DOUBLE)) AS y
+  FROM c ORDER BY n DESC, token LIMIT 100
+)
+SELECT CAST(count(*) AS BIGINT) AS n_tokens_used,
+       round(regr_slope(y, x), 6) AS slope,
+       round(regr_intercept(y, x), 6) AS intercept
+FROM ranked
+""",
+        "events_tier_join": """
+WITH tiers(tier, lo, hi) AS (VALUES
+  ('t0', 0.0, 1.0), ('t1', 1.0, 5.0), ('t2', 5.0, 20.0),
+  ('t3', 20.0, 100.0), ('t4', 100.0, 1e18))
+SELECT t.tier, CAST(count(*) AS BIGINT) AS n, round(sum(e.value), 2) AS sum_value
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY t.tier ORDER BY t.tier
 """,
         "customer_rfm": """
 WITH per AS (

@@ -2910,3 +2910,34 @@ def customer_rfm(sf_dir: str) -> pd.DataFrame:
         .sort_values("c_custkey")
         .reset_index(drop=True)
     )
+
+
+def events_tier_join(sf_dir: str) -> pd.DataFrame:
+    """Broadcast RANGE (banding) join: events matched to a small tier
+    table by value interval — the dimension-banding join a shuffle can
+    never justify. The tier bounds broadcast once; each block assigns
+    tiers with ONE np.searchsorted (vectorized binary search, the
+    nested-loop-join collapse for sorted bands) and emits (tier, n,
+    Σvalue) partials. Oracle: the literal inequality JOIN in SQL."""
+    bounds = np.array([1.0, 5.0, 20.0, 100.0])
+    labels = np.array(["t0", "t1", "t2", "t3", "t4"])
+    ev = _pq(sf_dir, "events", columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["value"], np.float64)
+        tier = np.searchsorted(bounds, v, side="right")
+        df = (
+            pd.DataFrame({"tier": labels[tier], "v": v})
+            .groupby("tier")
+            .agg(n=("v", "size"), s=("v", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("tier", as_index=False).agg(n=("n", "sum"), s=("s", "sum"))
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = out["s"].round(2)
+    return (
+        out[["tier", "n", "sum_value"]].sort_values("tier").reset_index(drop=True)
+    )

@@ -126,3 +126,28 @@ def test_diff_in_diff_matches_pandas(ray_session):
         rows.append({"event_type": et, "did": round(did, 6)})
     want = pd.DataFrame(rows)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_zipf_fit_slope_negative(ray_session):
+    from ehr_relation_extraction_ray.pipelines import queries
+
+    out = queries.docs_zipf_fit(SF)
+    assert out["n_tokens_used"].iloc[0] > 0
+    # counts are rank-sorted descending, so the fitted slope is <= 0
+    assert out["slope"].iloc[0] <= 0
+    # near-uniform synthetic vocab: slope magnitude well under natural -1
+    assert out["slope"].iloc[0] > -1.0
+
+
+def test_tier_join_partition_of_events(ray_session):
+    got = relational.events_tier_join(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["value"])
+    # tiers partition the value domain: counts and sums total exactly
+    assert int(got["n"].sum()) == len(ev)
+    assert abs(got["sum_value"].sum() - round(ev["value"].sum(), 2)) < 0.05
+    bounds = {"t0": (0, 1), "t1": (1, 5), "t2": (5, 20), "t3": (20, 100),
+              "t4": (100, 1e18)}
+    for _, r in got.iterrows():
+        lo, hi = bounds[r["tier"]]
+        n = int(((ev["value"] >= lo) & (ev["value"] < hi)).sum())
+        assert n == r["n"]
