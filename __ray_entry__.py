@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm": r.customer_rfm,
         "docs_zipf_fit": q.docs_zipf_fit,
         "events_tier_join": r.events_tier_join,
+        "kg_betweenness": q.kg_betweenness,
+        "events_gini": r.events_gini,
     }
 
 
@@ -1811,6 +1813,19 @@ FROM und u1 JOIN und u2 ON u1.b = u2.b AND u1.a < u2.a
 JOIN deg dz ON dz.a = u1.b
 GROUP BY u1.a, u2.a
 ORDER BY ent_a, ent_b
+""",
+        "kg_betweenness": f"""
+SELECT node, betweenness FROM read_parquet('{_fixture("kg_betweenness")}')
+ORDER BY node
+""",
+        "events_gini": """
+WITH per AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n
+             FROM events GROUP BY user_id),
+r AS (SELECT n, row_number() OVER (ORDER BY n, user_id) AS i FROM per),
+s AS (SELECT count(*) AS nu, sum(n) AS tot, sum(i * n) AS wsum FROM r)
+SELECT CAST(nu AS BIGINT) AS n_users,
+       round(2.0 * wsum / (nu * tot) - (nu + 1.0) / nu, 6) AS gini
+FROM s
 """,
         "docs_zipf_fit": r"""
 WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token

@@ -3359,3 +3359,15 @@ def docs_zipf_fit(sf_dir: str, top_k: int = 100) -> pd.DataFrame:
             "intercept": [round(intercept, 6)],
         }
     )
+
+
+def kg_betweenness(sf_dir: str) -> pd.DataFrame:
+    """Approximate betweenness centrality over the KG edge list (Brandes
+    dependency accumulation from the 16 smallest nodes — deterministic
+    sampling): distributed edge-weight combiner + driver accumulation
+    (graph.betweenness_approx), the broker-detection companion to
+    kg_pagerank/kg_kcore."""
+    trip = _triples(sf_dir)
+    edges = graph.edge_weights(trip)
+    out = graph.betweenness_approx(edges)
+    return out.sort_values("node").reset_index(drop=True)

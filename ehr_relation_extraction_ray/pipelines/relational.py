@@ -2941,3 +2941,37 @@ def events_tier_join(sf_dir: str) -> pd.DataFrame:
     return (
         out[["tier", "n", "sum_value"]].sort_values("tier").reset_index(drop=True)
     )
+
+
+def events_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of per-user event activity — the standard
+    concentration/inequality diagnostic for traffic skew. Per-user
+    counts reduce through one user partition (partition-closed); the
+    Gini formula runs on the driver over the user-bounded count vector
+    (at an open user space, feed the sampled-quantile path instead):
+    G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n over ascending-sorted counts.
+    The SQL oracle is the identical formula via row_number."""
+    from ..functions.partitioning import groupby_partition
+
+    ev = _pq(sf_dir, "events", columns=["user_id"])
+
+    schema = pa.schema([("user_id", pa.int64()), ("n", pa.int64())])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id").size().reset_index(name="n")
+        return out.astype({"user_id": "int64", "n": "int64"})
+
+    per = groupby_partition(
+        ev, "user_id", per_user, batch_format="pandas", schema=schema
+    ).to_pandas()
+    x = np.sort(per["n"].to_numpy(np.float64))
+    n = len(x)
+    gini = 2.0 * float((np.arange(1, n + 1) * x).sum()) / (n * x.sum()) - (
+        n + 1
+    ) / n
+    return pd.DataFrame(
+        {
+            "n_users": np.array([n], dtype="int64"),
+            "gini": [round(gini, 6)],
+        }
+    )

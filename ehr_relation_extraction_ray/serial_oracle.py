@@ -1111,6 +1111,8 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_phash_dup_df(sf_dir)
     if name == "kg_ppr":
         return serial_ppr_df(_transcript_docs(sf_dir))
+    if name == "kg_betweenness":
+        return serial_betweenness_df(_transcript_docs(sf_dir))
     if name == "docs_partition_skew":
         return serial_partition_skew_df(sf_dir)
     if name == "events_cusum":
@@ -1723,3 +1725,20 @@ def serial_partition_skew_df(sf_dir: str, num_partitions: int = 64) -> pd.DataFr
             "cv": [round(float(counts.std() / mean), 4)],
         }
     )
+
+
+def serial_betweenness_df(docs: Dict[str, str]) -> pd.DataFrame:
+    """Betweenness fixture: serial triples -> edge weights -> the shared
+    deterministic Brandes accumulation (stages/graph.betweenness_approx),
+    mirror of serial_pagerank_df."""
+    from .stages.graph import betweenness_approx
+
+    trip = serial_triples_df(docs)
+    edges = (
+        trip.groupby(["subj", "obj"], as_index=False)
+        .agg(n=("doc_id", "count"))
+        .sort_values(["subj", "obj"])
+        .reset_index(drop=True)
+    )
+    edges["n"] = edges["n"].astype("int64")
+    return betweenness_approx(edges).sort_values("node").reset_index(drop=True)

@@ -846,3 +846,59 @@ def adamic_adar(
     out = out.rename(columns={"x": "ent_a", "y": "ent_b", "w": "aa"})
     out["aa"] = out["aa"].round(6)
     return out.sort_values(["ent_a", "ent_b"]).reset_index(drop=True)
+
+
+def betweenness_approx(edges: pd.DataFrame, k_sources: int = 16) -> pd.DataFrame:
+    """Approximate betweenness centrality (Brandes 2001 single-source
+    dependency accumulation, sampled over the k lexicographically
+    smallest nodes as sources — deterministic, no RNG). Driver iteration
+    over the combiner-reduced bounded edge list, like pagerank; at an
+    open node space each source's BFS becomes the frontier-broadcast
+    distributed pass used by khop and sources are hash-sampled. Scores
+    are normalized by the source count and rounded to 6 dp."""
+    import numpy as np
+
+    if edges.empty:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=str),
+             "betweenness": pd.Series([], dtype="float64")}
+        )
+    nodes = np.unique(
+        np.concatenate([edges["subj"].to_numpy(), edges["obj"].to_numpy()])
+    )
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    adj: list = [[] for _ in range(n)]
+    for a, b in zip(edges["subj"].map(idx), edges["obj"].map(idx)):
+        if a != b:
+            adj[a].append(b)
+            adj[b].append(a)
+    adj = [sorted(set(x)) for x in adj]  # deterministic neighbor order
+    bc = np.zeros(n)
+    sources = range(min(k_sources, n))  # nodes[] is sorted -> smallest k
+    for s in sources:
+        # Brandes: BFS orders, path counts sigma, dependency back-prop
+        dist = np.full(n, -1, dtype=np.int64)
+        sigma = np.zeros(n)
+        dist[s], sigma[s] = 0, 1.0
+        order, frontier = [], [s]
+        while frontier:
+            nxt = []
+            for v in frontier:
+                order.append(v)
+                for w in adj[v]:
+                    if dist[w] < 0:
+                        dist[w] = dist[v] + 1
+                        nxt.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+            frontier = nxt
+        delta = np.zeros(n)
+        for w in reversed(order):
+            for v in adj[w]:
+                if dist[v] == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    bc /= max(len(list(sources)), 1)
+    return pd.DataFrame({"node": nodes, "betweenness": np.round(bc, 6)})

@@ -105,3 +105,29 @@ def test_customer_rfm_codes(ray_session):
     # best recency code (4) goes to the most recent customers
     recent = got.nsmallest(10, "r_days")
     assert (recent["r_code"] == 4).all()
+
+
+def test_betweenness_star_and_path():
+    from ehr_relation_extraction_ray.stages.graph import betweenness_approx
+
+    # star: hub h brokers every leaf pair; leaves broker nothing
+    edges = pd.DataFrame(
+        {"subj": ["h"] * 4, "obj": [f"l{i}" for i in range(4)], "n": [1] * 4}
+    )
+    out = betweenness_approx(edges, k_sources=5)
+    d = dict(zip(out["node"], out["betweenness"]))
+    assert d["h"] > 0 and all(d[f"l{i}"] == 0 for i in range(4))
+    # deterministic rerun
+    pd.testing.assert_frame_equal(out, betweenness_approx(edges, k_sources=5))
+
+
+def test_events_gini_bounds_and_value(ray_session):
+    got = relational_mod.events_gini(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    counts = ev.groupby("user_id").size().to_numpy(float)
+    x = np.sort(counts)
+    n = len(x)
+    want = 2 * (np.arange(1, n + 1) * x).sum() / (n * x.sum()) - (n + 1) / n
+    assert abs(got["gini"].iloc[0] - round(want, 6)) < 1e-9
+    assert 0.0 <= got["gini"].iloc[0] < 1.0
+    assert got["n_users"].iloc[0] == n
