@@ -213,6 +213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tier_join": r.events_tier_join,
         "kg_betweenness": q.kg_betweenness,
         "events_gini": r.events_gini,
+        "docs_heaps_fit": q.docs_heaps_fit,
+        "docs_burstiness": q.docs_burstiness,
     }
 
 
@@ -1817,6 +1819,21 @@ ORDER BY ent_a, ent_b
         "kg_betweenness": f"""
 SELECT node, betweenness FROM read_parquet('{_fixture("kg_betweenness")}')
 ORDER BY node
+""",
+        "docs_heaps_fit": f"""
+SELECT n_checkpoints, vocab_final, tokens_final, beta, k
+FROM read_parquet('{_fixture("docs_heaps_fit")}')
+""",
+        "docs_burstiness": r"""
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+             FROM documents),
+t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+cf AS (SELECT token, count(*) AS cf FROM t GROUP BY token),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token)
+SELECT token, CAST(cf.cf AS BIGINT) AS cf, CAST(df.df AS BIGINT) AS df,
+       round(cf.cf * 1.0 / df.df, 6) AS burstiness
+FROM cf JOIN df USING (token)
+ORDER BY cf DESC, token LIMIT 15
 """,
         "events_gini": """
 WITH per AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n

@@ -3371,3 +3371,126 @@ def kg_betweenness(sf_dir: str) -> pd.DataFrame:
     edges = graph.edge_weights(trip)
     out = graph.betweenness_approx(edges)
     return out.sort_values("node").reset_index(drop=True)
+
+
+def docs_heaps_fit(sf_dir: str, checkpoints: int = 20) -> pd.DataFrame:
+    """Heaps'-law vocabulary-growth fit: V(N) ≈ K·N^β. The sequential
+    "scan the corpus and watch vocabulary grow" definition distributes
+    cleanly: V(c) = #tokens whose FIRST occurrence (min doc_id) <= c —
+    one (token, min(doc_id)) partition pass plus per-block token-count
+    partials for N(c), then cumulative sums and a centered ln-ln OLS
+    over `checkpoints` evenly spaced doc prefixes on the driver.
+    β well under 1 = the corpus keeps repeating itself (dedup signal)."""
+    from ..functions.partitioning import groupby_partition
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = pc.fill_null(t["text"], "")
+        words = pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
+        flat = pc.list_flatten(words)
+        parents = np.asarray(pc.list_parent_indices(words))
+        ids = np.asarray(t["doc_id"].to_pandas())[parents] if len(parents) else np.array([], np.int64)
+        keep = np.asarray(pc.utf8_length(flat)) > 0
+        return pa.table(
+            {
+                "token": pa.array(np.asarray(flat)[keep], pa.string()),
+                "doc_id": pa.array(ids[keep], pa.int64()),
+            }
+        )
+
+    exploded = docs.map_batches(explode, batch_format="pyarrow").materialize()
+
+    first_schema = pa.schema([("token", pa.string()), ("first_doc", pa.int64())])
+
+    def first_occurrence(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("token", as_index=False)["doc_id"].min()
+        out.columns = ["token", "first_doc"]
+        return out.astype({"token": str, "first_doc": "int64"})
+
+    firsts = groupby_partition(
+        exploded, "token", first_occurrence,
+        batch_format="pandas", schema=first_schema,
+    ).to_pandas()
+
+    def doc_tokens(t: pa.Table) -> pa.Table:
+        g = (
+            t.group_by("doc_id", use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["doc_id", "n"])
+
+    per_doc = (
+        exploded.map_batches(doc_tokens, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("doc_id")["n"].sum()
+        .sort_index()
+    )
+    doc_ids = per_doc.index.to_numpy()
+    n_cum = per_doc.to_numpy(np.int64).cumsum()
+    v_cum = (
+        pd.Series(firsts["first_doc"].to_numpy()).value_counts()
+        .reindex(doc_ids, fill_value=0)
+        .to_numpy(np.int64)
+        .cumsum()
+    )
+    idx = np.unique(
+        np.linspace(0, len(doc_ids) - 1, min(checkpoints, len(doc_ids))).astype(int)
+    )
+    x = np.log(n_cum[idx].astype(np.float64))
+    y = np.log(v_cum[idx].astype(np.float64))
+    dx, dy = x - x.mean(), y - y.mean()
+    beta = float((dx * dy).sum() / (dx * dx).sum())
+    k = float(np.exp(y.mean() - beta * x.mean()))
+    return pd.DataFrame(
+        {
+            "n_checkpoints": np.array([len(idx)], dtype="int64"),
+            "vocab_final": np.array([int(v_cum[-1])], dtype="int64"),
+            "tokens_final": np.array([int(n_cum[-1])], dtype="int64"),
+            "beta": [round(beta, 6)],
+            "k": [round(k, 4)],
+        }
+    )
+
+
+def docs_burstiness(sf_dir: str, top_k: int = 15) -> pd.DataFrame:
+    """Term burstiness (collection frequency / document frequency) for
+    the top-k terms by cf — Church & Gale's clumping diagnostic: cf/df
+    near 1 means a term scatters uniformly, high means it clumps in few
+    docs. One streamed pass emits per-block (token, cf, df-partial...)
+    — df needs per-doc distinctness, so the block partial counts BOTH
+    raw occurrences and per-doc-distinct occurrences; vocabulary-bounded
+    driver merge (at open vocabulary: MG candidates first)."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = pc.fill_null(t["text"], "")
+        words = pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
+        flat = pc.list_flatten(words)
+        parents = np.asarray(pc.list_parent_indices(words))
+        keep = np.asarray(pc.utf8_length(flat)) > 0
+        df_ = pd.DataFrame(
+            {"token": np.asarray(flat)[keep], "doc": parents[keep]}
+        )
+        cf = df_.groupby("token").size()
+        dfq = df_.drop_duplicates().groupby("token").size()
+        out = pd.DataFrame({"cf": cf, "df": dfq}).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    m = parts.groupby("token", as_index=False).agg(cf=("cf", "sum"), df=("df", "sum"))
+    m = m.sort_values(["cf", "token"], ascending=[False, True]).head(top_k)
+    m["burstiness"] = (m["cf"] / m["df"]).round(6)
+    return (
+        m.astype({"cf": "int64", "df": "int64"})
+        .sort_values(["cf", "token"], ascending=[False, True])
+        .reset_index(drop=True)
+    )

@@ -1113,6 +1113,8 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_ppr_df(_transcript_docs(sf_dir))
     if name == "kg_betweenness":
         return serial_betweenness_df(_transcript_docs(sf_dir))
+    if name == "docs_heaps_fit":
+        return serial_heaps_df(sf_dir)
     if name == "docs_partition_skew":
         return serial_partition_skew_df(sf_dir)
     if name == "events_cusum":
@@ -1742,3 +1744,44 @@ def serial_betweenness_df(docs: Dict[str, str]) -> pd.DataFrame:
     )
     edges["n"] = edges["n"].astype("int64")
     return betweenness_approx(edges).sort_values("node").reset_index(drop=True)
+
+
+def serial_heaps_df(sf_dir: str, checkpoints: int = 20) -> pd.DataFrame:
+    """Serial mirror of queries.docs_heaps_fit: one sequential scan in
+    doc_id order tracking (cumulative tokens, cumulative vocabulary),
+    identical checkpoint selection and centered ln-ln OLS."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas().sort_values("doc_id")
+    seen: set = set()
+    n_cum, v_cum = [], []
+    n = 0
+    for txt in t["text"]:
+        words = [w for w in (txt or "").lower().split() if w]
+        n += len(words)
+        seen.update(words)
+        n_cum.append(n)
+        v_cum.append(len(seen))
+    n_cum = np.asarray(n_cum, dtype=np.int64)
+    v_cum = np.asarray(v_cum, dtype=np.int64)
+    idx = np.unique(
+        np.linspace(0, len(n_cum) - 1, min(checkpoints, len(n_cum))).astype(int)
+    )
+    x = np.log(n_cum[idx].astype(np.float64))
+    y = np.log(v_cum[idx].astype(np.float64))
+    dx, dy = x - x.mean(), y - y.mean()
+    beta = float((dx * dy).sum() / (dx * dx).sum())
+    k = float(np.exp(y.mean() - beta * x.mean()))
+    return pd.DataFrame(
+        {
+            "n_checkpoints": np.array([len(idx)], dtype="int64"),
+            "vocab_final": np.array([int(v_cum[-1])], dtype="int64"),
+            "tokens_final": np.array([int(n_cum[-1])], dtype="int64"),
+            "beta": [round(beta, 6)],
+            "k": [round(k, 4)],
+        }
+    )

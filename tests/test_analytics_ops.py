@@ -151,3 +151,28 @@ def test_tier_join_partition_of_events(ray_session):
         lo, hi = bounds[r["tier"]]
         n = int(((ev["value"] >= lo) & (ev["value"] < hi)).sum())
         assert n == r["n"]
+
+
+def test_heaps_fit_sublinear_growth(ray_session):
+    from ehr_relation_extraction_ray.pipelines import queries
+
+    out = queries.docs_heaps_fit(SF)
+    r = out.iloc[0]
+    # closed synthetic vocabulary: growth saturates, so beta << 1
+    assert 0.0 <= r["beta"] < 0.7
+    assert r["vocab_final"] <= r["tokens_final"]
+    # final vocab equals the true distinct-token count
+    texts = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])["text"]
+    vocab = {w for t in texts for w in str(t).lower().split() if w}
+    assert r["vocab_final"] == len(vocab)
+
+
+def test_burstiness_bounds(ray_session):
+    from ehr_relation_extraction_ray.pipelines import queries
+
+    out = queries.docs_burstiness(SF)
+    # cf/df >= 1 always; df can never exceed the doc count
+    assert (out["burstiness"] >= 1.0).all()
+    n_docs = len(pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"]))
+    assert (out["df"] <= n_docs).all()
+    assert (out["cf"] >= out["df"]).all()
