@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gini": r.events_gini,
         "docs_heaps_fit": q.docs_heaps_fit,
         "docs_burstiness": q.docs_burstiness,
+        "docs_cdc_dedup": q.docs_cdc_dedup,
     }
 
 
@@ -1823,6 +1824,10 @@ ORDER BY node
         "docs_heaps_fit": f"""
 SELECT n_checkpoints, vocab_final, tokens_final, beta, k
 FROM read_parquet('{_fixture("docs_heaps_fit")}')
+""",
+        "docs_cdc_dedup": f"""
+SELECT n_total, n_distinct, bytes_total, bytes_distinct, dedup_ratio
+FROM read_parquet('{_fixture("docs_cdc_dedup")}')
 """,
         "docs_burstiness": r"""
 WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token

@@ -3494,3 +3494,25 @@ def docs_burstiness(sf_dir: str, top_k: int = 15) -> pd.DataFrame:
         .sort_values(["cf", "token"], ascending=[False, True])
         .reset_index(drop=True)
     )
+
+
+def docs_cdc_dedup(sf_dir: str) -> pd.DataFrame:
+    """Content-defined-chunking dedup ratio over the documents corpus
+    plus injected shifted copies (each 4th doc re-appended with a short
+    prefix — exactly the edit pattern fixed-window dedup misses and CDC
+    absorbs): dedupe.cdc_chunk_stats. Serial fixture oracle recomputes
+    with an independent per-byte rolling-hash implementation."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def with_shifted(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = [x or "" for x in t["text"].to_pylist()]
+        extra = [
+            "PREFIX " + txt for i, txt in zip(ids, texts) if int(i) % 4 == 0
+        ]
+        return pa.table({"text": pa.array(texts + extra, pa.string())})
+
+    shifted = docs.map_batches(with_shifted, batch_format="pyarrow")
+    return dedupe.cdc_chunk_stats(shifted)

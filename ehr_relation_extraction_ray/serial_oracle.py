@@ -1115,6 +1115,8 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_betweenness_df(_transcript_docs(sf_dir))
     if name == "docs_heaps_fit":
         return serial_heaps_df(sf_dir)
+    if name == "docs_cdc_dedup":
+        return serial_cdc_dedup_df(sf_dir)
     if name == "docs_partition_skew":
         return serial_partition_skew_df(sf_dir)
     if name == "events_cusum":
@@ -1783,5 +1785,54 @@ def serial_heaps_df(sf_dir: str, checkpoints: int = 20) -> pd.DataFrame:
             "tokens_final": np.array([int(n_cum[-1])], dtype="int64"),
             "beta": [round(beta, 6)],
             "k": [round(k, 4)],
+        }
+    )
+
+
+def serial_cdc_dedup_df(sf_dir: str, boundary_mod: int = 64,
+                        min_chunk: int = 16) -> pd.DataFrame:
+    """Serial mirror of queries.docs_cdc_dedup with an INDEPENDENT
+    per-byte gear-hash implementation (the distributed side uses the
+    64-tap vectorized unrolling — agreement checks the algebra)."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    texts = [x or "" for x in t["text"]]
+    texts += ["PREFIX " + txt for i, txt in zip(t["doc_id"], t["text"])
+              if int(i) % 4 == 0]
+    gear = [
+        ((b * 0x9E3779B97F4A7C15) ^ (b >> 3)) & 0xFFFFFFFFFFFFFFFF
+        for b in range(256)
+    ]
+    sizes: dict = {}
+    n_total = bytes_total = 0
+    for txt in texts:
+        data = txt.encode("utf-8")
+        h, start = 0, 0
+        chunks = []
+        for i, b in enumerate(data):
+            h = ((h << 1) + gear[b]) & 0xFFFFFFFFFFFFFFFF
+            if i - start + 1 >= min_chunk and h % boundary_mod == 0:
+                chunks.append(data[start:i + 1])
+                start = i + 1
+        if start < len(data):
+            chunks.append(data[start:])
+        for c in chunks:
+            n_total += 1
+            bytes_total += len(c)
+            sizes[hashlib.md5(c).hexdigest()] = len(c)
+    bytes_distinct = sum(sizes.values())
+    return pd.DataFrame(
+        {
+            "n_total": np.array([n_total], dtype="int64"),
+            "n_distinct": np.array([len(sizes)], dtype="int64"),
+            "bytes_total": np.array([bytes_total], dtype="int64"),
+            "bytes_distinct": np.array([bytes_distinct], dtype="int64"),
+            "dedup_ratio": [round(bytes_total / max(bytes_distinct, 1), 6)],
         }
     )

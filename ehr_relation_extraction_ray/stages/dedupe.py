@@ -1697,3 +1697,100 @@ def ppjoin_pairs(
         candidates, docs, threshold=threshold, k=k,
         text_col=text_col, id_col=id_col,
     )
+
+
+def cdc_chunk_stats(
+    docs: "ray.data.Dataset",
+    boundary_mod: int = 64,
+    min_chunk: int = 16,
+    text_col: str = "text",
+) -> "pd.DataFrame":
+    """Content-defined chunking (CDC) dedup ratio — the storage-dedup
+    classic (LBFS/Rabin): chunk boundaries fall where a byte-wise
+    rolling hash ≡ 0 (mod ``boundary_mod``), so a small edit reshifts
+    only its own chunk, not every fixed window after it. Each block
+    chunks its docs (vectorized gear-hash over the byte array), hashes
+    chunks (md5), and emits (chunk_md5, size) partials; one digest
+    partition counts distinct vs total — chunk BYTES never shuffle,
+    only 16-byte digests. Returns one row: total/distinct chunk counts
+    and bytes plus the dedup ratio."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..functions.partitioning import groupby_partition
+
+    _GEAR = (np.arange(256, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ (
+        np.arange(256, dtype=np.uint64) >> np.uint64(3)
+    )
+
+    def chunk_doc(data: bytes):
+        """Gear hash h_i = (h_{i-1} << 1) + GEAR[b_i] (mod 2^64). The
+        recurrence unrolls to h_i = Σ_{k<64} GEAR[b_{i-k}] << k — shifts
+        >= 64 vanish mod 2^64 — so the whole hash stream is 64 shifted
+        vector adds over the byte array, no per-byte Python loop; only
+        the sparse min-gap boundary selection stays sequential."""
+        if not data:
+            return []
+        arr = np.frombuffer(data, dtype=np.uint8)
+        g = _GEAR[arr]
+        h = np.zeros(len(arr), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for k in range(min(64, len(arr))):
+                h[k:] += g[: len(arr) - k] << np.uint64(k)
+        cand = np.flatnonzero(h % np.uint64(boundary_mod) == 0)
+        out, start = [], 0
+        for i in cand:
+            if i - start + 1 >= min_chunk:
+                out.append(data[start:i + 1])
+                start = i + 1
+        if start < len(data):
+            out.append(data[start:])
+        return out
+
+    def partial(t: pa.Table) -> pa.Table:
+        md5s, sizes = [], []
+        for txt in t[text_col].to_pylist():
+            for c in chunk_doc((txt or "").encode("utf-8")):
+                md5s.append(hashlib.md5(c).hexdigest())
+                sizes.append(len(c))
+        return pa.table(
+            {
+                "chunk_md5": pa.array(md5s, pa.string()),
+                "size": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    chunks = docs.map_batches(partial, batch_format="pyarrow")
+
+    schema = pa.schema(
+        [("n_total", pa.int64()), ("n_distinct", pa.int64()),
+         ("bytes_total", pa.int64()), ("bytes_distinct", pa.int64())]
+    )
+
+    def reduce_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("chunk_md5")["size"]
+        return pd.DataFrame(
+            {
+                "n_total": [int(df.shape[0])],
+                "n_distinct": [int(g.ngroups)],
+                "bytes_total": [int(df["size"].sum())],
+                "bytes_distinct": [int(g.first().sum())],
+            }
+        )
+
+    parts = groupby_partition(
+        chunks, "chunk_md5", reduce_partition,
+        batch_format="pandas", schema=schema,
+    ).to_pandas()
+    tot = parts.sum()
+    ratio = round(float(tot["bytes_total"] / max(tot["bytes_distinct"], 1)), 6)
+    return pd.DataFrame(
+        {
+            "n_total": np.array([int(tot["n_total"])], dtype="int64"),
+            "n_distinct": np.array([int(tot["n_distinct"])], dtype="int64"),
+            "bytes_total": np.array([int(tot["bytes_total"])], dtype="int64"),
+            "bytes_distinct": np.array([int(tot["bytes_distinct"])], dtype="int64"),
+            "dedup_ratio": [ratio],
+        }
+    )
