@@ -216,6 +216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_heaps_fit": q.docs_heaps_fit,
         "docs_burstiness": q.docs_burstiness,
         "docs_cdc_dedup": q.docs_cdc_dedup,
+        "events_autocorr": r.events_autocorr,
+        "events_benford": r.events_benford,
     }
 
 
@@ -1828,6 +1830,38 @@ FROM read_parquet('{_fixture("docs_heaps_fit")}')
         "docs_cdc_dedup": f"""
 SELECT n_total, n_distinct, bytes_total, bytes_distinct, dedup_ratio
 FROM read_parquet('{_fixture("docs_cdc_dedup")}')
+""",
+        "events_autocorr": """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, CAST(n AS DOUBLE) AS n,
+         lag(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY day)
+           AS prev
+  FROM daily
+)
+SELECT event_type,
+       CAST(count(*) + 1 AS BIGINT) AS n_days,
+       round(corr(prev, n), 6) AS lag1_corr
+FROM lagged WHERE prev IS NOT NULL
+GROUP BY event_type HAVING count(*) >= 2
+ORDER BY event_type
+""",
+        "events_benford": """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS digit
+  FROM events WHERE value > 0
+),
+obs AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+tot AS (SELECT sum(n) AS total FROM obs)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(log10(1.0 + 1.0 / digit) * tot.total, 4) AS expected,
+       round(pow(n - log10(1.0 + 1.0 / digit) * tot.total, 2)
+             / (log10(1.0 + 1.0 / digit) * tot.total), 4) AS contrib
+FROM obs CROSS JOIN tot ORDER BY digit
 """,
         "docs_burstiness": r"""
 WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token

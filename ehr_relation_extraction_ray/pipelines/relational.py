@@ -2975,3 +2975,74 @@ def events_gini(sf_dir: str) -> pd.DataFrame:
             "gini": [round(gini, 6)],
         }
     )
+
+
+def events_autocorr(sf_dir: str) -> pd.DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series per type —
+    the burstiness/seasonality screen. The event log reduces to
+    (type, day, n) block partials (dimension-bounded driver merge, same
+    as events_cusum); the Pearson corr between the series and its lag
+    runs on the driver. Oracle: DuckDB corr() over lag() windows."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].dt.floor("D")
+        out = (
+            pd.DataFrame({"event_type": df["event_type"], "day": day})
+            .groupby(["event_type", "day"])
+            .size()
+            .reset_index(name="n")
+        )
+        return out.astype({"event_type": str, "n": "int64"})
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    daily = parts.groupby(["event_type", "day"], as_index=False)["n"].sum()
+    rows = []
+    for et, grp in daily.groupby("event_type"):
+        x = grp.sort_values("day")["n"].to_numpy(np.float64)
+        if len(x) < 3:
+            continue
+        a, b = x[:-1], x[1:]
+        da, db = a - a.mean(), b - b.mean()
+        denom = np.sqrt((da * da).sum() * (db * db).sum())
+        rows.append(
+            {"event_type": et,
+             "n_days": np.int64(len(x)),
+             "lag1_corr": round(float((da * db).sum() / denom), 6)}
+        )
+    out = pd.DataFrame(rows, columns=["event_type", "n_days", "lag1_corr"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_benford(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law first-digit screen over event values — the classic
+    anomaly/fraud diagnostic: observed first-significant-digit counts
+    vs log10(1 + 1/d) expectation with per-digit chi-square
+    contributions. One streamed pass emits 9-bucket block partials
+    (digit extraction is pure vectorized math); driver merge is 9 rows."""
+    ev = _pq(sf_dir, "events", columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["value"], np.float64)
+        v = v[v > 0]
+        # values carry 2-dp precision: integer cents keep the leading
+        # significant digit and dodge float-log boundary disagreements
+        digit = np.rint(v * 100).astype(np.int64)
+        while (digit >= 10).any():  # strip trailing digits, vectorized
+            digit = np.where(digit >= 10, digit // 10, digit)
+        counts = np.bincount(digit, minlength=10)[1:10]
+        return pa.table(
+            {"digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+             "n": pa.array(counts, pa.int64())}
+        )
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    obs = parts.groupby("digit", as_index=False)["n"].sum()
+    total = float(obs["n"].sum())
+    d = obs["digit"].to_numpy(np.float64)
+    expected = np.log10(1.0 + 1.0 / d) * total
+    contrib = (obs["n"].to_numpy(np.float64) - expected) ** 2 / expected
+    obs["expected"] = np.round(expected, 4)
+    obs["contrib"] = np.round(contrib, 4)
+    obs["n"] = obs["n"].astype("int64")
+    return obs.sort_values("digit").reset_index(drop=True)

@@ -176,3 +176,30 @@ def test_burstiness_bounds(ray_session):
     n_docs = len(pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"]))
     assert (out["df"] <= n_docs).all()
     assert (out["cf"] >= out["df"]).all()
+
+
+def test_autocorr_bounds_and_pandas(ray_session):
+    got = relational.events_autocorr(SF)
+    assert ((got["lag1_corr"] >= -1.0) & (got["lag1_corr"] <= 1.0)).all()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "ts"])
+    daily = (
+        pd.DataFrame({"t": ev["event_type"], "day": ev["ts"].dt.floor("D")})
+        .groupby(["t", "day"]).size().reset_index(name="n")
+    )
+    for _, r in got.iterrows():
+        x = daily[daily["t"] == r["event_type"]].sort_values("day")["n"].to_numpy(float)
+        assert r["n_days"] == len(x)
+        a, b = x[:-1], x[1:]
+        da, db = a - a.mean(), b - b.mean()
+        want = (da * db).sum() / np.sqrt((da * da).sum() * (db * db).sum())
+        assert abs(r["lag1_corr"] - round(want, 6)) < 1e-9
+
+
+def test_benford_digit_partition(ray_session):
+    got = relational.events_benford(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["value"])
+    pos = ev[ev["value"] > 0]
+    assert list(got["digit"]) == list(range(1, 10))
+    assert int(got["n"].sum()) == len(pos)
+    # expected counts sum to the total (Benford probabilities sum to 1)
+    assert abs(got["expected"].sum() - len(pos)) < 0.1
