@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cdc_dedup": q.docs_cdc_dedup,
         "events_autocorr": r.events_autocorr,
         "events_benford": r.events_benford,
+        "rich_inactive_customers": r.rich_inactive_customers,
     }
 
 
@@ -1830,6 +1831,16 @@ FROM read_parquet('{_fixture("docs_heaps_fit")}')
         "docs_cdc_dedup": f"""
 SELECT n_total, n_distinct, bytes_total, bytes_distinct, dedup_ratio
 FROM read_parquet('{_fixture("docs_cdc_dedup")}')
+""",
+        "rich_inactive_customers": """
+WITH pos AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       round(coalesce(sum(c_acctbal), 0), 2) AS total_bal
+FROM customer CROSS JOIN pos
+WHERE c_acctbal > pos.a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
 """,
         "events_autocorr": """
 WITH daily AS (

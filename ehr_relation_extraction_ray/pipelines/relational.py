@@ -3046,3 +3046,66 @@ def events_benford(sf_dir: str) -> pd.DataFrame:
     obs["contrib"] = np.round(contrib, 4)
     obs["n"] = obs["n"].astype("int64")
     return obs.sort_values("digit").reset_index(drop=True)
+
+
+def rich_inactive_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape: customers with above-average (positive) account
+    balance and no RECENT orders (none since 2000-01-01) — a
+    scalar-subquery threshold plus an anti-join, both shuffle-free: the
+    average comes from (n, Σ) block partials, and the anti-join probes
+    a BITMAP of recent-order custkeys (np.packbits over the dense key
+    space — ~19 MB per 150M keys; the same dense-broadcast discipline
+    as events_bitmap_distinct) built from one filtered pass over
+    orders."""
+    recent = np.datetime64("2000-01-01")
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def avg_partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["c_acctbal"], np.float64)
+        pos = v[v > 0]
+        return pa.table(
+            {"n": pa.array([len(pos)], pa.int64()),
+             "s": pa.array([float(pos.sum())], pa.float64())}
+        )
+
+    ap = cust.map_batches(avg_partial, batch_format="pyarrow").to_pandas()
+    threshold = float(ap["s"].sum() / max(int(ap["n"].sum()), 1))
+
+    n_keys = int(orders.max("o_custkey")) + 1
+    n_words = (n_keys + 7) // 8
+
+    def key_bitmap(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["o_custkey"])
+        dates = np.asarray(t["o_orderdate"], dtype="datetime64[us]")
+        bits = np.zeros(n_keys, dtype=bool)
+        bits[keys[dates >= recent]] = True
+        return pa.table({"bm": pa.array([np.packbits(bits).tobytes()])})
+
+    bms = orders.map_batches(key_bitmap, batch_format="pyarrow").to_pandas()
+    acc = np.zeros(n_words, dtype=np.uint8)
+    for b in bms["bm"]:
+        acc |= np.frombuffer(b, dtype=np.uint8)
+    has_order = np.unpackbits(acc)[:n_keys].astype(bool)
+    bm_ref = ray.put(has_order)
+
+    def probe(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["c_custkey"])
+        bal = np.asarray(t["c_acctbal"], np.float64)
+        ho = _bget(bm_ref)
+        in_range = keys < len(ho)
+        ordered = np.zeros(len(keys), dtype=bool)
+        ordered[in_range] = ho[keys[in_range]]
+        keep = (bal > threshold) & ~ordered
+        return pa.table(
+            {"n": pa.array([int(keep.sum())], pa.int64()),
+             "s": pa.array([float(bal[keep].sum())], pa.float64())}
+        )
+
+    parts = cust.map_batches(probe, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_customers": np.array([int(parts["n"].sum())], dtype="int64"),
+            "total_bal": [round(float(parts["s"].sum()), 2)],
+        }
+    )

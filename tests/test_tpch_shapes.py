@@ -70,3 +70,15 @@ def test_top_supplier_matches_pandas(ray_session):
         .sort_values("s_suppkey").reset_index(drop=True)
     )[["s_suppkey", "s_name", "total_revenue"]]
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rich_inactive_customers_matches_pandas(ray_session):
+    got = relational.rich_inactive_customers(SF)
+    cust = _t("customer", ["c_custkey", "c_acctbal"])
+    orders = _t("orders", ["o_custkey", "o_orderdate"])
+    thr = cust.loc[cust["c_acctbal"] > 0, "c_acctbal"].mean()
+    recent = set(orders.loc[orders["o_orderdate"] >= "2000-01-01", "o_custkey"])
+    keep = cust[(cust["c_acctbal"] > thr) & ~cust["c_custkey"].isin(recent)]
+    assert got["n_customers"].iloc[0] == len(keep)
+    assert abs(got["total_bal"].iloc[0] - round(keep["c_acctbal"].sum(), 2)) < 0.01
+    assert got["n_customers"].iloc[0] > 0  # window chosen to be non-trivial
