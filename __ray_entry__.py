@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_autocorr": r.events_autocorr,
         "events_benford": r.events_benford,
         "rich_inactive_customers": r.rich_inactive_customers,
+        "orders_interarrival": r.orders_interarrival,
     }
 
 
@@ -1831,6 +1832,23 @@ FROM read_parquet('{_fixture("docs_heaps_fit")}')
         "docs_cdc_dedup": f"""
 SELECT n_total, n_distinct, bytes_total, bytes_distinct, dedup_ratio
 FROM read_parquet('{_fixture("docs_cdc_dedup")}')
+""",
+        "orders_interarrival": """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap
+  FROM orders
+),
+med AS (
+  SELECT o_custkey, quantile_disc(gap, 0.5) AS m
+  FROM g WHERE gap IS NOT NULL GROUP BY o_custkey
+)
+SELECT CAST(m // 7 AS BIGINT) AS bucket_weeks,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM med GROUP BY 1 ORDER BY 1
 """,
         "rich_inactive_customers": """
 WITH pos AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)

@@ -3109,3 +3109,41 @@ def rich_inactive_customers(sf_dir: str) -> pd.DataFrame:
             "total_bal": [round(float(parts["s"].sum()), 2)],
         }
     )
+
+
+def orders_interarrival(sf_dir: str) -> pd.DataFrame:
+    """Inter-order arrival-gap statistics per customer, rolled up to a
+    global histogram of median gaps (weekly buckets) — the classic
+    inter-arrival / purchase-cadence analysis. One custkey partition
+    pass sorts each customer's orders and takes the median day gap
+    (quantile_disc convention); the bucket rollup is bounded, so block
+    partials merge on the driver."""
+    import math
+
+    from ..functions.partitioning import groupby_partition
+
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    schema = pa.schema([("bucket_weeks", pa.int64()), ("n_customers", pa.int64())])
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        rows: dict = {}
+        for _, grp in df.groupby("o_custkey", sort=False):
+            if len(grp) < 2:
+                continue
+            d = grp["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
+            g = np.sort(np.diff(d) // (86400 * 1_000_000))
+            med = int(g[max(math.ceil(0.5 * len(g)) - 1, 0)])
+            b = med // 7
+            rows[b] = rows.get(b, 0) + 1
+        return pd.DataFrame(
+            [{"bucket_weeks": k, "n_customers": v} for k, v in rows.items()],
+            columns=["bucket_weeks", "n_customers"],
+        ).astype({"bucket_weeks": "int64", "n_customers": "int64"})
+
+    parts = groupby_partition(
+        orders, "o_custkey", gaps, batch_format="pandas", schema=schema
+    ).to_pandas()
+    out = parts.groupby("bucket_weeks", as_index=False)["n_customers"].sum()
+    return out.sort_values("bucket_weeks").reset_index(drop=True)

@@ -82,3 +82,27 @@ def test_rich_inactive_customers_matches_pandas(ray_session):
     assert got["n_customers"].iloc[0] == len(keep)
     assert abs(got["total_bal"].iloc[0] - round(keep["c_acctbal"].sum(), 2)) < 0.01
     assert got["n_customers"].iloc[0] > 0  # window chosen to be non-trivial
+
+
+def test_orders_interarrival_matches_pandas(ray_session):
+    import math
+
+    got = relational.orders_interarrival(SF)
+    orders = _t("orders", ["o_custkey", "o_orderkey", "o_orderdate"]).sort_values(
+        ["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+    buckets = {}
+    for _, grp in orders.groupby("o_custkey"):
+        if len(grp) < 2:
+            continue
+        d = grp["o_orderdate"].to_numpy("datetime64[D]").astype(int)
+        g = np.sort(np.diff(d))
+        med = int(g[max(math.ceil(0.5 * len(g)) - 1, 0)])
+        buckets[med // 7] = buckets.get(med // 7, 0) + 1
+    want = (
+        pd.DataFrame(sorted(buckets.items()), columns=["bucket_weeks", "n_customers"])
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every multi-order customer lands in exactly one bucket
+    multi = (orders.groupby("o_custkey").size() >= 2).sum()
+    assert int(got["n_customers"].sum()) == multi
