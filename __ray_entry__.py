@@ -31,59 +31,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ehr_relation_extraction_ray.pipelines import relational as r
 
     return {
-        # knowledge-graph pipeline (synthesized transcripts)
+        # Registry order controls the driver's 50-query correctness
+        # window (first 50 keys). kg_* canaries first, then queries with no
+        # CORRECTNESS row yet (rotated per round), then previously-green rows.
         "kg_assembly": q.kg_assembly,
         "kg_mentions": q.kg_mentions,
         "kg_windows": q.kg_windows,
         "kg_triples": q.kg_triples,
-        "kg_wide_table": q.kg_wide_table,
-        "kg_drug_graph": q.kg_drug_graph,
         "kg_nodes": q.kg_nodes,
-        "kg_nodes_fuzzy": q.kg_nodes_fuzzy,
-        "kg_role_stats": q.kg_role_stats,
-        "kg_tool_chains": q.kg_tool_chains,
-        "kg_conv_dedup": q.kg_conv_dedup,
-        "kg_turn_latency": q.kg_turn_latency,
-        "kg_degree_hist": q.kg_degree_hist,
-        "kg_pagerank": q.kg_pagerank,
-        "kg_khop": q.kg_khop,
-        "kg_edge_spans": q.kg_edge_spans,
-        "kg_negative_samples": q.kg_negative_samples,
-        "kg_incremental_edges": q.kg_incremental_edges,
-        "kg_cooccurrence": q.kg_cooccurrence,
-        "kg_triangles": q.kg_triangles,
-        "kg_entity_components": q.kg_entity_components,
-        "docs_substring_dedup": q.docs_substring_dedup,
-        "docs_compress_ratio": q.docs_compress_ratio,
-        # relational operator core (testdata star schema)
-        "agg_lineitem": r.agg_lineitem,
-        "join_orders_customer": r.join_orders_customer,
-        "topk_orders": r.topk_orders,
-        "event_type_counts": r.event_type_counts,
-        "filtered_revenue": r.filtered_revenue,
-        "sessionize_events": r.sessionize_events,
-        "nation_region_join": r.nation_region_join,
-        "part_brand_margin": r.part_brand_margin,
-        "orders_customer_hashjoin": r.orders_customer_hashjoin,
-        "events_asof_join": r.events_asof_join,
-        "events_windowed": r.events_windowed,
-        "topk_events_per_type": r.topk_events_per_type,
-        "events_quantiles": r.events_quantiles,
-        "events_quantiles_cont": r.events_quantiles_cont,
-        "events_rollup": r.events_rollup,
-        "events_sliding": r.events_sliding,
-        # training-data ops (documents / embeddings / media)
-        "docs_exact_dedup": q.docs_exact_dedup,
-        "docs_stats": q.docs_stats,
-        "docs_quality": q.docs_quality,
-        "docs_distinct_tokens": q.docs_distinct_tokens,
-        "docs_stratified_sample": q.docs_stratified_sample,
-        "docs_weighted_sample": q.docs_weighted_sample,
-        "docs_budget_per_lang": q.docs_budget_per_lang,
-        "docs_entropy": q.docs_entropy,
-        "docs_boilerplate": q.docs_boilerplate,
-        "docs_decontaminate": q.docs_decontaminate,
-        "docs_unigram_logprob": q.docs_unigram_logprob,
+        "kg_pagerank_dist": q.kg_pagerank_dist,
+        "kg_label_prop_dist": q.kg_label_prop_dist,
+        "kg_kcore_dist": q.kg_kcore_dist,
         "docs_bloom_decontaminate": q.docs_bloom_decontaminate,
         "docs_repetition": q.docs_repetition,
         "docs_pack_bins": q.docs_pack_bins,
@@ -143,16 +101,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_cosine_dup_lsh": q.embeddings_cosine_dup_lsh,
         "media_features": q.media_features,
         "media_resize_frames": q.media_resize_frames,
-        # format export roundtrips (CoNLL / RE TSV sources+sinks)
         "kg_conll_export": q.kg_conll_export,
         "kg_re_export": q.kg_re_export,
-        # distributed evaluator (G3/J3) + parallelism-invariance evidence
         "kg_eval_detailed": q.kg_eval_detailed,
         "kg_linked_mentions": q.kg_linked_mentions,
         "kg_drug_no_ade_docs": q.kg_drug_no_ade_docs,
         "ade_ingest": q.ade_ingest,
         "brat_ingest": q.brat_ingest,
-        "kg_eval_invariance": q.kg_eval_invariance,
         "docs_bm25": q.docs_bm25,
         "docs_typo_pairs": q.docs_typo_pairs,
         "kg_node_similarity": q.kg_node_similarity,
@@ -220,6 +175,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_benford": r.events_benford,
         "rich_inactive_customers": r.rich_inactive_customers,
         "orders_interarrival": r.orders_interarrival,
+        "kg_eval_invariance": q.kg_eval_invariance,
+        "kg_wide_table": q.kg_wide_table,
+        "kg_drug_graph": q.kg_drug_graph,
+        "kg_nodes_fuzzy": q.kg_nodes_fuzzy,
+        "kg_role_stats": q.kg_role_stats,
+        "kg_tool_chains": q.kg_tool_chains,
+        "kg_conv_dedup": q.kg_conv_dedup,
+        "kg_turn_latency": q.kg_turn_latency,
+        "kg_degree_hist": q.kg_degree_hist,
+        "kg_pagerank": q.kg_pagerank,
+        "kg_khop": q.kg_khop,
+        "kg_edge_spans": q.kg_edge_spans,
+        "kg_negative_samples": q.kg_negative_samples,
+        "kg_incremental_edges": q.kg_incremental_edges,
+        "kg_cooccurrence": q.kg_cooccurrence,
+        "kg_triangles": q.kg_triangles,
+        "kg_entity_components": q.kg_entity_components,
+        "docs_substring_dedup": q.docs_substring_dedup,
+        "docs_compress_ratio": q.docs_compress_ratio,
+        "agg_lineitem": r.agg_lineitem,
+        "join_orders_customer": r.join_orders_customer,
+        "topk_orders": r.topk_orders,
+        "event_type_counts": r.event_type_counts,
+        "filtered_revenue": r.filtered_revenue,
+        "sessionize_events": r.sessionize_events,
+        "nation_region_join": r.nation_region_join,
+        "part_brand_margin": r.part_brand_margin,
+        "orders_customer_hashjoin": r.orders_customer_hashjoin,
+        "events_asof_join": r.events_asof_join,
+        "events_windowed": r.events_windowed,
+        "topk_events_per_type": r.topk_events_per_type,
+        "events_quantiles": r.events_quantiles,
+        "events_quantiles_cont": r.events_quantiles_cont,
+        "events_rollup": r.events_rollup,
+        "events_sliding": r.events_sliding,
+        "docs_exact_dedup": q.docs_exact_dedup,
+        "docs_stats": q.docs_stats,
+        "docs_quality": q.docs_quality,
+        "docs_distinct_tokens": q.docs_distinct_tokens,
+        "docs_stratified_sample": q.docs_stratified_sample,
+        "docs_weighted_sample": q.docs_weighted_sample,
+        "docs_budget_per_lang": q.docs_budget_per_lang,
+        "docs_entropy": q.docs_entropy,
+        "docs_boilerplate": q.docs_boilerplate,
+        "docs_decontaminate": q.docs_decontaminate,
+        "docs_unigram_logprob": q.docs_unigram_logprob,
     }
 
 
@@ -1341,6 +1342,18 @@ FROM deg GROUP BY degree ORDER BY degree
 """,
         "kg_pagerank": f"""
 SELECT node, rank FROM read_parquet('{_fixture("kg_pagerank")}')
+ORDER BY node
+""",
+        "kg_pagerank_dist": f"""
+SELECT node, rank FROM read_parquet('{_fixture("kg_pagerank")}')
+ORDER BY node
+""",
+        "kg_label_prop_dist": f"""
+SELECT node, community FROM read_parquet('{_fixture("kg_label_prop")}')
+ORDER BY node
+""",
+        "kg_kcore_dist": f"""
+SELECT node, core FROM read_parquet('{_fixture("kg_kcore")}')
 ORDER BY node
 """,
         "kg_khop": f"""

@@ -3516,3 +3516,37 @@ def docs_cdc_dedup(sf_dir: str) -> pd.DataFrame:
 
     shifted = docs.map_batches(with_shifted, batch_format="pyarrow")
     return dedupe.cdc_chunk_stats(shifted)
+
+
+def kg_pagerank_dist(sf_dir: str) -> pd.DataFrame:
+    """kg_pagerank via the open-node-space path (graph.pagerank_distributed):
+    edges never collect on the driver — per-round rank broadcast + one
+    zero-shuffle contribution pass, dst-partition-complete blocks keeping
+    the float accumulation order bit-identical to the driver path. Same
+    serial fixture oracle as kg_pagerank."""
+    trip = _triples(sf_dir)
+    out = graph.pagerank_distributed(trip)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def kg_label_prop_dist(sf_dir: str) -> pd.DataFrame:
+    """kg_label_prop via the open-node-space path
+    (graph.label_propagation_distributed): per-round label broadcast + one
+    distributed vote-partial pass; integer vote weights make the merge
+    exact under any block layout. Same serial fixture oracle as
+    kg_label_prop."""
+    trip = _triples(sf_dir)
+    out = graph.label_propagation_distributed(trip)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def kg_kcore_dist(sf_dir: str) -> pd.DataFrame:
+    """kg_kcore via the Dataset-in/Dataset-out distributed peel
+    (graph.kcore_distributed): partition-parallel distinct-degree recompute
+    per round, only the peeling nodes cross to the driver. Core numbers
+    are peel-order-independent, so the result matches the driver-path
+    kg_kcore fixture exactly."""
+    counts = _cooccurrence(sf_dir)
+    pairs = counts[counts["is_pair"] & (counts["n"] >= 2)]
+    ds = ray.data.from_pandas(pairs[["ent_a", "ent_b"]].reset_index(drop=True))
+    return graph.kcore_distributed(ds).to_pandas()

@@ -902,3 +902,359 @@ def betweenness_approx(edges: pd.DataFrame, k_sources: int = 16) -> pd.DataFrame
                 bc[w] += delta[w]
     bc /= max(len(list(sources)), 1)
     return pd.DataFrame({"node": nodes, "betweenness": np.round(bc, 6)})
+
+
+# ---------------------------------------------------------------------------
+# Open-node-space (distributed-rounds) variants
+#
+# The driver-math functions above are correct for this KG's closed ontology
+# (node space = surface vocabulary, dimension-sized). The variants below are
+# the first-class scale path for an OPEN node space (user-id graphs, web
+# graphs): the E-sized edge set NEVER collects on the driver — each round is
+# a broadcast + map_batches pass (pagerank / label propagation) or a
+# partition-parallel degree recompute (k-core). Driver state is bounded by
+# the V-sized return value itself (rank / label / core per node), never by E.
+# ---------------------------------------------------------------------------
+
+
+def _int_edges_by_dst(
+    triples: "ray.data.Dataset", num_partitions: int = 16
+) -> "tuple[ray.data.Dataset, np.ndarray, np.ndarray]":
+    """Shared prep for the distributed-rounds iterations: ONE obj-keyed
+    partition pass reduces the triples to (subj, obj, n-rows) edge weights
+    with every dst's edges complete inside one partition and sorted by
+    (subj, obj) — so a per-partition ``np.add.at`` accumulates each dst's
+    float contributions in exactly the order the driver-path
+    :func:`pagerank` does over its canonically-sorted edge list
+    (bit-exact rounds, any parallelism). Returns (int-ified edges Dataset
+    materialized for re-use across rounds, sorted node vocabulary,
+    out-weight vector). Driver-held state is V-sized (vocab + out_w);
+    weights are integer doc counts so their merge order is exact.
+    """
+    import numpy as np
+
+    from ..functions.broadcast import bget
+    from ..functions.partitioning import groupby_partition
+
+    red_schema = pa.schema(
+        [("subj", pa.string()), ("obj", pa.string()), ("n", pa.int64())]
+    )
+
+    def reduce_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = (
+            df.groupby(["subj", "obj"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+            .sort_values(["subj", "obj"])
+        )
+        return out.astype({"subj": str, "obj": str, "n": "int64"})
+
+    reduced = groupby_partition(
+        triples.map_batches(
+            lambda t: t.select(["subj", "obj"]), batch_format="pyarrow"
+        ),
+        "obj",
+        reduce_part,
+        num_partitions=num_partitions,
+        batch_format="pandas",
+        schema=red_schema,
+    ).materialize()
+
+    # V-sized vocab + integer out-weights: per-block partials, exact merge
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        subj = t["subj"].combine_chunks()
+        uw = (
+            t.select(["subj", "n"])
+            .group_by("subj", use_threads=False)
+            .aggregate([("n", "sum")])
+        )
+        uo = pc.unique(t["obj"].combine_chunks())
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [uw["subj"].combine_chunks().cast(pa.string()), uo.cast(pa.string())]
+                ),
+                "w": pa.concat_arrays(
+                    [
+                        uw["n_sum"].combine_chunks().cast(pa.int64()),
+                        pa.array([0] * len(uo), pa.int64()),
+                    ]
+                ),
+            }
+        )
+
+    vp = reduced.map_batches(vocab_partial, batch_format="pyarrow").to_pandas()
+    if vp.empty:
+        return reduced, np.array([], dtype=object), np.array([], dtype=np.float64)
+    agg = vp.groupby("node")["w"].sum().sort_index()
+    nodes = agg.index.to_numpy()
+    out_w = agg.to_numpy(dtype=np.float64)
+
+    idx_ref = ray.put({n: i for i, n in enumerate(nodes)})
+
+    int_schema = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("w", pa.float64())]
+    )
+
+    def intify(t: pa.Table) -> pa.Table:
+        idx = bget(idx_ref)
+        subj = t["subj"].to_pylist()
+        obj = t["obj"].to_pylist()
+        return pa.table(
+            {
+                "src": pa.array([idx[s] for s in subj], pa.int64()),
+                "dst": pa.array([idx[o] for o in obj], pa.int64()),
+                "w": t["n"].cast(pa.float64()),
+            }
+        )
+
+    edges_int = reduced.map_batches(
+        intify, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    return edges_int, nodes, out_w
+
+
+def pagerank_distributed(
+    triples: "ray.data.Dataset",
+    damping: float = 0.85,
+    iters: int = 30,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Distributed-rounds weighted PageRank — same spec (and bit-identical
+    output) as :func:`pagerank` over :func:`edge_weights`, but the edge set
+    stays in the object store: each round broadcasts the V-sized rank
+    vector (``ray.put`` once per round, ``bget``-cached per worker) and one
+    zero-shuffle ``map_batches`` pass over the dst-partitioned edges emits
+    per-dst contribution totals (dst-complete inside each block, rows
+    pre-sorted (subj, obj), so every dst's float accumulation order equals
+    the driver path's ``np.add.at`` over the canonical edge list). Driver
+    work per round is placing V contribution values + the dangling scalar —
+    output-sized, never E-sized."""
+    import numpy as np
+
+    from ..functions.broadcast import bget
+
+    edges_int, nodes, out_w = _int_edges_by_dst(triples, num_partitions)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=str), "rank": pd.Series([], dtype="float64")}
+        )
+    rank = np.full(n, 1.0 / n)
+    out_w_ref = ray.put(out_w)  # broadcast ONCE, bget-cached per worker
+    for _ in range(iters):
+        rref = ray.put(rank)
+
+        def round_fn(t: pa.Table, _rref=rref, _oref=out_w_ref) -> pa.Table:
+            r = bget(_rref)
+            ow = bget(_oref)
+            src = np.asarray(t["src"])
+            dst = np.asarray(t["dst"])
+            w = np.asarray(t["w"])
+            vals = r[src] * w / ow[src]
+            ud, inv = np.unique(dst, return_inverse=True)
+            c = np.zeros(len(ud))
+            np.add.at(c, inv, vals)
+            return pa.table({"dst": pa.array(ud, pa.int64()), "c": pa.array(c)})
+
+        parts = edges_int.map_batches(
+            round_fn, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        contrib = np.zeros(n)
+        if not parts.empty:
+            np.add.at(
+                contrib,
+                parts["dst"].to_numpy(dtype=np.int64),
+                parts["c"].to_numpy(dtype=np.float64),
+            )
+        dangling = rank[out_w == 0].sum()
+        rank = (1.0 - damping) / n + damping * (contrib + dangling / n)
+    return pd.DataFrame({"node": nodes, "rank": np.round(rank, 6)})
+
+
+def label_propagation_distributed(
+    triples: "ray.data.Dataset", iters: int = 10, num_partitions: int = 16
+) -> pd.DataFrame:
+    """Distributed-rounds synchronous weighted label propagation — same
+    spec (and bit-identical output: integer vote weights are exact under
+    any merge order) as :func:`label_propagation`. Per round: broadcast the
+    V-sized label vector, one zero-shuffle ``map_batches`` pass over the
+    materialized int edges emits per-batch (dst, lab, w) vote partials
+    (undirected: each edge votes both ways), driver merges the
+    (labels-per-node)-bounded partial table and applies the deterministic
+    smallest-label-wins argmax."""
+    import numpy as np
+
+    from ..functions.broadcast import bget
+
+    edges_int, nodes, _out_w = _int_edges_by_dst(triples, num_partitions)
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=str), "community": pd.Series([], dtype=str)}
+        )
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(iters):
+        lref = ray.put(labels)
+
+        def votes_fn(t: pa.Table, _lref=lref) -> pa.Table:
+            lab = bget(_lref)
+            src = np.asarray(t["src"])
+            dst = np.asarray(t["dst"])
+            w = np.asarray(t["w"]).astype(np.int64)
+            vd = np.concatenate([dst, src])  # undirected voting
+            vl = np.concatenate([lab[src], lab[dst]])
+            vw = np.concatenate([w, w])
+            df = (
+                pd.DataFrame({"dst": vd, "lab": vl, "w": vw})
+                .groupby(["dst", "lab"], as_index=False)["w"]
+                .sum()
+            )
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        parts = edges_int.map_batches(
+            votes_fn, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        if parts.empty:
+            break
+        votes = (
+            parts.groupby(["dst", "lab"], as_index=False)["w"]
+            .sum()
+            .sort_values(["dst", "w", "lab"], ascending=[True, False, True])
+        )
+        best = votes.groupby("dst", sort=False).head(1)
+        new = labels.copy()
+        new[best["dst"].to_numpy()] = best["lab"].to_numpy()
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    comm = pd.Series(nodes).groupby(labels).transform("min")
+    return pd.DataFrame({"node": nodes, "community": comm.to_numpy()})
+
+
+def kcore_distributed(
+    edges: "ray.data.Dataset",
+    a_col: str = "ent_a",
+    b_col: str = "ent_b",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Dataset-in / Dataset-out k-core decomposition (Matula/Beck peel)
+    with partition-parallel degree recompute per round — the open-node-
+    space path promised by :func:`kcore`'s docstring. Per round:
+
+    1. hub-keyed partition pass over the live directed edges computes each
+       node's exact distinct-neighbor degree locally (a hub's rows are
+       partition-complete) — no global dedup shuffle needed;
+    2. only the nodes peeling at the current k cross to the driver (they
+       are the output), and their set broadcasts via ``ray.put``;
+    3. a second hub-keyed partition pass drops edges touching peeled
+       nodes and emits an orphan marker for any surviving hub whose
+       spokes ALL peeled (its core number is k — it died this round).
+
+    Core numbers are unique regardless of peel order, so the result is
+    identical to the driver-path :func:`kcore`. Edge state stays in the
+    object store; driver state is the (node, core) output itself.
+    """
+    import numpy as np
+
+    from ..functions.broadcast import bget
+    from ..functions.partitioning import groupby_partition
+
+    dir_schema = pa.schema(
+        [("hub", pa.string()), ("spoke", pa.string()), ("orphan", pa.bool_())]
+    )
+
+    def to_directed(t: pa.Table) -> pa.Table:
+        a = np.asarray(t[a_col].combine_chunks().cast(pa.string()), dtype=object)
+        b = np.asarray(t[b_col].combine_chunks().cast(pa.string()), dtype=object)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table(
+            {
+                "hub": pa.array(np.concatenate([a, b]), pa.string()),
+                "spoke": pa.array(np.concatenate([b, a]), pa.string()),
+                "orphan": pa.array([False] * (2 * len(a)), pa.bool_()),
+            }
+        )
+
+    alive = edges.map_batches(
+        to_directed, batch_format="pyarrow"
+    ).materialize()
+
+    deg_schema = pa.schema([("node", pa.string()), ("deg", pa.int64())])
+
+    def deg_pass(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = (
+            df.groupby("hub", sort=False)["spoke"]
+            .nunique()
+            .reset_index()
+            .rename(columns={"hub": "node", "spoke": "deg"})
+        )
+        return out.astype({"node": str, "deg": "int64"})
+
+    core: dict = {}
+    k = 0
+    while True:
+        deg = groupby_partition(
+            alive,
+            "hub",
+            deg_pass,
+            num_partitions=num_partitions,
+            batch_format="pandas",
+            schema=deg_schema,
+        ).materialize()
+        if deg.count() == 0:
+            break
+        mind = deg.min("deg")
+        if mind > k:
+            k = int(mind)
+        peel = deg.filter(expr=f"deg <= {k}").to_pandas()
+        for v in peel["node"]:
+            core[v] = k
+        pref = ray.put(set(peel["node"]))
+        kk = k
+
+        def filter_pass(df: "pd.DataFrame", _pref=pref) -> "pd.DataFrame":
+            peeled = bget(_pref)
+            hub_ok = ~df["hub"].isin(peeled)
+            kept = df[hub_ok & ~df["spoke"].isin(peeled)]
+            orphans = np.setdiff1d(
+                df.loc[hub_ok, "hub"].unique(), kept["hub"].unique()
+            )
+            if len(orphans):
+                kept = pd.concat(
+                    [
+                        kept,
+                        pd.DataFrame(
+                            {"hub": orphans, "spoke": "", "orphan": True}
+                        ),
+                    ],
+                    ignore_index=True,
+                )
+            return kept.astype({"hub": str, "spoke": str, "orphan": bool})
+
+        alive = groupby_partition(
+            alive,
+            "hub",
+            filter_pass,
+            num_partitions=num_partitions,
+            batch_format="pandas",
+            schema=dir_schema,
+        ).materialize()
+        orph = alive.filter(expr="orphan == True").to_pandas()
+        if not orph.empty:
+            for v in orph["hub"]:
+                core[v] = kk
+            alive = alive.filter(expr="orphan == False").materialize()
+
+    if not core:
+        out = pd.DataFrame(
+            {"node": pd.Series([], dtype=str), "core": pd.Series([], dtype="int64")}
+        )
+    else:
+        out = pd.DataFrame(
+            {"node": list(core.keys()), "core": pd.Series(list(core.values()), dtype="int64")}
+        ).sort_values("node").reset_index(drop=True)
+    return ray.data.from_pandas(out)
