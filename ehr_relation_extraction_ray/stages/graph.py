@@ -413,6 +413,207 @@ def cooccurrence_counts(ment: "ray.data.Dataset") -> pd.DataFrame:
     return out
 
 
+_KIND_WEDGE = 0
+_KIND_DEG = 1
+_KIND_LINEAGE = 2  # x = "__hot_hub__", y = hub name, c = chunk count
+
+_PARTIAL_SCHEMA = pa.schema(
+    [("x", pa.string()), ("y", pa.string()), ("c", pa.float64()),
+     ("kind", pa.int8())]
+)
+
+_CHUNK_SCHEMA = pa.schema(
+    [("x", pa.string()), ("y", pa.string()), ("c", pa.float64()),
+     ("kind", pa.int8()),
+     ("ca", pa.list_(pa.string())), ("cb", pa.list_(pa.string())),
+     ("same", pa.bool_()), ("wt", pa.float64())]
+)
+
+
+def _log_hot_hubs(op: str, merged: "pd.DataFrame") -> None:
+    import logging
+
+    hot = merged[merged["kind"] == _KIND_LINEAGE]
+    if not hot.empty:
+        logging.getLogger(__name__).info(
+            "%s: split %d hot hub(s) by spoke range (%s)",
+            op, len(hot), ", ".join(sorted(hot["y"])[:8]),
+        )
+
+
+def _wedge_partials(
+    edges: "ray.data.Dataset",
+    a_col: str,
+    b_col: str,
+    num_partitions: int,
+    hub_split_threshold: int,
+    weighted: bool,
+) -> "ray.data.Dataset":
+    """Shared wedge-partial builder for :func:`neighbor_jaccard` /
+    :func:`adamic_adar` with HOT-HUB SPLITTING.
+
+    Edges double to directed (hub, spoke) rows, hash-partitioned by hub
+    (adjacency hub-complete, np.unique dedups exactly — no distinct
+    shuffle). A hub of degree D <= ``hub_split_threshold`` enumerates its
+    D(D-1)/2 wedges in place (partial-summed per partition). A HOT hub
+    (D > threshold) instead emits ceil(D/T)*(ceil(D/T)+1)/2 chunk-pair
+    rows — its SORTED neighbor list split into <=T-sized ranges, each row
+    carrying one (range_i, range_j) pair — which a second bounded
+    ``map_batches`` pass expands (<= T^2 wedges per row, any worker), plus
+    one lineage counter row (kind=2) so the split is observable, never
+    silent. Chunks slice a sorted array, so cross-chunk pairs are already
+    (x < y)-canonical with zero comparisons.
+
+    ``weighted=False``: wedge weight 1 (Jaccard intersection counts);
+    ``weighted=True``: weight 1/ln(deg(hub)) (Adamic-Adar), deg taken
+    BEFORE splitting so the split is value-invariant.
+
+    Returns partial rows (x, y, c float64, kind int8): kind 0 = wedge
+    partial, 1 = (node, degree), 2 = hot-hub lineage.
+    """
+    import numpy as np
+
+    def to_directed(t: pa.Table) -> pa.Table:
+        a = t[a_col].combine_chunks() if isinstance(t[a_col], pa.ChunkedArray) else t[a_col]
+        b = t[b_col].combine_chunks() if isinstance(t[b_col], pa.ChunkedArray) else t[b_col]
+        return pa.table(
+            {
+                "hub": pa.concat_arrays([a.cast(pa.string()), b.cast(pa.string())]),
+                "spoke": pa.concat_arrays([b.cast(pa.string()), a.cast(pa.string())]),
+            }
+        )
+
+    directed = edges.map_batches(to_directed, batch_format="pyarrow")
+
+    def hub_pass(df: "pd.DataFrame") -> pa.Table:
+        xs, ys, ws = [], [], []
+        degs: list = []
+        chunk_rows: list = []
+        for hub, grp in df.groupby("hub", sort=False):
+            nbrs = np.unique(grp["spoke"].to_numpy())
+            d = len(nbrs)
+            degs.append((hub, d))
+            if d < 2:
+                continue
+            wt = 1.0 / np.log(d) if weighted else 1.0
+            if d <= hub_split_threshold:
+                ii, jj = np.triu_indices(d, k=1)
+                xs.append(nbrs[ii])
+                ys.append(nbrs[jj])
+                ws.append(np.full(len(ii), wt))
+            else:
+                chunks = np.array_split(nbrs, -(-d // hub_split_threshold))
+                for i in range(len(chunks)):
+                    for j in range(i, len(chunks)):
+                        chunk_rows.append(
+                            (list(chunks[i]), list(chunks[j]), i == j, wt)
+                        )
+                chunk_rows.append(("__lineage__", hub, len(chunks)))
+        cols = {
+            "x": [], "y": [], "c": [], "kind": [],
+            "ca": [], "cb": [], "same": [], "wt": [],
+        }
+        if xs:
+            w = (
+                pd.DataFrame(
+                    {"x": np.concatenate(xs), "y": np.concatenate(ys),
+                     "c": np.concatenate(ws)}
+                )
+                .groupby(["x", "y"], as_index=False)["c"].sum()
+            )
+            cols["x"] += list(w["x"]); cols["y"] += list(w["y"])
+            cols["c"] += list(w["c"]); cols["kind"] += [_KIND_WEDGE] * len(w)
+            cols["ca"] += [None] * len(w); cols["cb"] += [None] * len(w)
+            cols["same"] += [False] * len(w); cols["wt"] += [0.0] * len(w)
+        for hub, d in degs:
+            cols["x"].append(hub); cols["y"].append("")
+            cols["c"].append(float(d)); cols["kind"].append(_KIND_DEG)
+            cols["ca"].append(None); cols["cb"].append(None)
+            cols["same"].append(False); cols["wt"].append(0.0)
+        for row in chunk_rows:
+            if row[0] == "__lineage__":
+                cols["x"].append("__hot_hub__"); cols["y"].append(row[1])
+                cols["c"].append(float(row[2])); cols["kind"].append(_KIND_LINEAGE)
+                cols["ca"].append(None); cols["cb"].append(None)
+                cols["same"].append(False); cols["wt"].append(0.0)
+            else:
+                ca, cb, same, wt = row
+                cols["x"].append(""); cols["y"].append("")
+                cols["c"].append(0.0); cols["kind"].append(np.int8(3))
+                cols["ca"].append(ca); cols["cb"].append(cb)
+                cols["same"].append(bool(same)); cols["wt"].append(float(wt))
+        return pa.table(
+            {
+                "x": pa.array(cols["x"], pa.string()),
+                "y": pa.array(cols["y"], pa.string()),
+                "c": pa.array(cols["c"], pa.float64()),
+                "kind": pa.array(cols["kind"], pa.int8()),
+                "ca": pa.array(cols["ca"], pa.list_(pa.string())),
+                "cb": pa.array(cols["cb"], pa.list_(pa.string())),
+                "same": pa.array(cols["same"], pa.bool_()),
+                "wt": pa.array(cols["wt"], pa.float64()),
+            }
+        )
+
+    def hub_pass_arrow(t: pa.Table) -> pa.Table:
+        return hub_pass(t.to_pandas())
+
+    tagged = groupby_partition(
+        directed,
+        "hub",
+        hub_pass_arrow,
+        num_partitions=num_partitions,
+        batch_format="pyarrow",
+        schema=_CHUNK_SCHEMA,
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = np.asarray(pc.equal(t["kind"], 3))
+        plain = t.filter(pa.array(~mask)).select(["x", "y", "c", "kind"])
+        if not mask.any():
+            return plain
+        chunks = t.filter(pa.array(mask))
+        xs, ys, ws = [], [], []
+        for ca, cb, same, wt in zip(
+            chunks["ca"].to_pylist(), chunks["cb"].to_pylist(),
+            chunks["same"].to_pylist(), chunks["wt"].to_pylist(),
+        ):
+            a = np.asarray(ca, dtype=object)
+            b = np.asarray(cb, dtype=object)
+            if same:
+                ii, jj = np.triu_indices(len(a), k=1)
+                x, y = a[ii], a[jj]
+            else:
+                # chunks slice a SORTED neighbor array: every element of
+                # range i < every element of range j, so x < y holds
+                x = np.repeat(a, len(b))
+                y = np.tile(b, len(a))
+            xs.append(x); ys.append(y)
+            ws.append(np.full(len(x), wt))
+        w = (
+            pd.DataFrame(
+                {"x": np.concatenate(xs), "y": np.concatenate(ys),
+                 "c": np.concatenate(ws)}
+            )
+            .groupby(["x", "y"], as_index=False)["c"].sum()
+        )
+        out = pa.table(
+            {
+                "x": pa.array(list(w["x"]), pa.string()),
+                "y": pa.array(list(w["y"]), pa.string()),
+                "c": pa.array(list(w["c"]), pa.float64()),
+                "kind": pa.array([_KIND_WEDGE] * len(w), pa.int8()),
+            }
+        )
+        return pa.concat_tables([plain, out])
+
+    # expansion batches are chunk-row bounded: <= threshold^2 wedges per
+    # chunk row, small batch_size keeps per-task memory flat under skew
+    return tagged.map_batches(expand, batch_format="pyarrow", batch_size=64)
+
+
 def neighbor_jaccard(
     edges: "ray.data.Dataset",
     min_jaccard: float = 0.25,
@@ -420,6 +621,7 @@ def neighbor_jaccard(
     b_col: str = "ent_b",
     num_partitions: int = 64,
     driver_merge: bool = False,
+    hub_split_threshold: int = 4096,
 ) -> "pd.DataFrame":
     """Neighbor-set Jaccard node similarity (the classic link-prediction
     signal): for node pairs sharing >= 1 neighbor,
@@ -430,87 +632,30 @@ def neighbor_jaccard(
     partition holds complete adjacency lists and emits (x, y, count)
     wedge partials keyed by the pair plus (node, degree) rows; a second
     pair-keyed partition pass sums the intersection counts;
-    union = deg(a) + deg(b) - inter. A hub of degree D emits D^2/2
-    wedges — the documented skew cost (split hot hubs by spoke range if
-    an open node space ever needs it).
+    union = deg(a) + deg(b) - inter. A hub of degree D would emit D^2/2
+    wedges from one partition — above ``hub_split_threshold`` the hub is
+    SPLIT by spoke range instead (see :func:`_wedge_partials`): chunk-pair
+    rows fan the enumeration out across bounded expansion tasks, with a
+    lineage counter row per split hub (logged, never silently dropped).
 
     Returns a pandas DataFrame (ent_a, ent_b, jaccard) — pair-space
     output, collected by callers that are dimension-bounded.
     """
     import numpy as np
 
-    def to_directed(t: pa.Table) -> pa.Table:
-        a = t[a_col].combine_chunks() if isinstance(t[a_col], pa.ChunkedArray) else t[a_col]
-        b = t[b_col].combine_chunks() if isinstance(t[b_col], pa.ChunkedArray) else t[b_col]
-        return pa.table(
-            {
-                "hub": pa.concat_arrays([pa.array(a.to_pylist(), pa.string()),
-                                         pa.array(b.to_pylist(), pa.string())]),
-                "spoke": pa.concat_arrays([pa.array(b.to_pylist(), pa.string()),
-                                           pa.array(a.to_pylist(), pa.string())]),
-            }
-        )
-
-    directed = edges.map_batches(to_directed, batch_format="pyarrow")
-    # no separate distinct pass: the hub partition holds ALL of a hub's
-    # rows, so np.unique over the spokes inside hub_pass dedups exactly
-    # (every Ray groupby on this box costs ~1.2 s fixed — playbook)
-
-    wedge_schema = pa.schema(
-        [("x", pa.string()), ("y", pa.string()), ("c", pa.int64()),
-         ("is_deg", pa.bool_())]
-    )
-
-    def hub_pass(df: "pd.DataFrame") -> "pd.DataFrame":
-        xs, ys = [], []
-        degs = []
-        # NOTE: partition is keyed by (hub, spoke) pairs upstream only for
-        # the distinct; here the partition key is hub, so adjacency is
-        # hub-complete.
-        for hub, grp in df.groupby("hub", sort=False):
-            nbrs = np.unique(grp["spoke"].to_numpy())
-            degs.append((hub, len(nbrs)))
-            if len(nbrs) > 1:
-                ii, jj = np.triu_indices(len(nbrs), k=1)
-                xs.append(nbrs[ii])
-                ys.append(nbrs[jj])
-        if xs:
-            w = (
-                pd.DataFrame({"x": np.concatenate(xs), "y": np.concatenate(ys)})
-                .groupby(["x", "y"])
-                .size()
-                .reset_index(name="c")
-            )
-            w["is_deg"] = False
-        else:
-            w = pd.DataFrame(
-                {"x": pd.Series([], dtype=str), "y": pd.Series([], dtype=str),
-                 "c": pd.Series([], dtype="int64"),
-                 "is_deg": pd.Series([], dtype=bool)}
-            )
-        d = pd.DataFrame(
-            {"x": [h for h, _ in degs], "y": "",
-             "c": pd.Series([n for _, n in degs], dtype="int64"),
-             "is_deg": True}
-        )
-        out = pd.concat([w, d], ignore_index=True)
-        return out.astype({"x": str, "y": str, "c": "int64", "is_deg": bool})
-
-    parts = groupby_partition(
-        directed,
-        "hub",
-        hub_pass,
+    parts = _wedge_partials(
+        edges, a_col, b_col,
         num_partitions=num_partitions,
-        batch_format="pandas",
-        schema=wedge_schema,
+        hub_split_threshold=hub_split_threshold,
+        weighted=False,
     )
 
-    sum_schema = wedge_schema
+    sum_schema = _PARTIAL_SCHEMA
 
     def sum_pass(df: "pd.DataFrame") -> "pd.DataFrame":
-        out = df.groupby(["x", "y", "is_deg"], as_index=False)["c"].sum()
-        return out[["x", "y", "c", "is_deg"]].astype(
-            {"x": str, "y": str, "c": "int64", "is_deg": bool}
+        out = df.groupby(["x", "y", "kind"], as_index=False)["c"].sum()
+        return out[["x", "y", "c", "kind"]].astype(
+            {"x": str, "y": str, "c": "float64", "kind": "int8"}
         )
 
     if driver_merge:
@@ -522,7 +667,7 @@ def neighbor_jaccard(
     else:
         merged = groupby_partition(
             parts,
-            ["x", "y", "is_deg"],
+            ["x", "y", "kind"],
             sum_pass,
             num_partitions=num_partitions,
             batch_format="pandas",
@@ -535,8 +680,9 @@ def neighbor_jaccard(
     )
     if merged.empty:
         return empty
-    deg = merged[merged["is_deg"]].set_index("x")["c"]
-    wedges = merged[~merged["is_deg"]]
+    _log_hot_hubs("neighbor_jaccard", merged)
+    deg = merged[merged["kind"] == _KIND_DEG].set_index("x")["c"]
+    wedges = merged[merged["kind"] == _KIND_WEDGE]
     if wedges.empty:
         return empty
     da = wedges["x"].map(deg).to_numpy(dtype="float64")
@@ -782,68 +928,32 @@ def adamic_adar(
     a_col: str = "ent_a",
     b_col: str = "ent_b",
     num_partitions: int = 64,
+    hub_split_threshold: int = 4096,
 ) -> pd.DataFrame:
     """Adamic-Adar link-prediction score: AA(x,y) = Σ_z 1/ln(deg(z)) over
     common neighbors z — the rarity-weighted sibling of
-    :func:`neighbor_jaccard`, same distributed wedge shape: edges double
-    to directed (hub, spoke) rows, one HUB-keyed partition pass holds
-    hub-complete adjacency (so deg(hub) is local) and emits
-    (x, y, 1/ln(deg(hub))) weighted-wedge partials; the pair-keyed sum
-    is a dimension-bounded driver merge. A common neighbor always has
-    degree >= 2, so ln never hits zero."""
-    import numpy as np
+    :func:`neighbor_jaccard`, same distributed wedge shape (shared
+    :func:`_wedge_partials` builder, including the hot-hub spoke-range
+    split above ``hub_split_threshold`` — deg is taken before splitting,
+    so the split is value-invariant); the pair-keyed sum is a
+    dimension-bounded driver merge. A common neighbor always has degree
+    >= 2, so ln never hits zero."""
 
-    def to_directed(t: pa.Table) -> pa.Table:
-        a = t[a_col].combine_chunks() if isinstance(t[a_col], pa.ChunkedArray) else t[a_col]
-        b = t[b_col].combine_chunks() if isinstance(t[b_col], pa.ChunkedArray) else t[b_col]
-        return pa.table(
-            {
-                "hub": pa.concat_arrays([pa.array(a.to_pylist(), pa.string()),
-                                         pa.array(b.to_pylist(), pa.string())]),
-                "spoke": pa.concat_arrays([pa.array(b.to_pylist(), pa.string()),
-                                           pa.array(a.to_pylist(), pa.string())]),
-            }
-        )
-
-    directed = edges.map_batches(to_directed, batch_format="pyarrow")
-
-    schema = pa.schema(
-        [("x", pa.string()), ("y", pa.string()), ("w", pa.float64())]
-    )
-
-    def hub_pass(df: "pd.DataFrame") -> "pd.DataFrame":
-        xs, ys, ws = [], [], []
-        for _hub, grp in df.groupby("hub", sort=False):
-            nbrs = np.unique(grp["spoke"].to_numpy())
-            if len(nbrs) > 1:
-                ii, jj = np.triu_indices(len(nbrs), k=1)
-                xs.append(nbrs[ii])
-                ys.append(nbrs[jj])
-                ws.append(np.full(len(ii), 1.0 / np.log(len(nbrs))))
-        if not xs:
-            return pd.DataFrame(
-                {"x": pd.Series([], dtype=str), "y": pd.Series([], dtype=str),
-                 "w": pd.Series([], dtype="float64")}
-            )
-        out = pd.DataFrame(
-            {"x": np.concatenate(xs), "y": np.concatenate(ys),
-             "w": np.concatenate(ws)}
-        )
-        # partition-local pre-sum: what crosses to the driver is pairs x
-        # partitions, not raw wedges
-        return out.groupby(["x", "y"], as_index=False)["w"].sum()
-
-    parts = groupby_partition(
-        directed, "hub", hub_pass,
-        num_partitions=num_partitions, batch_format="pandas", schema=schema,
+    parts = _wedge_partials(
+        edges, a_col, b_col,
+        num_partitions=num_partitions,
+        hub_split_threshold=hub_split_threshold,
+        weighted=True,
     ).to_pandas()
     if parts.empty:
         return pd.DataFrame(
             {"ent_a": pd.Series([], dtype=str), "ent_b": pd.Series([], dtype=str),
              "aa": pd.Series([], dtype="float64")}
         )
-    out = parts.groupby(["x", "y"], as_index=False)["w"].sum()
-    out = out.rename(columns={"x": "ent_a", "y": "ent_b", "w": "aa"})
+    _log_hot_hubs("adamic_adar", parts)
+    wedges = parts[parts["kind"] == _KIND_WEDGE]
+    out = wedges.groupby(["x", "y"], as_index=False)["c"].sum()
+    out = out.rename(columns={"x": "ent_a", "y": "ent_b", "c": "aa"})
     out["aa"] = out["aa"].round(6)
     return out.sort_values(["ent_a", "ent_b"]).reset_index(drop=True)
 
