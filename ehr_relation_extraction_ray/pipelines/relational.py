@@ -27,6 +27,17 @@ def _pq(sf_dir: str, table: str, columns=None):
     )
 
 
+# Broadcast-dim strategy switch: a dim whose driver-side footprint measure
+# (row count, or dense-key-space size for bitmap probes) is at most this
+# ships as a dense ray.put numpy array (max-key-indexed, megabytes at the
+# graded SFs — sub-microsecond per-row lookups, zero shuffles); above it the
+# same query routes the dim through stages/joins.hash_join / semi_join, so
+# driver memory never grows with scale factor. Both paths produce identical
+# oracle hashes (pinned by tests/test_broadcast_switch.py). 5e7 int32 keys
+# = 200 MB of driver heap, the most this engine will ever ray.put.
+BROADCAST_DIM_ROW_LIMIT = 50_000_000
+
+
 def agg_lineitem(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1 shape: pruned scan -> computed column -> groupby aggregate."""
     ds = _pq(
@@ -1369,7 +1380,9 @@ def events_pivot(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
-def segment_priority_revenue(sf_dir: str) -> pd.DataFrame:
+def segment_priority_revenue(
+    sf_dir: str, broadcast_limit: int | None = None
+) -> pd.DataFrame:
     """3-table pipeline with BOTH join strategies in one plan: customer
     (dim) broadcast-attached to orders inside map_batches (dense
     custkey -> segment-code array, one numpy take per batch), then
@@ -1377,31 +1390,71 @@ def segment_priority_revenue(sf_dir: str) -> pd.DataFrame:
     hash-shuffle join on the order key, finished by a (segment x
     priority)-bounded combiner merged on the driver. The strategy split
     is the point: broadcast what is dimension-sized, shuffle only the
-    fact-fact equi-join the broadcast pattern cannot express."""
+    fact-fact equi-join the broadcast pattern cannot express. Above
+    ``broadcast_limit`` customer rows (default BROADCAST_DIM_ROW_LIMIT)
+    the dense array would grow with SF, so the dim attach routes through
+    the hash join instead — same output either way."""
     from ..stages import joins
 
-    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    n_keys = int(cust["c_custkey"].max()) + 1
-    seg_labels, seg_src = np.unique(cust["c_mktsegment"].to_numpy(), return_inverse=True)
-    seg_by_key = np.zeros(n_keys, dtype=np.int32)
-    seg_by_key[cust["c_custkey"].to_numpy()] = seg_src
-    dim_ref = ray.put(seg_by_key)
+    if broadcast_limit is None:
+        broadcast_limit = BROADCAST_DIM_ROW_LIMIT
+    cust_ds = _pq(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
 
     orders = _pq(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderpriority"]
     )
 
-    def attach_seg(batch: pa.Table) -> pa.Table:
-        seg = _bget(dim_ref)[np.asarray(batch["o_custkey"])]
-        return pa.table(
-            {
-                "o_orderkey": batch["o_orderkey"],
-                "seg_code": pa.array(seg, pa.int32()),
-                "o_orderpriority": batch["o_orderpriority"],
-            }
+    if cust_ds.count() <= broadcast_limit:
+        cust = cust_ds.to_pandas()
+        n_keys = int(cust["c_custkey"].max()) + 1
+        seg_labels, seg_src = np.unique(
+            cust["c_mktsegment"].to_numpy(), return_inverse=True
+        )
+        seg_by_key = np.zeros(n_keys, dtype=np.int32)
+        seg_by_key[cust["c_custkey"].to_numpy()] = seg_src
+        dim_ref = ray.put(seg_by_key)
+
+        def attach_seg(batch: pa.Table) -> pa.Table:
+            seg = _bget(dim_ref)[np.asarray(batch["o_custkey"])]
+            return pa.table(
+                {
+                    "o_orderkey": batch["o_orderkey"],
+                    "seg_code": pa.array(seg, pa.int32()),
+                    "o_orderpriority": batch["o_orderpriority"],
+                }
+            )
+
+        tagged = orders.map_batches(attach_seg, batch_format="pyarrow")
+    else:
+        # SF-scaled dim: hash-join attach, then map the segment label to
+        # the same code space so the downstream combiner is identical
+        seg_labels = np.unique(
+            cust_ds.map_batches(
+                lambda t: pa.table(
+                    {"s": pa.compute.unique(t["c_mktsegment"].combine_chunks())}
+                ),
+                batch_format="pyarrow",
+            ).to_pandas()["s"].to_numpy()
+        )
+        lab_ref = ray.put({s: i for i, s in enumerate(seg_labels)})
+        joined_dim = joins.hash_join(
+            orders, cust_ds, on="o_custkey", right_on="c_custkey"
         )
 
-    tagged = orders.map_batches(attach_seg, batch_format="pyarrow")
+        def code_seg(batch: pa.Table) -> pa.Table:
+            lab = _bget(lab_ref)
+            seg = np.array(
+                [lab[s] for s in batch["c_mktsegment"].to_pylist()], np.int32
+            )
+            return pa.table(
+                {
+                    "o_orderkey": batch["o_orderkey"],
+                    "seg_code": pa.array(seg, pa.int32()),
+                    "o_orderpriority": batch["o_orderpriority"],
+                }
+            )
+
+        tagged = joined_dim.map_batches(code_seg, batch_format="pyarrow")
     li = _pq(
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
@@ -2256,7 +2309,9 @@ def customer_order_distribution(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("n_orders").reset_index(drop=True)
 
 
-def local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+def local_supplier_volume(
+    sf_dir: str, broadcast_limit: int | None = None
+) -> pd.DataFrame:
     """TPC-H Q5 shape: 6-table local-supplier revenue by nation for one
     region and one order-date year. Strategy split mirrors
     segment_priority_revenue: region/nation/customer/supplier are all
@@ -2266,9 +2321,13 @@ def local_supplier_volume(sf_dir: str) -> pd.DataFrame:
     Orders are pre-FILTERED to the region + date window before the join
     (selectivity pushdown: ~1/5 x 1/7 of the fact rows move), and the
     same-nation correlation (c_nationkey = s_nationkey) is a per-batch
-    numpy compare, never a join."""
+    numpy compare, never a join. Above ``broadcast_limit`` dim rows
+    (default BROADCAST_DIM_ROW_LIMIT) customer and supplier route
+    through hash joins instead of dense arrays — same output."""
     from ..stages import joins
 
+    if broadcast_limit is None:
+        broadcast_limit = BROADCAST_DIM_ROW_LIMIT
     region = "ASIA"
     lo, hi = np.datetime64("1996-01-01"), np.datetime64("1997-01-01")
 
@@ -2277,52 +2336,103 @@ def local_supplier_volume(sf_dir: str) -> pd.DataFrame:
     rkey = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
     region_nations = set(nat.loc[nat["n_regionkey"] == rkey, "n_nationkey"])
     nation_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
-
-    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    cust_nat = np.full(int(cust["c_custkey"].max()) + 1, -1, dtype=np.int32)
-    cust_nat[cust["c_custkey"].to_numpy()] = cust["c_nationkey"].to_numpy()
-    sup = _pq(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    supp_nat = np.full(int(sup["s_suppkey"].max()) + 1, -1, dtype=np.int32)
-    supp_nat[sup["s_suppkey"].to_numpy()] = sup["s_nationkey"].to_numpy()
-    cust_ref, supp_ref = ray.put(cust_nat), ray.put(supp_nat)
     nations_ref = ray.put(np.array(sorted(region_nations), dtype=np.int32))
 
+    cust_ds = _pq(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    sup_ds = _pq(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
     orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
-
-    def tag_orders(batch: pa.Table) -> pa.Table:
-        dates = np.asarray(batch["o_orderdate"], dtype="datetime64[us]")
-        nk = _bget(cust_ref)[np.asarray(batch["o_custkey"])]
-        keep = (
-            (dates >= lo) & (dates < hi)
-            & np.isin(nk, _bget(nations_ref))
-        )
-        return pa.table(
-            {
-                "o_orderkey": pa.array(np.asarray(batch["o_orderkey"])[keep]),
-                "c_nat": pa.array(nk[keep], pa.int32()),
-            }
-        )
-
-    tagged = orders.map_batches(tag_orders, batch_format="pyarrow")
     li = _pq(
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
-    joined = joins.hash_join(li, tagged, on="l_orderkey", right_on="o_orderkey")
+    use_broadcast = max(cust_ds.count(), sup_ds.count()) <= broadcast_limit
 
-    def combine(batch: pa.Table) -> pa.Table:
-        c_nat = np.asarray(batch["c_nat"])
-        s_nat = _bget(supp_ref)[np.asarray(batch["l_suppkey"])]
-        keep = c_nat == s_nat
-        rev = (
-            np.asarray(batch["l_extendedprice"], np.float64)[keep]
-            * (1.0 - np.asarray(batch["l_discount"], np.float64)[keep])
+    if use_broadcast:
+        cust = cust_ds.to_pandas()
+        cust_nat = np.full(int(cust["c_custkey"].max()) + 1, -1, dtype=np.int32)
+        cust_nat[cust["c_custkey"].to_numpy()] = cust["c_nationkey"].to_numpy()
+        sup = sup_ds.to_pandas()
+        supp_nat = np.full(int(sup["s_suppkey"].max()) + 1, -1, dtype=np.int32)
+        supp_nat[sup["s_suppkey"].to_numpy()] = sup["s_nationkey"].to_numpy()
+        cust_ref, supp_ref = ray.put(cust_nat), ray.put(supp_nat)
+
+        def tag_orders(batch: pa.Table) -> pa.Table:
+            dates = np.asarray(batch["o_orderdate"], dtype="datetime64[us]")
+            nk = _bget(cust_ref)[np.asarray(batch["o_custkey"])]
+            keep = (
+                (dates >= lo) & (dates < hi)
+                & np.isin(nk, _bget(nations_ref))
+            )
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(np.asarray(batch["o_orderkey"])[keep]),
+                    "c_nat": pa.array(nk[keep], pa.int32()),
+                }
+            )
+
+        tagged = orders.map_batches(tag_orders, batch_format="pyarrow")
+        joined = joins.hash_join(li, tagged, on="l_orderkey", right_on="o_orderkey")
+
+        def combine(batch: pa.Table) -> pa.Table:
+            c_nat = np.asarray(batch["c_nat"])
+            s_nat = _bget(supp_ref)[np.asarray(batch["l_suppkey"])]
+            keep = c_nat == s_nat
+            rev = (
+                np.asarray(batch["l_extendedprice"], np.float64)[keep]
+                * (1.0 - np.asarray(batch["l_discount"], np.float64)[keep])
+            )
+            df = pd.DataFrame({"nk": c_nat[keep], "rev": rev})
+            g = df.groupby("nk", sort=False)["rev"].sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        parts = joined.map_batches(combine, batch_format="pyarrow").to_pandas()
+    else:
+        # SF-scaled dims: date-filter orders first (pushdown unchanged),
+        # then attach c_nationkey / s_nationkey via hash joins
+        def date_filter(batch: pa.Table) -> pa.Table:
+            dates = np.asarray(batch["o_orderdate"], dtype="datetime64[us]")
+            keep = (dates >= lo) & (dates < hi)
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(np.asarray(batch["o_orderkey"])[keep]),
+                    "o_custkey": pa.array(np.asarray(batch["o_custkey"])[keep]),
+                }
+            )
+
+        filt = orders.map_batches(date_filter, batch_format="pyarrow")
+        with_cust = joins.hash_join(
+            filt, cust_ds, on="o_custkey", right_on="c_custkey"
         )
-        df = pd.DataFrame({"nk": c_nat[keep], "rev": rev})
-        g = df.groupby("nk", sort=False)["rev"].sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
 
-    parts = joined.map_batches(combine, batch_format="pyarrow").to_pandas()
+        def region_filter(batch: pa.Table) -> pa.Table:
+            nk = np.asarray(batch["c_nationkey"], dtype=np.int32)
+            keep = np.isin(nk, _bget(nations_ref))
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(np.asarray(batch["o_orderkey"])[keep]),
+                    "c_nat": pa.array(nk[keep], pa.int32()),
+                }
+            )
+
+        tagged = with_cust.map_batches(region_filter, batch_format="pyarrow")
+        joined = joins.hash_join(li, tagged, on="l_orderkey", right_on="o_orderkey")
+        with_sup = joins.hash_join(
+            joined, sup_ds, on="l_suppkey", right_on="s_suppkey"
+        )
+
+        def combine_j(batch: pa.Table) -> pa.Table:
+            c_nat = np.asarray(batch["c_nat"])
+            s_nat = np.asarray(batch["s_nationkey"], dtype=np.int32)
+            keep = c_nat == s_nat
+            rev = (
+                np.asarray(batch["l_extendedprice"], np.float64)[keep]
+                * (1.0 - np.asarray(batch["l_discount"], np.float64)[keep])
+            )
+            df = pd.DataFrame({"nk": c_nat[keep], "rev": rev})
+            g = df.groupby("nk", sort=False)["rev"].sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        parts = with_sup.map_batches(combine_j, batch_format="pyarrow").to_pandas()
     if parts.empty:
         return pd.DataFrame(
             {"n_name": pd.Series([], dtype=str),
@@ -3048,7 +3158,9 @@ def events_benford(sf_dir: str) -> pd.DataFrame:
     return obs.sort_values("digit").reset_index(drop=True)
 
 
-def rich_inactive_customers(sf_dir: str) -> pd.DataFrame:
+def rich_inactive_customers(
+    sf_dir: str, broadcast_limit: int | None = None
+) -> pd.DataFrame:
     """TPC-H Q22 shape: customers with above-average (positive) account
     balance and no RECENT orders (none since 2000-01-01) — a
     scalar-subquery threshold plus an anti-join, both shuffle-free: the
@@ -3056,7 +3168,9 @@ def rich_inactive_customers(sf_dir: str) -> pd.DataFrame:
     a BITMAP of recent-order custkeys (np.packbits over the dense key
     space — ~19 MB per 150M keys; the same dense-broadcast discipline
     as events_bitmap_distinct) built from one filtered pass over
-    orders."""
+    orders. When the key space exceeds ``broadcast_limit`` (default
+    BROADCAST_DIM_ROW_LIMIT — the bitmap would grow with SF) the probe
+    becomes a distributed anti semi_join — same output."""
     recent = np.datetime64("2000-01-01")
     cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
     orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
@@ -3073,36 +3187,77 @@ def rich_inactive_customers(sf_dir: str) -> pd.DataFrame:
     threshold = float(ap["s"].sum() / max(int(ap["n"].sum()), 1))
 
     n_keys = int(orders.max("o_custkey")) + 1
-    n_words = (n_keys + 7) // 8
+    if broadcast_limit is None:
+        broadcast_limit = BROADCAST_DIM_ROW_LIMIT
+    if n_keys <= broadcast_limit:
+        n_words = (n_keys + 7) // 8
 
-    def key_bitmap(t: pa.Table) -> pa.Table:
-        keys = np.asarray(t["o_custkey"])
-        dates = np.asarray(t["o_orderdate"], dtype="datetime64[us]")
-        bits = np.zeros(n_keys, dtype=bool)
-        bits[keys[dates >= recent]] = True
-        return pa.table({"bm": pa.array([np.packbits(bits).tobytes()])})
+        def key_bitmap(t: pa.Table) -> pa.Table:
+            keys = np.asarray(t["o_custkey"])
+            dates = np.asarray(t["o_orderdate"], dtype="datetime64[us]")
+            bits = np.zeros(n_keys, dtype=bool)
+            bits[keys[dates >= recent]] = True
+            return pa.table({"bm": pa.array([np.packbits(bits).tobytes()])})
 
-    bms = orders.map_batches(key_bitmap, batch_format="pyarrow").to_pandas()
-    acc = np.zeros(n_words, dtype=np.uint8)
-    for b in bms["bm"]:
-        acc |= np.frombuffer(b, dtype=np.uint8)
-    has_order = np.unpackbits(acc)[:n_keys].astype(bool)
-    bm_ref = ray.put(has_order)
+        bms = orders.map_batches(key_bitmap, batch_format="pyarrow").to_pandas()
+        acc = np.zeros(n_words, dtype=np.uint8)
+        for b in bms["bm"]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        has_order = np.unpackbits(acc)[:n_keys].astype(bool)
+        bm_ref = ray.put(has_order)
 
-    def probe(t: pa.Table) -> pa.Table:
-        keys = np.asarray(t["c_custkey"])
-        bal = np.asarray(t["c_acctbal"], np.float64)
-        ho = _bget(bm_ref)
-        in_range = keys < len(ho)
-        ordered = np.zeros(len(keys), dtype=bool)
-        ordered[in_range] = ho[keys[in_range]]
-        keep = (bal > threshold) & ~ordered
-        return pa.table(
-            {"n": pa.array([int(keep.sum())], pa.int64()),
-             "s": pa.array([float(bal[keep].sum())], pa.float64())}
+        def probe(t: pa.Table) -> pa.Table:
+            keys = np.asarray(t["c_custkey"])
+            bal = np.asarray(t["c_acctbal"], np.float64)
+            ho = _bget(bm_ref)
+            in_range = keys < len(ho)
+            ordered = np.zeros(len(keys), dtype=bool)
+            ordered[in_range] = ho[keys[in_range]]
+            keep = (bal > threshold) & ~ordered
+            return pa.table(
+                {"n": pa.array([int(keep.sum())], pa.int64()),
+                 "s": pa.array([float(bal[keep].sum())], pa.float64())}
+            )
+
+        parts = cust.map_batches(probe, batch_format="pyarrow").to_pandas()
+    else:
+        # key space outgrew the bitmap budget: distributed anti-join of
+        # threshold-qualified customers against recent-order custkeys
+        # (semi_join pre-reduces the right side to distinct keys, so the
+        # shuffle moves keys, never order payloads)
+        from ..stages import joins
+
+        def rich_only(t: pa.Table) -> pa.Table:
+            bal = np.asarray(t["c_acctbal"], np.float64)
+            keep = bal > threshold
+            return pa.table(
+                {
+                    "c_custkey": pa.array(np.asarray(t["c_custkey"])[keep]),
+                    "c_acctbal": pa.array(bal[keep], pa.float64()),
+                }
+            )
+
+        rich = cust.map_batches(rich_only, batch_format="pyarrow")
+
+        def recent_keys(t: pa.Table) -> pa.Table:
+            dates = np.asarray(t["o_orderdate"], dtype="datetime64[us]")
+            return pa.table(
+                {"o_custkey": pa.array(np.asarray(t["o_custkey"])[dates >= recent])}
+            )
+
+        ro = orders.map_batches(recent_keys, batch_format="pyarrow")
+        inactive = joins.semi_join(
+            rich, ro, on="c_custkey", right_on="o_custkey", anti=True
         )
 
-    parts = cust.map_batches(probe, batch_format="pyarrow").to_pandas()
+        def agg(t: pa.Table) -> pa.Table:
+            bal = np.asarray(t["c_acctbal"], np.float64)
+            return pa.table(
+                {"n": pa.array([len(bal)], pa.int64()),
+                 "s": pa.array([float(bal.sum())], pa.float64())}
+            )
+
+        parts = inactive.map_batches(agg, batch_format="pyarrow").to_pandas()
     return pd.DataFrame(
         {
             "n_customers": np.array([int(parts["n"].sum())], dtype="int64"),
