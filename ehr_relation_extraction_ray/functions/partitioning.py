@@ -39,7 +39,8 @@ def _col_hash(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_integer(col.type):
-        v = np.asarray(col.cast(pa.int64())).astype(np.uint64)
+        tgt = pa.uint64() if pa.types.is_unsigned_integer(col.type) else pa.int64()
+        v = np.asarray(col.cast(tgt)).astype(np.uint64)
         with np.errstate(over="ignore"):
             v = v * _MIX
             return v ^ (v >> np.uint64(31))

@@ -1320,13 +1320,21 @@ def dup_shingle_partials(
     suffix sort): for every document, how many of its distinct k-word
     shingles also occur in at least one OTHER document.
 
-    Phase 1 (map_batches, streaming): per doc, distinct shingles of
-    ``lower(text).split()`` keyed by the full 128-bit md5 of the shingle
-    string — 128 bits, not a 64-bit fold, because a collision would
-    silently inflate a count on a path labeled "exact" (ADVICE round 1
-    on exact_dedup). Phase 2 (one hash-partition pass on the digest):
-    shingles seen by >= 2 distinct docs credit each member doc once;
-    per-partition per-doc sums are emitted as partials.
+    Phase 1 (map_batches, streaming, VECTORIZED): per batch, every word
+    is hashed ONCE under TWO independently-keyed SipHash-1-3 functions
+    (``pd.util.hash_array`` over the factorized vocabulary — the per-
+    shingle ``hashlib.md5`` Python loop this replaces was the dominant
+    CPU of the sf0.1 query, VERDICT r2 #5); each k-word window folds the
+    word hashes with a position-dependent odd-multiplier polynomial in
+    uint64, giving a 128-bit window key (two u64 columns). 128 bits, not
+    a 64-bit fold, because a collision would silently inflate a count on
+    a path labeled "exact" (ADVICE round 1 on exact_dedup) — word-level
+    collisions would need BOTH keyed hashes to collide. Windows never
+    cross document boundaries (shifted doc-index compare) and dedup
+    per-doc via one vectorized drop_duplicates. Phase 2 (one
+    hash-partition pass on the 128-bit key): shingles seen by >= 2
+    distinct docs credit each member doc once; per-partition per-doc
+    sums are emitted as partials.
 
     Returns the partial Dataset (doc_id, n). Each partition emits at most
     its member-doc count, so the stream is bounded by ~num_partitions x
@@ -1334,43 +1342,90 @@ def dup_shingle_partials(
     path, or a driver merge when consuming the digest (the query does the
     latter). Docs with < k words contribute nothing.
     """
-    import hashlib
-
     from ..functions.partitioning import groupby_partition
 
+    A1, A2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)
+    POW1 = np.array([pow(int(A1), j, 2**64) for j in range(k)], dtype=np.uint64)
+    POW2 = np.array([pow(int(A2), j, 2**64) for j in range(k)], dtype=np.uint64)
+
     def explode(t: pa.Table) -> pa.Table:
-        ids, hashes = [], []
-        for did, txt in zip(
-            (str(x) for x in t[id_col].to_pylist()), t[text_col].to_pylist()
-        ):
-            w = (txt or "").lower().split()
-            if len(w) < k:
-                continue
-            seen = {
-                hashlib.md5(" ".join(w[i : i + k]).encode()).digest()
-                for i in range(len(w) - k + 1)
+        import pandas as pd
+        import pandas.util as pdu
+
+        doc_ids = [str(x) for x in t[id_col].to_pylist()]
+        words_per_doc = [
+            (txt or "").lower().split() for txt in t[text_col].to_pylist()
+        ]
+        kept = [(d, w) for d, w in zip(doc_ids, words_per_doc) if len(w) >= k]
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.string()),
+                "h1": pa.array([], pa.uint64()),
+                "h2": pa.array([], pa.uint64()),
             }
-            ids.extend([did] * len(seen))
-            hashes.extend(seen)
+        )
+        if not kept:
+            return empty
+        lens = np.array([len(w) for _, w in kept], dtype=np.int64)
+        flat = np.array(
+            [w for _, ws in kept for w in ws], dtype=object
+        )
+        codes, uniques = pd.factorize(flat)
+        u1 = pdu.hash_array(np.asarray(uniques, dtype=object),
+                            hash_key="0123456789123456")
+        u2 = pdu.hash_array(np.asarray(uniques, dtype=object),
+                            hash_key="6543210987654321")
+        wh1, wh2 = u1[codes], u2[codes]
+        total = len(flat)
+        nw = total - k + 1
+        H1 = np.zeros(nw, dtype=np.uint64)
+        H2 = np.zeros(nw, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                H1 += wh1[j : nw + j] * POW1[k - 1 - j]
+                H2 += wh2[j : nw + j] * POW2[k - 1 - j]
+        doc_pos = np.repeat(np.arange(len(kept), dtype=np.int64), lens)
+        valid = doc_pos[:nw] == doc_pos[k - 1 :]
+        df = pd.DataFrame(
+            {"d": doc_pos[:nw][valid], "h1": H1[valid], "h2": H2[valid]}
+        ).drop_duplicates()
+        if df.empty:
+            return empty
+        ids = np.array([d for d, _ in kept], dtype=object)[df["d"].to_numpy()]
         return pa.table(
             {
                 id_col: pa.array(ids, pa.string()),
-                "h": pa.array(hashes, pa.binary(16)),
+                "h1": pa.array(df["h1"].to_numpy(), pa.uint64()),
+                "h2": pa.array(df["h2"].to_numpy(), pa.uint64()),
             }
         )
 
     pairs = docs.map_batches(explode, batch_format="pyarrow")
 
     def per_partition(t: pa.Table) -> pa.Table:
-        g = t.group_by("h", use_threads=False).aggregate([(id_col, "count")])
-        multi = g.filter(pc.greater_equal(g[f"{id_col}_count"], 2))["h"]
-        hit = t.filter(pc.is_in(t["h"], value_set=multi.combine_chunks()))
-        out = hit.group_by(id_col, use_threads=False).aggregate([([], "count_all")])
-        return out.rename_columns([id_col, "n"])
+        import pandas as pd  # noqa: F401 - used via .to_pandas() merge path
+
+        g = t.group_by(["h1", "h2"], use_threads=False).aggregate(
+            [(id_col, "count")]
+        )
+        multi = g.filter(pc.greater_equal(g[f"{id_col}_count"], 2))
+        if multi.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        # semi-join probe on the 128-bit key via a pandas merge (exact)
+        tp = t.select([id_col, "h1", "h2"]).to_pandas()
+        mk = multi.select(["h1", "h2"]).to_pandas()
+        hit = tp.merge(mk, on=["h1", "h2"], how="inner")
+        out = hit.groupby(id_col, as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(
+            out.astype({id_col: str, "n": "int64"}), preserve_index=False
+        )
 
     schema = pa.schema([(id_col, pa.string()), ("n", pa.int64())])
     return groupby_partition(
-        pairs, "h", per_partition, num_partitions=num_partitions, schema=schema
+        pairs, ["h1", "h2"], per_partition,
+        num_partitions=num_partitions, schema=schema,
     )
 
 
