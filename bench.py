@@ -46,6 +46,10 @@ def _init_ray(num_cpus: int):
 
     DataContext.get_current().enable_progress_bars = False
 
+    from ehr_relation_extraction_ray.functions import logquiet
+
+    logquiet.install()
+
 
 def _time_headline(path: str, warmups: int = None, reps: int = None):
     if warmups is None:

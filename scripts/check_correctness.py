@@ -58,6 +58,10 @@ def main() -> int:
     # surface the real UDF exception instead of UserCodeException wrappers
     DataContext.get_current().raise_original_map_exception = True
 
+    from ehr_relation_extraction_ray.functions import logquiet
+
+    logquiet.install()
+
     import __ray_entry__ as entry_mod
 
     qs = entry_mod.queries()

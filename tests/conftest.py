@@ -17,5 +17,8 @@ def ray_session():
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
+    from ehr_relation_extraction_ray.functions import logquiet
+
+    logquiet.install()
     yield
     ray.shutdown()
