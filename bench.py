@@ -35,12 +35,15 @@ def _init_ray(num_cpus: int):
     import ray
 
     if not ray.is_initialized():
+        from ehr_relation_extraction_ray.functions import logquiet
+
         ray.init(
             address="local",
             num_cpus=num_cpus,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            runtime_env=logquiet.runtime_env(),
         )
     from ray.data import DataContext
 

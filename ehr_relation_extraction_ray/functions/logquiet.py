@@ -27,6 +27,38 @@ class _KnownNoiseFilter(logging.Filter):
         return not any(s in msg for s in _KNOWN_NOISE)
 
 
+def runtime_env() -> dict:
+    """``ray.init(runtime_env=...)`` fragment that installs the filter in
+    every WORKER process too (the aggregate warning is also emitted from
+    read/shuffle tasks and relayed to driver stdout, where a driver-side
+    filter cannot reach it). The hook is a self-contained closure —
+    cloudpickle ships it by VALUE; a module-level function would pickle by
+    reference and fail in workers that don't have the repo on sys.path."""
+
+    def _hook():
+        import logging
+
+        known = "Failed to hash the schemas (for deduplication)"
+
+        class _F(logging.Filter):
+            def filter(self, record):
+                try:
+                    return known not in record.getMessage()
+                except Exception:  # noqa: BLE001
+                    return True
+
+        for name in (
+            "ray.data._internal.arrow_ops.transform_pyarrow",
+            "ray.data",
+        ):
+            lg = logging.getLogger(name)
+            lg.addFilter(_F())
+            for h in lg.handlers:
+                h.addFilter(_F())
+
+    return {"worker_process_setup_hook": _hook}
+
+
 def install() -> None:
     """Attach the filter to the EMITTING logger (idempotent). Logging
     filters on ancestor loggers do not run for child-logger records, so

@@ -47,10 +47,13 @@ def main() -> int:
 
     import ray
 
+    from ehr_relation_extraction_ray.functions import logquiet
+
     if not ray.is_initialized():
         ray.init(
             address="local", num_cpus=8, include_dashboard=False,
             ignore_reinit_error=True, logging_level="ERROR",
+            runtime_env=logquiet.runtime_env(),
         )
     from ray.data import DataContext
 
