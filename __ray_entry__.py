@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank_dist": q.kg_pagerank_dist,
         "kg_label_prop_dist": q.kg_label_prop_dist,
         "kg_kcore_dist": q.kg_kcore_dist,
+        "kg_triangles_dist": q.kg_triangles_dist,
+        "kg_ppr_dist": q.kg_ppr_dist,
         "docs_bloom_decontaminate": q.docs_bloom_decontaminate,
         "docs_repetition": q.docs_repetition,
         "docs_pack_bins": q.docs_pack_bins,
@@ -1356,6 +1358,10 @@ ORDER BY node
 SELECT node, core FROM read_parquet('{_fixture("kg_kcore")}')
 ORDER BY node
 """,
+        "kg_ppr_dist": f"""
+SELECT node, "rank" FROM read_parquet('{_fixture("kg_ppr")}')
+ORDER BY node
+""",
         "kg_khop": f"""
 WITH RECURSIVE trip AS (SELECT subj, obj FROM read_parquet('{_fixture("kg_triples")}')),
 edges AS (
@@ -1425,6 +1431,22 @@ JOIN ca cb ON cb.ent = ent_b
 ORDER BY ent_a, ent_b
 """.replace("{tp}", tp),
         "kg_triangles": _cooccurrence_cte(tp) + """
+, e0 AS (SELECT ent_a AS a, ent_b AS b FROM p WHERE n_ab >= 2),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+GROUP BY node ORDER BY node
+""",
+        "kg_triangles_dist": _cooccurrence_cte(tp) + """
 , e0 AS (SELECT ent_a AS a, ent_b AS b FROM p WHERE n_ab >= 2),
 tri AS (
   SELECT e1.a AS x, e1.b AS y, e2.b AS z

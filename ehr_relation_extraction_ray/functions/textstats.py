@@ -97,20 +97,35 @@ def content_hash_64(texts: List[str]) -> np.ndarray:
     hash-partitioned exact dedup and deterministic sampling keys (never
     exposed to SQL oracles, which compare on the raw values instead).
     """
-    out = np.empty(len(texts), dtype=np.uint64)
+    n = len(texts)
+    out = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if n == 0:
+        return out
     P = np.uint64(1099511628211)
-    for i, t in enumerate(texts):
-        arr = np.frombuffer(t.encode("utf-8", "surrogatepass"), dtype=np.uint8)
-        if len(arr) == 0:
-            out[i] = _FNV_OFFSET
-            continue
-        with np.errstate(over="ignore"):
-            powers = np.full(len(arr), P, dtype=np.uint64)
-            powers[0] = np.uint64(1)
-            powers = np.cumprod(powers)  # P^0..P^{n-1}, wraps mod 2^64
-            out[i] = np.uint64(
-                np.sum(arr[::-1].astype(np.uint64) * powers, dtype=np.uint64)
-            ) ^ np.uint64(len(arr))
+    # ONE segmented numpy computation for the whole batch (the per-string
+    # loop was ~15 us/string — the dominant cost of hash-partitioning
+    # high-row-count string keys). Values are BIT-IDENTICAL to the old
+    # loop: modular uint64 addition is order-independent, so the reduceat
+    # segment sum equals the per-string np.sum, and each byte's
+    # coefficient P^(distance-from-end) is read from one shared power
+    # table.
+    bs = [t.encode("utf-8", "surrogatepass") for t in texts]
+    lens = np.fromiter((len(b) for b in bs), np.int64, count=n)
+    nz = np.flatnonzero(lens > 0)
+    if len(nz) == 0:
+        return out
+    arr = np.frombuffer(b"".join(bs), dtype=np.uint8).astype(np.uint64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    with np.errstate(over="ignore"):
+        ptab = np.full(int(lens.max()), P, dtype=np.uint64)
+        ptab[0] = np.uint64(1)
+        ptab = np.cumprod(ptab)  # P^0..P^{maxlen-1}, wraps mod 2^64
+        string_id = np.repeat(np.arange(n), lens)
+        d = ends[string_id] - 1 - np.arange(len(arr))
+        terms = arr * ptab[d]
+        sums = np.add.reduceat(terms, starts[nz])
+    out[nz] = sums ^ lens[nz].astype(np.uint64)
     return out
 
 

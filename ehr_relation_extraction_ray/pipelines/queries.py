@@ -3550,3 +3550,36 @@ def kg_kcore_dist(sf_dir: str) -> pd.DataFrame:
     pairs = counts[counts["is_pair"] & (counts["n"] >= 2)]
     ds = ray.data.from_pandas(pairs[["ent_a", "ent_b"]].reset_index(drop=True))
     return graph.kcore_distributed(ds).to_pandas()
+
+
+def kg_triangles_dist(sf_dir: str) -> pd.DataFrame:
+    """kg_triangles via the open-node-space path
+    (graph.triangles_distributed): hub-partitioned wedge rows carrying the
+    center node, edge markers emitted once from the smaller endpoint, one
+    (x, y)-keyed closing pass — integer counts identical to the driver
+    peel. Same 3-way self-join oracle as kg_triangles."""
+    counts = _cooccurrence(sf_dir)
+    pairs = counts[counts["is_pair"] & (counts["n"] >= 2)][["ent_a", "ent_b"]]
+    if pairs.empty:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=str),
+             "n_triangles": pd.Series([], dtype="int64")}
+        )
+    ds = ray.data.from_pandas(pairs.reset_index(drop=True))
+    return graph.triangles_distributed(ds)
+
+
+def kg_ppr_dist(sf_dir: str) -> pd.DataFrame:
+    """kg_ppr via the open-node-space path
+    (graph.personalized_pagerank_distributed): same deterministic smallest-
+    subject seed; per-round rank broadcast + zero-shuffle contribution
+    pass, bit-identical to the driver iteration. Same fixture oracle as
+    kg_ppr."""
+    trip = _triples(sf_dir)
+    seed = trip.min("subj")
+    if seed is None:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=str),
+             "rank": pd.Series([], dtype="float64")}
+        )
+    return graph.personalized_pagerank_distributed(trip, seed)

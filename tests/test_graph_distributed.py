@@ -130,3 +130,57 @@ def test_pagerank_distributed_open_graph(ray_session):
         local.sort_values("node").reset_index(drop=True),
         dist.sort_values("node").reset_index(drop=True),
     )
+
+
+def test_triangles_distributed_matches_driver(ray_session):
+    pairs = pd.DataFrame(
+        {"ent_a": ["x", "y", "z", "z", "w", "p", "x"],
+         "ent_b": ["y", "z", "x", "w", "v", "q", "w"]}
+    )
+    local = graph.triangles(pairs)
+    dist = graph.triangles_distributed(
+        ray.data.from_pandas(pairs, override_num_blocks=3)
+    )
+    pd.testing.assert_frame_equal(local, dist)
+
+
+def test_triangles_distributed_hot_hub_split(ray_session):
+    spokes = [f"s{i:04d}" for i in range(200)]
+    edges = pd.DataFrame(
+        [("HUB", s) for s in spokes]
+        + [(spokes[i], spokes[i + 1]) for i in range(50)],
+        columns=["ent_a", "ent_b"],
+    )
+    local = graph.triangles(edges)
+    dist = graph.triangles_distributed(
+        ray.data.from_pandas(edges, override_num_blocks=3),
+        hub_split_threshold=32,
+    )
+    pd.testing.assert_frame_equal(local, dist)
+
+
+def test_triangles_distributed_open_graph(ray_session):
+    pairs = _open_graph(120_000)
+    dist = graph.triangles_distributed(
+        ray.data.from_pandas(pairs, override_num_blocks=16), num_partitions=16
+    )
+    local = graph.triangles(pairs)
+    pd.testing.assert_frame_equal(local, dist)
+
+
+def test_ppr_distributed_bit_identical(ray_session, small_edges):
+    trip = _triples_ds(small_edges)
+    edges = graph.edge_weights(trip)
+    seed = edges["subj"].min()
+    local = graph.personalized_pagerank(edges, seed)
+    dist = graph.personalized_pagerank_distributed(trip, seed)
+    pd.testing.assert_frame_equal(
+        local.sort_values("node").reset_index(drop=True),
+        dist.sort_values("node").reset_index(drop=True),
+    )
+
+
+def test_ppr_distributed_missing_seed(ray_session, small_edges):
+    trip = _triples_ds(small_edges)
+    out = graph.personalized_pagerank_distributed(trip, "no-such-node")
+    assert out.empty
