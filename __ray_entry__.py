@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore_dist": q.kg_kcore_dist,
         "kg_triangles_dist": q.kg_triangles_dist,
         "kg_ppr_dist": q.kg_ppr_dist,
+        "kg_betweenness_dist": q.kg_betweenness_dist,
         "docs_bloom_decontaminate": q.docs_bloom_decontaminate,
         "docs_repetition": q.docs_repetition,
         "docs_pack_bins": q.docs_pack_bins,
@@ -1360,6 +1361,10 @@ ORDER BY node
 """,
         "kg_ppr_dist": f"""
 SELECT node, "rank" FROM read_parquet('{_fixture("kg_ppr")}')
+ORDER BY node
+""",
+        "kg_betweenness_dist": f"""
+SELECT node, betweenness FROM read_parquet('{_fixture("kg_betweenness")}')
 ORDER BY node
 """,
         "kg_khop": f"""

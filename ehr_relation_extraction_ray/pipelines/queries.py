@@ -3583,3 +3583,14 @@ def kg_ppr_dist(sf_dir: str) -> pd.DataFrame:
              "rank": pd.Series([], dtype="float64")}
         )
     return graph.personalized_pagerank_distributed(trip, seed)
+
+
+def kg_betweenness_dist(sf_dir: str) -> pd.DataFrame:
+    """kg_betweenness via the open-node-space path
+    (graph.betweenness_distributed): all 16 Brandes sources advance
+    together as (V, k) driver matrices; one edge pass per BFS level
+    forward and backward, 2 x diameter passes total, the edge set never
+    collected. Same fixture oracle as kg_betweenness."""
+    trip = _triples(sf_dir)
+    out = graph.betweenness_distributed(trip)
+    return out.sort_values("node").reset_index(drop=True)

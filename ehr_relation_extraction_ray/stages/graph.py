@@ -1667,3 +1667,174 @@ def triangles_distributed(
          "n_triangles": agg["c"].astype("int64").to_numpy()}
     )
     return out.sort_values("node").reset_index(drop=True)
+
+
+def betweenness_distributed(
+    triples: "ray.data.Dataset",
+    k_sources: int = 16,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Distributed Brandes approximate betweenness — same spec as
+    :func:`betweenness_approx` (k lexicographically smallest sources,
+    normalized by the source count), with the edge set never collected.
+
+    All k sources advance TOGETHER: dist/sigma/delta live as (V, k)
+    driver matrices (V-sized = output-sized, k a constant), and each BFS
+    level — forward sigma accumulation, then backward dependency
+    accumulation — is ONE ``map_batches`` pass over the materialized
+    distinct directed int edges with the current matrices broadcast, so
+    the total pass count is 2 x diameter, independent of k and of |E|.
+    Sigma counts are integers (exact under any partial-merge order);
+    delta partials are floats rounded at 6 dp like the driver path.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.broadcast import bget
+    from ..functions.partitioning import groupby_partition
+
+    # distinct undirected edges, intified and doubled (the driver path's
+    # adjacency SET semantics — duplicate rows must not double sigma)
+    def uniq(t: pa.Table) -> pa.Table:
+        u = pc.unique(
+            pa.chunked_array(
+                [t["subj"].combine_chunks().cast(pa.string()),
+                 t["obj"].combine_chunks().cast(pa.string())]
+            )
+        )
+        return pa.table({"node": u})
+
+    up = triples.map_batches(uniq, batch_format="pyarrow").to_pandas()
+    if up.empty:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=str),
+             "betweenness": pd.Series([], dtype="float64")}
+        )
+    vocab = np.unique(up["node"].to_numpy())
+    vref = ray.put(vocab)
+    n = len(vocab)
+
+    pair_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        vv = bget(vref)
+        a = np.searchsorted(vv, np.asarray(t["subj"].combine_chunks().cast(pa.string()), dtype=object))
+        b = np.searchsorted(vv, np.asarray(t["obj"].combine_chunks().cast(pa.string()), dtype=object))
+        keep = a != b
+        lo = np.minimum(a[keep], b[keep])
+        hi = np.maximum(a[keep], b[keep])
+        return pa.table({"u": pa.array(lo, pa.int64()), "v": pa.array(hi, pa.int64())})
+
+    def distinct_pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.drop_duplicates()
+
+    und = groupby_partition(
+        triples.map_batches(to_pairs, batch_format="pyarrow"),
+        ["u", "v"],
+        distinct_pairs,
+        num_partitions=num_partitions,
+        batch_format="pandas",
+        schema=pair_schema,
+    )
+
+    def double(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["u"])
+        v = np.asarray(t["v"])
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([u, v]), pa.int64()),
+                "dst": pa.array(np.concatenate([v, u]), pa.int64()),
+            }
+        )
+
+    edges_int = und.map_batches(double, batch_format="pyarrow").materialize()
+
+    k = min(k_sources, n)
+    dist = np.full((n, k), -1, dtype=np.int64)
+    sigma = np.zeros((n, k))
+    for j in range(k):
+        dist[j, j] = 0
+        sigma[j, j] = 1.0
+
+    # forward: level-synchronous BFS, one pass per level, all sources at once
+    levels = 0
+    while True:
+        state_ref = ray.put((dist, sigma, levels))
+
+        def fwd(t: pa.Table, _ref=state_ref) -> pa.Table:
+            d, sg, lvl = bget(_ref)
+            src = np.asarray(t["src"])
+            dst = np.asarray(t["dst"])
+            rows, cols = np.nonzero(d[src] == lvl)
+            if len(rows) == 0:
+                return pa.table(
+                    {"cell": pa.array([], pa.int64()), "s": pa.array([], pa.float64())}
+                )
+            cell = dst[rows] * d.shape[1] + cols
+            uc, inv = np.unique(cell, return_inverse=True)
+            s = np.zeros(len(uc))
+            np.add.at(s, inv, sg[src[rows], cols])
+            return pa.table({"cell": pa.array(uc, pa.int64()), "s": pa.array(s)})
+
+        parts = edges_int.map_batches(
+            fwd, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        if parts.empty:
+            break
+        cell = parts["cell"].to_numpy(dtype=np.int64)
+        sval = parts["s"].to_numpy()
+        di, ki = cell // k, cell % k
+        # only UNVISITED (node, source) cells extend the BFS (the driver
+        # path adds sigma only when dist[w] == dist[v] + 1, i.e. the
+        # first level a node is seen at; lateral/backward edges drop)
+        fresh = dist[di, ki] == -1
+        if not fresh.any():
+            break
+        di, ki, sval = di[fresh], ki[fresh], sval[fresh]
+        dist[di, ki] = levels + 1
+        np.add.at(sigma, (di, ki), sval)
+        levels += 1
+
+    # backward: dependency accumulation, one pass per level descending
+    delta = np.zeros((n, k))
+    bc = np.zeros(n)
+    for lvl in range(levels, 0, -1):
+        state_ref = ray.put((dist, sigma, delta, lvl))
+
+        def bwd(t: pa.Table, _ref=state_ref) -> pa.Table:
+            d, sg, dl, L = bget(_ref)
+            src = np.asarray(t["src"])
+            dst = np.asarray(t["dst"])
+            # src one level above dst's predecessors: credit v=src where
+            # dist[v] == L-1 and dist[w=dst] == L
+            rows, cols = np.nonzero((d[src] == L - 1) & (d[dst] == L))
+            if len(rows) == 0:
+                return pa.table(
+                    {"cell": pa.array([], pa.int64()), "s": pa.array([], pa.float64())}
+                )
+            v = src[rows]
+            w = dst[rows]
+            val = sg[v, cols] / sg[w, cols] * (1.0 + dl[w, cols])
+            cell = v * d.shape[1] + cols
+            uc, inv = np.unique(cell, return_inverse=True)
+            s = np.zeros(len(uc))
+            np.add.at(s, inv, val)
+            return pa.table({"cell": pa.array(uc, pa.int64()), "s": pa.array(s)})
+
+        parts = edges_int.map_batches(
+            bwd, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        if parts.empty:
+            continue
+        cell = parts["cell"].to_numpy(dtype=np.int64)
+        sval = parts["s"].to_numpy()
+        di, ki = cell // k, cell % k
+        np.add.at(delta, (di, ki), sval)
+    # accumulate (excluding each source's own delta), normalize like the
+    # driver path
+    for j in range(k):
+        d = delta[:, j].copy()
+        d[j] = 0.0
+        bc += d
+    bc /= max(k, 1)
+    return pd.DataFrame({"node": vocab, "betweenness": np.round(bc, 6)})

@@ -184,3 +184,29 @@ def test_ppr_distributed_missing_seed(ray_session, small_edges):
     trip = _triples_ds(small_edges)
     out = graph.personalized_pagerank_distributed(trip, "no-such-node")
     assert out.empty
+
+
+def test_betweenness_distributed_matches_driver(ray_session, small_edges):
+    trip = _triples_ds(small_edges)
+    local = graph.betweenness_approx(graph.edge_weights(trip))
+    dist = graph.betweenness_distributed(trip)
+    pd.testing.assert_frame_equal(
+        local.sort_values("node").reset_index(drop=True),
+        dist.sort_values("node").reset_index(drop=True),
+    )
+
+
+def test_betweenness_distributed_open_graph(ray_session):
+    # shallow-diameter open graph (ring + chords): pass count is
+    # 2 x diameter, so a deep path graph would be the pathological case
+    # for BOTH implementations — the open-node-space claim under test is
+    # that the edge set never collects on the driver, not diameter.
+    pairs = _open_graph(20_000).rename(columns={"ent_a": "subj", "ent_b": "obj"})
+    pairs["n"] = 1
+    trip = _triples_ds(pairs)
+    local = graph.betweenness_approx(graph.edge_weights(trip), k_sources=8)
+    dist = graph.betweenness_distributed(trip, k_sources=8)
+    pd.testing.assert_frame_equal(
+        local.sort_values("node").reset_index(drop=True),
+        dist.sort_values("node").reset_index(drop=True),
+    )
