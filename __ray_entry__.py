@@ -34,6 +34,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Registry order controls the driver's 50-query correctness
         # window (first 50 keys). kg_* canaries first, then queries with no
         # CORRECTNESS row yet (rotated per round), then previously-green rows.
+        # ROUND-4 ROTATION TODO: after CORRECTNESS_r03 lands, move the ~45
+        # queries it covered behind the window and front the next batch of
+        # never-checked names (everything from events_pivot onward that has
+        # no green row in r01/r02/r03 — ~83 remained unchecked after r03's
+        # window; two more rotations cover them all). Keep the 5 kg_*
+        # canaries in slots 1-5 every round.
         "kg_assembly": q.kg_assembly,
         "kg_mentions": q.kg_mentions,
         "kg_windows": q.kg_windows,
