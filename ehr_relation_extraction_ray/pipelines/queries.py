@@ -1085,7 +1085,9 @@ def docs_bloom_decontaminate(sf_dir: str) -> pd.DataFrame:
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     bench, corpus = _bench_corpus_split(docs)
-    out = dedupe.bloom_decontaminate(corpus, bench).to_pandas()
+    # driver_merge: this query collects the report anyway, so the final
+    # doc-keyed all-to-all over output-bounded partials is pure fixed cost
+    out = dedupe.bloom_decontaminate(corpus, bench, driver_merge=True).to_pandas()
     out["doc_id"] = out["doc_id"].astype("int64")
     out["n_hits"] = out["n_hits"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)

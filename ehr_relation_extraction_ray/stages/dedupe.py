@@ -1099,6 +1099,7 @@ def bloom_decontaminate(
     n_probes: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    driver_merge: bool = False,
 ) -> "ray.data.Dataset":
     """Decontamination for when the benchmark shingle set is too large to
     broadcast exactly: Bloom prefilter + exact join verify.
@@ -1207,7 +1208,24 @@ def bloom_decontaminate(
         batch_format="pandas", schema=partial_schema,
     )
     # a doc's shingles scatter across sh-partitions: one tiny
-    # (contaminated docs only) doc-keyed pass sums the partials
+    # (contaminated docs only) doc-keyed pass sums the partials.
+    # ``driver_merge=True`` sums them in pandas on the driver instead —
+    # the partials are OUTPUT-bounded (rows <= contaminated_docs x
+    # sh-partitions, never corpus-scale), so whenever the caller is going
+    # to collect the result anyway (every decontamination report does)
+    # the doc-keyed all-to-all is pure fixed cost (~1.2 s/shuffle on this
+    # box). The shuffle path stays the default for pipeline composition
+    # where the contaminated set itself may be large.
+    if driver_merge:
+        parts = list(partials.iter_batches(batch_format="pandas", batch_size=None))
+        df = pd.concat(parts, ignore_index=True) if parts else partial_schema.empty_table().to_pandas()
+        out = (
+            df.groupby(id_col, as_index=False)["n_hits"].sum()
+            .astype({"n_hits": "int64"})
+        )
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(out, schema=partial_schema, preserve_index=False)
+        )
     return groupby_partition(
         partials,
         id_col,

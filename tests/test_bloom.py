@@ -81,6 +81,19 @@ def test_bloom_decontaminate_equals_exact(ray_session):
     pd.testing.assert_frame_equal(got, exact, check_dtype=False)
     assert len(exact) >= 10  # the planted contamination was actually found
 
+    # driver_merge path (output-bounded partials summed on the driver)
+    # must be row-identical to the shuffle path
+    merged = (
+        dedupe.bloom_decontaminate(
+            corpus, bench, m_bits=512, n_probes=2, driver_merge=True
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    merged["n_hits"] = merged["n_hits"].astype("int64")
+    pd.testing.assert_frame_equal(merged, exact, check_dtype=False)
+
 
 def test_cross_pairs_only_cross_side(ray_session):
     """Cross-corpus LSH: every candidate joins an A doc to a B doc, and
