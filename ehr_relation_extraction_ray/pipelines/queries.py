@@ -1135,16 +1135,16 @@ def docs_cross_dedup(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
     )
 
-    def _side(par: int):
-        def f(t: pa.Table) -> pa.Table:
-            ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
-            return t.filter(pa.array(ids % 2 == par))
+    # both corpora live in one table (side = doc_id parity), so the
+    # side_col path reads and bands the corpus ONCE instead of per side
+    def _tag_side(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        return t.append_column(
+            "side", pa.array((ids % 2).astype(np.int8))
+        )
 
-        return f
-
-    a = docs.map_batches(_side(0), batch_format="pyarrow")
-    b = docs.map_batches(_side(1), batch_format="pyarrow")
-    pairs = dedupe.minhash_lsh_cross_pairs(a, b)
+    tagged = docs.map_batches(_tag_side, batch_format="pyarrow")
+    pairs = dedupe.minhash_lsh_cross_pairs(tagged, None, side_col="side")
     verified = dedupe.verify_jaccard(pairs, docs, threshold=0.8).to_pandas()
     verified["jaccard"] = verified["jaccard"].round(4)
     # normalize orientation to lexicographic (the oracle's a < b)

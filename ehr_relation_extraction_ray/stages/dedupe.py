@@ -1290,13 +1290,14 @@ def _bucket_cross_pairs_partition(
 
 def minhash_lsh_cross_pairs(
     docs_a: "ray.data.Dataset",
-    docs_b: "ray.data.Dataset",
+    docs_b: "ray.data.Dataset | None",
     num_perm: int = 64,
     bands: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
     bucket_cap: int = 512,
     overflow_dir: str | None = None,
+    side_col: str | None = None,
 ) -> "ray.data.Dataset":
     """Cross-corpus near-dup candidates (corpus A vs corpus B, e.g.
     training set vs eval set by *similarity* rather than exact n-gram
@@ -1304,20 +1305,41 @@ def minhash_lsh_cross_pairs(
     band rows tagged by side, bucket at partition granularity, and emit
     only A x B pairs. doc_a is always the A-side id. Compose with
     :func:`verify_jaccard` over ``docs_a.union(docs_b)`` for the exact
-    post-filter."""
+    post-filter.
 
-    def rows_with_side(side_val: int):
-        def f(t: pa.Table) -> pa.Table:
+    When both corpora live in ONE table distinguished by an int column
+    (0 = A side, 1 = B side), pass that table as ``docs_a`` with
+    ``side_col`` and ``docs_b=None``: the corpus is read and banded ONCE
+    (one map pass instead of two read+band branches) — same pairs, half
+    the scan cost."""
+
+    if side_col is not None:
+        if docs_b is not None:
+            raise ValueError("side_col and docs_b are mutually exclusive")
+
+        def rows_tagged(t: pa.Table) -> pa.Table:
             r = minhash_band_rows(t, num_perm, bands, text_col, id_col)
-            return r.append_column(
-                "side", pa.array(np.full(r.num_rows, side_val, dtype=np.int8))
-            )
+            # minhash_band_rows emits rows ordered doc-major (ids repeated
+            # per band), so the per-doc side value repeats `bands` times
+            side = np.asarray(t[side_col].cast(pa.int8()))
+            return r.append_column("side", pa.array(np.repeat(side, bands)))
 
-        return f
+        band_rows = docs_a.map_batches(rows_tagged, batch_format="pyarrow")
+    else:
 
-    band_rows = docs_a.map_batches(
-        rows_with_side(0), batch_format="pyarrow"
-    ).union(docs_b.map_batches(rows_with_side(1), batch_format="pyarrow"))
+        def rows_with_side(side_val: int):
+            def f(t: pa.Table) -> pa.Table:
+                r = minhash_band_rows(t, num_perm, bands, text_col, id_col)
+                return r.append_column(
+                    "side",
+                    pa.array(np.full(r.num_rows, side_val, dtype=np.int8)),
+                )
+
+            return f
+
+        band_rows = docs_a.map_batches(
+            rows_with_side(0), batch_format="pyarrow"
+        ).union(docs_b.map_batches(rows_with_side(1), batch_format="pyarrow"))
 
     # verify_jaccard dedups pairs internally (same contract as
     # minhash_lsh_pairs(distinct=False)), so no distinct shuffle here

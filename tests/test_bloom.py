@@ -127,3 +127,24 @@ def test_cross_pairs_only_cross_side(ray_session):
     ).to_pandas()
     assert set(verified["doc_a"]) <= {"a0", "a1", "a2"}
     assert set(verified["doc_b"]) <= {"b0", "b1"}
+
+    # single-pass side_col variant must emit the identical candidate set
+    import pyarrow as pa
+
+    both = pd.concat(
+        [a_df.assign(side=0), b_df.assign(side=1)], ignore_index=True
+    )
+    tagged = ray.data.from_pandas(both).repartition(2)
+    pairs2 = (
+        dedupe.minhash_lsh_cross_pairs(tagged, None, side_col="side")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    want = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    got2 = set(map(tuple, pairs2[["doc_a", "doc_b"]].to_numpy()))
+    assert got2 == want
+    # mutual exclusion is enforced
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedupe.minhash_lsh_cross_pairs(a, b, side_col="side")
