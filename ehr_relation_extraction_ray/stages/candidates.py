@@ -27,7 +27,13 @@ from ..functions.chunking import char_windows, split_points
 from ..functions.ner import detect_mentions
 from ..functions.pairs import window_candidates
 from ..functions.tokenize import token_spans
-from ..lexicon import DEFAULT_LEXICON, compile_patterns, find_mentions, fit_patterns
+from ..lexicon import (
+    DEFAULT_LEXICON,
+    DictMatcher,
+    compile_patterns,
+    find_mentions,
+    fit_patterns,
+)
 from ..schemas import CANDIDATES, validate
 
 RE_MAX_LEN = 128  # BIOBERT_RE_SEQ_LEN (predict.py:33, utils_re.py:370)
@@ -49,6 +55,10 @@ class CandidateGenerator:
         from ..state.quarantine import Quarantine
 
         self.compiled = compile_patterns(patterns or fit_patterns(DEFAULT_LEXICON))
+        # batch-vectorized matcher (token-n-gram hash, regex-parity by
+        # construction + tests) — only when fitted from the default
+        # surface lists; custom pattern strings keep the regex path
+        self.matcher = None if patterns is not None else DictMatcher(DEFAULT_LEXICON)
         self.max_len = max_len
         self.max_pairs = max_pairs_per_window
         self.quarantine = Quarantine(errors_dir, stage="candidates")
@@ -68,12 +78,26 @@ class CandidateGenerator:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
 
+        texts = batch["text"].to_pylist()
+        found = None
+        if self.matcher is not None:
+            try:
+                found = self.matcher.find_batch(texts)
+            except Exception:
+                # batch-level failure must not defeat per-doc quarantine:
+                # fall back to the per-doc regex path under the guard
+                found = None
         chunks: List[Dict[str, "np.ndarray"]] = []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        for row, (doc_id, text) in enumerate(
+            zip(batch["doc_id"].to_pylist(), texts)
         ):
             with self.quarantine.guard(doc_id):
-                mentions = detect_mentions(text, find_mentions(text, self.compiled))
+                mentions = detect_mentions(
+                    text,
+                    found[row]
+                    if found is not None
+                    else find_mentions(text, self.compiled),
+                )
                 if not mentions:
                     continue
                 if self.tokenizer is not None:

@@ -22,7 +22,13 @@ import ray.data
 from ..functions.chunking import split_points, token_windows
 from ..functions.ner import detect_mentions
 from ..functions.tokenize import token_spans
-from ..lexicon import DEFAULT_LEXICON, compile_patterns, find_mentions, fit_patterns
+from ..lexicon import (
+    DEFAULT_LEXICON,
+    DictMatcher,
+    compile_patterns,
+    find_mentions,
+    fit_patterns,
+)
 from ..schemas import MENTIONS, WINDOWS, validate
 
 
@@ -31,6 +37,10 @@ class DictionaryDetector:
 
     def __init__(self, patterns: Optional[Dict[str, str]] = None):
         self.compiled = compile_patterns(patterns or fit_patterns(DEFAULT_LEXICON))
+        # batch-vectorized matcher when fitted from the default surfaces
+        # (regex-parity by construction + tests); custom pattern strings
+        # keep the regex path
+        self.matcher = None if patterns is not None else DictMatcher(DEFAULT_LEXICON)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids: List[str] = []
@@ -39,11 +49,20 @@ class DictionaryDetector:
         starts: List[int] = []
         ends: List[int] = []
         texts: List[str] = []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        batch_texts = batch["text"].to_pylist()
+        found = (
+            self.matcher.find_batch(batch_texts)
+            if self.matcher is not None
+            else None
+        )
+        for row, (doc_id, text) in enumerate(
+            zip(batch["doc_id"].to_pylist(), batch_texts)
         ):
             for ent_id, ent_type, s, e, surface in detect_mentions(
-                text, find_mentions(text, self.compiled)
+                text,
+                found[row]
+                if found is not None
+                else find_mentions(text, self.compiled),
             ):
                 doc_ids.append(doc_id)
                 ent_ids.append(ent_id)
