@@ -72,21 +72,38 @@ def split_points(
     n = len(text)
     nl_positions = [m.start() for m in _NL_RE.finditer(text) if m.start() < n - 2]
 
+    # batched _tok_at for all newline events (one searchsorted per offset
+    # variant instead of a scalar call per event — the former hot spot);
+    # negative-index parity: char_idx < 0 -> n_tok - 1 (ehr.py:296)
+    if nl_positions:
+        pos = np.asarray(nl_positions, dtype=np.int64)
+        tok_im1 = np.maximum(
+            np.searchsorted(starts, pos - 1, side="right") - 1, 0
+        )
+        tok_im1 = np.where(pos == 0, n_tok - 1, tok_im1).tolist()
+        tok_ip1 = np.maximum(
+            np.searchsorted(starts, pos + 1, side="right") - 1, 0
+        ).tolist()
+        tok_i = np.maximum(
+            np.searchsorted(starts, pos, side="right") - 1, 0
+        ).tolist()
+
     split: List[int] = [0]
     last_par = 0
     last_line = 0
     e = 0
     scan_from = 0
 
-    def apply_markers(i: int) -> None:
+    def apply_markers(k: int) -> None:
         nonlocal last_par, last_line
+        i = nl_positions[k]
         nxt = text[i + 1]
         if nxt == "\n":
-            last_par = _tok_at(starts, n_tok, i - 1)
+            last_par = tok_im1[k]
         if nxt == "." or nxt == "*":
-            last_par = _tok_at(starts, n_tok, i + 1)
+            last_par = tok_ip1[k]
         if nxt in NEW_LINE_IND or nxt.isdigit() or text[i - 1] in SENT_END_IND:
-            last_line = _tok_at(starts, n_tok, i)
+            last_line = tok_i[k]
 
     while True:
         target = split[-1] + max_len
@@ -96,7 +113,7 @@ def split_points(
         if crossing >= n:
             break
         while e < len(nl_positions) and nl_positions[e] < crossing:
-            apply_markers(nl_positions[e])
+            apply_markers(e)
             e += 1
         # the split decision (ehr.py:403-415); marker check order preserved:
         # crossing is handled before any newline event at the same char.
@@ -109,7 +126,7 @@ def split_points(
         last_par = 0
         last_line = 0
         if e < len(nl_positions) and nl_positions[e] == crossing:
-            apply_markers(crossing)
+            apply_markers(e)
             e += 1
         scan_from = crossing + 1
 
