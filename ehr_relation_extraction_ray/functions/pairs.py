@@ -33,7 +33,7 @@ caller (SURVEY.md O4/O5).
 
 from __future__ import annotations
 
-from bisect import bisect_right
+
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -123,106 +123,152 @@ def window_candidates(
     Returns a dict of per-column numpy arrays (object dtype for strings,
     None for skipped string cells).
     """
-    cols: Dict[str, list] = {k: [] for k in PAIR_COLS}
     if not windows or not mentions:
         return {k: np.empty(0, dtype=object) for k in PAIR_COLS}
+
+    # ---- flat (cross-window) vectorization: ONE set of numpy ops per
+    # document instead of ~30 small-array ops per window (the per-window
+    # loop was the stage's hot spot at ~220us/window of pure overhead).
+    # Emission order is preserved exactly: windows ascending, drugs outer
+    # in mention order, others inner in mention order.
+    W = len(windows)
+    M = len(mentions)
+    win_starts_arr = np.fromiter((w[0] for w in windows), np.int64, W)
+    win_ends_arr = np.fromiter((w[1] for w in windows), np.int64, W)
+    m_start = np.fromiter((m[2] for m in mentions), np.int64, M)
+    m_end = np.fromiter((m[3] for m in mentions), np.int64, M)
+    is_drug = np.fromiter(
+        (m[1].lower() == "drug" for m in mentions), bool, M
+    )
     # one-pass bucketing: window starts are sorted & contiguous
-    win_starts = [w[0] for w in windows]
-    drugs_by_win: List[List[Mention]] = [[] for _ in windows]
-    others_by_win: List[List[Mention]] = [[] for _ in windows]
-    for m in mentions:
-        wi = bisect_right(win_starts, m[2]) - 1
-        if wi < 0 or m[3] >= windows[wi][1]:
-            continue  # straddles a boundary or precedes all windows
-        (drugs_by_win if m[1].lower() == "drug" else others_by_win)[wi].append(m)
+    wi = np.searchsorted(win_starts_arr, m_start, side="right") - 1
+    keep = (wi >= 0) & (m_end < win_ends_arr[np.clip(wi, 0, W - 1)])
 
-    cand_base = 0
-    for win_idx, (w_start, w_end) in enumerate(windows):
-        drugs = drugs_by_win[win_idx]
-        others = others_by_win[win_idx]
-        if not drugs or not others:
-            continue
-        nd, no = len(drugs), len(others)
-        npairs = nd * no
-        if max_pairs_per_window and npairs > max_pairs_per_window:
-            # explicit guard against pathological dense windows; the caller
-            # surfaces the overflow in lineage counters (never silent).
-            raise ValueError(
-                f"window {win_idx}: {npairs} candidate "
-                f"pairs exceeds cap {max_pairs_per_window}"
-            )
-        win_text = text[w_start:w_end]
-        win_scrub = win_text.replace("\n", " ").replace("\t", " ")
-        stray = _MARKER_RE.search(win_text) is not None
-
-        # pair grid in reference emission order: drugs outer, others inner
-        D = np.repeat(np.arange(nd), no)
-        O = np.tile(np.arange(no), nd)
-        d_s = np.fromiter((d[2] for d in drugs), np.int64, nd) - w_start
-        d_e = np.fromiter((d[3] for d in drugs), np.int64, nd) - w_start
-        o_s = np.fromiter((o[2] for o in others), np.int64, no) - w_start
-        o_e = np.fromiter((o[3] for o in others), np.int64, no) - w_start
-        ds_, de_ = d_s[D], d_e[D]
-        os_, oe_ = o_s[O], o_e[O]
-        disjoint = (de_ <= os_) | (oe_ <= ds_)
-        d_first = ds_ < os_
-        f_s = np.where(d_first, ds_, os_)
-        f_e = np.where(d_first, de_, oe_)
-        s_s = np.where(d_first, os_, ds_)
-        s_e = np.where(d_first, oe_, de_)
-        fast = disjoint if not stray else np.zeros(npairs, dtype=bool)
-        gap_len = np.where(fast, s_s - f_e, -1).astype(np.int32)
-        # double-space check on [f_e, s_s) without building the slice:
-        # a double space starting at p is inside the gap iff f_e <= p <= s_s-2
-        gap_clean = np.zeros(npairs, dtype=bool)
-        if fast.any():
-            dsp = _double_space_positions(win_scrub)
-            if len(dsp):
-                cnt = np.searchsorted(dsp, s_s - 2, side="right") - np.searchsorted(
-                    dsp, f_e, side="left"
-                )
-                gap_clean = fast & (cnt <= 0)
-            else:
-                gap_clean = fast.copy()
-
-        d_markers = ["@" + d[1] + "$" for d in drugs]
-        o_markers = ["@" + o[1] + "$" for o in others]
-        masked_arr = np.full(npairs, None, dtype=object)
-        gap_arr = np.full(npairs, None, dtype=object)
-        # string builds: every row in full mode; only fallback rows
-        # (overlap, or any row of a stray-marker window) in lean mode
-        need = range(npairs) if emit_masked else np.nonzero(~fast)[0]
-        for i in need:
-            if disjoint[i]:
-                fs, fe, ss, se = int(f_s[i]), int(f_e[i]), int(s_s[i]), int(s_e[i])
-                f_m = d_markers[D[i]] if d_first[i] else o_markers[O[i]]
-                s_m = o_markers[O[i]] if d_first[i] else d_markers[D[i]]
-                inner = win_scrub[fe:ss]
-                masked_arr[i] = (
-                    win_scrub[:fs] + f_m + inner + s_m + win_scrub[se:]
-                )
-                if not stray:
-                    gap_arr[i] = inner
-            else:  # overlapping spans: exact reference slicing
-                masked_arr[i] = mask_window(win_text, w_start, drugs[D[i]], others[O[i]])
-
-        cols["win_idx"].append(np.full(npairs, win_idx, dtype=np.int32))
-        cols["cand_idx"].append(
-            np.arange(cand_base, cand_base + npairs, dtype=np.int64)
+    # stable sort by window keeps the original mention order within each
+    # window (= the reference's entities-dict insertion order)
+    idx_d = np.flatnonzero(keep & is_drug)
+    idx_o = np.flatnonzero(keep & ~is_drug)
+    d_sel = idx_d[np.argsort(wi[idx_d], kind="stable")]
+    o_sel = idx_o[np.argsort(wi[idx_o], kind="stable")]
+    nd_w = np.bincount(wi[d_sel], minlength=W)
+    no_w = np.bincount(wi[o_sel], minlength=W)
+    npairs_w = nd_w * no_w
+    if max_pairs_per_window and (npairs_w > max_pairs_per_window).any():
+        # explicit guard against pathological dense windows; the caller
+        # surfaces the overflow in lineage counters (never silent).
+        bad = int(np.flatnonzero(npairs_w > max_pairs_per_window)[0])
+        raise ValueError(
+            f"window {bad}: {int(npairs_w[bad])} candidate "
+            f"pairs exceeds cap {max_pairs_per_window}"
         )
-        cols["rel_type"].append(
-            np.array([o[1] + "-Drug" for o in others], dtype=object)[O]
-        )
-        cols["subj_id"].append(np.array([d[0] for d in drugs], dtype=object)[D])
-        cols["subj_text"].append(np.array([d[4] for d in drugs], dtype=object)[D])
-        cols["obj_id"].append(np.array([o[0] for o in others], dtype=object)[O])
-        cols["obj_text"].append(np.array([o[4] for o in others], dtype=object)[O])
-        cols["masked_text"].append(masked_arr)
-        cols["gap_text"].append(gap_arr)
-        cols["gap_len"].append(gap_len)
-        cols["gap_clean"].append(gap_clean)
-        cand_base += npairs
-
-    if not cols["win_idx"]:
+    total = int(npairs_w.sum())
+    if total == 0:
         return {k: np.empty(0, dtype=object) for k in PAIR_COLS}
-    return {k: np.concatenate(v) for k, v in cols.items()}
+
+    d_off = np.zeros(W, np.int64)
+    np.cumsum(nd_w[:-1], out=d_off[1:])
+    o_off = np.zeros(W, np.int64)
+    np.cumsum(no_w[:-1], out=o_off[1:])
+    pair_off = np.zeros(W, np.int64)
+    np.cumsum(npairs_w[:-1], out=pair_off[1:])
+
+    pair_win = np.repeat(np.arange(W), npairs_w)
+    k = np.arange(total, dtype=np.int64) - pair_off[pair_win]
+    no_p = no_w[pair_win]
+    Dg = d_off[pair_win] + k // no_p  # index into d_sel
+    Og = o_off[pair_win] + k % no_p  # index into o_sel
+    w0 = win_starts_arr[pair_win]
+
+    ds_ = m_start[d_sel][Dg] - w0
+    de_ = m_end[d_sel][Dg] - w0
+    os_ = m_start[o_sel][Og] - w0
+    oe_ = m_end[o_sel][Og] - w0
+    disjoint = (de_ <= os_) | (oe_ <= ds_)
+    d_first = ds_ < os_
+    f_s = np.where(d_first, ds_, os_)
+    f_e = np.where(d_first, de_, oe_)
+    s_s = np.where(d_first, os_, ds_)
+    s_e = np.where(d_first, oe_, de_)
+
+    # stray markers: global scan once, assigned to the window that fully
+    # contains the match (matches of @[A-Za-z]+\$ cannot overlap, so the
+    # global non-overlapping scan finds every per-window match; a match
+    # straddling a boundary is in no window's slice — also reference
+    # behavior)
+    stray_w = np.zeros(W, dtype=bool)
+    for mm in _MARKER_RE.finditer(text):
+        wm = int(np.searchsorted(win_starts_arr, mm.start(), side="right")) - 1
+        if 0 <= wm and mm.start() >= win_starts_arr[wm] and mm.end() <= win_ends_arr[wm]:
+            stray_w[wm] = True
+    stray_p = stray_w[pair_win]
+    fast = disjoint & ~stray_p
+    gap_len = np.where(fast, s_s - f_e, -1).astype(np.int32)
+
+    # double-space check on [f_e, s_s) without building the slice: the
+    # \n/\t scrub is 1:1, so GLOBAL double-space positions of the scrubbed
+    # doc line up with per-window ones (a double space is countable iff
+    # f_e <= p <= s_s-2, and s_s-2+w0 <= w_end-2, so boundary-straddling
+    # runs can never be counted — same as the per-window slice scan)
+    gap_clean = np.zeros(total, dtype=bool)
+    if fast.any():
+        doc_scrub = text.replace("\n", " ").replace("\t", " ")
+        dsp = _double_space_positions(doc_scrub)
+        if len(dsp):
+            cnt = np.searchsorted(dsp, s_s + w0 - 2, side="right") - np.searchsorted(
+                dsp, f_e + w0, side="left"
+            )
+            gap_clean = fast & (cnt <= 0)
+        else:
+            gap_clean = fast.copy()
+
+    masked_arr = np.full(total, None, dtype=object)
+    gap_arr = np.full(total, None, dtype=object)
+    # string builds: every row in full mode; only fallback rows (overlap,
+    # or any row of a stray-marker window) in lean mode
+    need = range(total) if emit_masked else np.nonzero(~fast)[0]
+    win_cache: Dict[int, Tuple[str, str]] = {}
+    m_marker = [None] * M  # lazy "@Type$" per mention
+    for i in need:
+        w = int(pair_win[i])
+        cached = win_cache.get(w)
+        if cached is None:
+            wt = text[int(win_starts_arr[w]) : int(win_ends_arr[w])]
+            cached = (wt, wt.replace("\n", " ").replace("\t", " "))
+            win_cache[w] = cached
+        win_text, win_scrub = cached
+        di = int(d_sel[Dg[i]])
+        oi = int(o_sel[Og[i]])
+        if disjoint[i]:
+            for mi in (di, oi):
+                if m_marker[mi] is None:
+                    m_marker[mi] = "@" + mentions[mi][1] + "$"
+            fs, fe, ss, se = int(f_s[i]), int(f_e[i]), int(s_s[i]), int(s_e[i])
+            f_m = m_marker[di] if d_first[i] else m_marker[oi]
+            s_m = m_marker[oi] if d_first[i] else m_marker[di]
+            inner = win_scrub[fe:ss]
+            masked_arr[i] = win_scrub[:fs] + f_m + inner + s_m + win_scrub[se:]
+            if not stray_w[w]:
+                gap_arr[i] = inner
+        else:  # overlapping spans: exact reference slicing
+            masked_arr[i] = mask_window(
+                win_text, int(win_starts_arr[w]), mentions[di], mentions[oi]
+            )
+
+    ment_id = np.fromiter((m[0] for m in mentions), dtype=object, count=M)
+    ment_text = np.fromiter((m[4] for m in mentions), dtype=object, count=M)
+    ment_rel = np.fromiter(
+        ((m[1] + "-Drug") for m in mentions), dtype=object, count=M
+    )
+    return {
+        "win_idx": pair_win.astype(np.int32),
+        "cand_idx": np.arange(total, dtype=np.int64),
+        "rel_type": ment_rel[o_sel][Og],
+        "subj_id": ment_id[d_sel][Dg],
+        "subj_text": ment_text[d_sel][Dg],
+        "obj_id": ment_id[o_sel][Og],
+        "obj_text": ment_text[o_sel][Og],
+        "masked_text": masked_arr,
+        "gap_text": gap_arr,
+        "gap_len": gap_len,
+        "gap_clean": gap_clean,
+    }
