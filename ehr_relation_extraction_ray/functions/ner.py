@@ -14,9 +14,16 @@
 
 from __future__ import annotations
 
+import re
 from typing import Dict, List, Tuple
 
 from .pairs import Mention
+
+# ASCII fast path for the has-any-alphanumeric filter (exactly equivalent
+# to any(c.isalnum()) on ASCII text; non-ASCII surfaces keep the exact
+# per-char check, since unicode \w is NOT identical to str.isalnum —
+# combining marks are \w but not alnum)
+_ASCII_ALNUM_RE = re.compile(r"[a-zA-Z0-9]")
 
 
 def get_chunk_type(tok: str) -> Tuple[str, str]:
@@ -59,9 +66,12 @@ def detect_mentions(
     """
     out: List[Mention] = []
     k = 1
+    search = _ASCII_ALNUM_RE.search
     for ent_type, start, end in raw_spans:
         surface = doc_text[start:end]
-        if not any(c.isalnum() for c in surface):
+        if search(surface) is None and (
+            surface.isascii() or not any(c.isalnum() for c in surface)
+        ):
             continue  # predict.py:345
         out.append((f"T{k}", ent_type, start, end, surface))
         k += 1
