@@ -126,11 +126,13 @@ def _run_bench() -> dict:
             "embeddings_pq_topk": lambda: q.embeddings_pq_topk(sf_dir),
             "docs_bm25": lambda: q.docs_bm25(sf_dir),
             "kg_node_similarity": lambda: q.kg_node_similarity(sf_dir),
+            "kg_pagerank_dist": lambda: q.kg_pagerank_dist(sf_dir),
+            "kg_kcore_dist": lambda: q.kg_kcore_dist(sf_dir),
         }.items():
-            # two timed runs, report the min (this VM shows intermittent
+            # three timed runs, report the min (this VM shows intermittent
             # multi-second host-noise stalls; raw runs kept for honesty)
             runs_q = []
-            for _ in range(2):
+            for _ in range(int(os.environ.get("GRAFT_BENCH_QUERY_REPS", "3"))):
                 # the driver-query memos (one pipeline execution shared by
                 # the correctness run's many consumers) must not turn the
                 # second timed run into a cache hit — every rep measures
