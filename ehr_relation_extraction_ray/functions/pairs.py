@@ -123,26 +123,88 @@ def window_candidates(
     Returns a dict of per-column numpy arrays (object dtype for strings,
     None for skipped string cells).
     """
-    if not windows or not mentions:
-        return {k: np.empty(0, dtype=object) for k in PAIR_COLS}
-
-    # ---- flat (cross-window) vectorization: ONE set of numpy ops per
-    # document instead of ~30 small-array ops per window (the per-window
-    # loop was the stage's hot spot at ~220us/window of pure overhead).
-    # Emission order is preserved exactly: windows ascending, drugs outer
-    # in mention order, others inner in mention order.
-    W = len(windows)
-    M = len(mentions)
-    win_starts_arr = np.fromiter((w[0] for w in windows), np.int64, W)
-    win_ends_arr = np.fromiter((w[1] for w in windows), np.int64, W)
-    m_start = np.fromiter((m[2] for m in mentions), np.int64, M)
-    m_end = np.fromiter((m[3] for m in mentions), np.int64, M)
-    is_drug = np.fromiter(
-        (m[1].lower() == "drug" for m in mentions), bool, M
+    cols, _ = window_candidates_batch(
+        [text], [windows], [mentions], max_pairs_per_window, emit_masked
     )
-    # one-pass bucketing: window starts are sorted & contiguous
+    return cols
+
+
+def window_candidates_batch(
+    texts: List[str],
+    windows_list: List[List[Tuple[int, int]]],
+    mentions_list: List[List[Mention]],
+    max_pairs_per_window: int = 0,
+    emit_masked: bool = True,
+) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
+    """Batch form of :func:`window_candidates`: ONE set of numpy ops per
+    BATCH instead of per window (or per doc).  All documents' windows and
+    mentions are flattened into a single virtual coordinate space (each
+    doc shifted by a cumulative char offset with a one-char separator
+    slot, so ranges never touch); every within-window formula is
+    offset-invariant, so the math is identical to the per-doc flat grid.
+    Emission order: docs in input order, then windows ascending, drugs
+    outer in mention order, others inner in mention order — exactly the
+    per-doc loop's order. ``win_idx``/``cand_idx`` are doc-local.
+
+    Returns ``(cols, pairs_per_doc)`` — the caller repeats its doc ids by
+    ``pairs_per_doc`` to build the doc_id column.
+    """
+    nD = len(texts)
+    pairs_per_doc = np.zeros(nD, dtype=np.int64)
+    empty = ({k: np.empty(0, dtype=object) for k in PAIR_COLS}, pairs_per_doc)
+    W = sum(len(w) for w in windows_list)
+    M = sum(len(m) for m in mentions_list)
+    if W == 0 or M == 0:
+        return empty
+
+    # virtual global frame: doc d shifted by off[d]; +1 leaves a separator
+    # slot so no range of one doc touches the next (and lines up with the
+    # scrub join below)
+    doc_lens = np.fromiter((len(t) for t in texts), np.int64, nD)
+    off = np.zeros(nD, np.int64)
+    np.cumsum(doc_lens[:-1] + 1, out=off[1:])
+
+    w_counts = np.fromiter((len(w) for w in windows_list), np.int64, nD)
+    m_counts = np.fromiter((len(m) for m in mentions_list), np.int64, nD)
+    win_doc = np.repeat(np.arange(nD), w_counts)
+    m_doc = np.repeat(np.arange(nD), m_counts)
+    doc_first_win = np.zeros(nD, np.int64)
+    np.cumsum(w_counts[:-1], out=doc_first_win[1:])
+
+    win_starts_arr = (
+        np.fromiter(
+            (s for ws in windows_list for s, _ in ws), np.int64, W
+        )
+        + off[win_doc]
+    )
+    win_ends_arr = (
+        np.fromiter(
+            (e for ws in windows_list for _, e in ws), np.int64, W
+        )
+        + off[win_doc]
+    )
+    flat_mentions: List[Mention] = [m for ms in mentions_list for m in ms]
+    m_start = (
+        np.fromiter((m[2] for m in flat_mentions), np.int64, M) + off[m_doc]
+    )
+    m_end = (
+        np.fromiter((m[3] for m in flat_mentions), np.int64, M) + off[m_doc]
+    )
+    _drug_memo: Dict[str, bool] = {}
+    is_drug = np.fromiter(
+        (
+            _drug_memo.setdefault(m[1], m[1].lower() == "drug")
+            for m in flat_mentions
+        ),
+        bool,
+        M,
+    )
+    # one-pass bucketing: global window starts are sorted (docs in order,
+    # windows ascending within); a mention mapping into another doc's
+    # window is dropped by the doc check (== the per-doc wi < 0 case)
     wi = np.searchsorted(win_starts_arr, m_start, side="right") - 1
-    keep = (wi >= 0) & (m_end < win_ends_arr[np.clip(wi, 0, W - 1)])
+    wic = np.clip(wi, 0, W - 1)
+    keep = (wi >= 0) & (win_doc[wic] == m_doc) & (m_end < win_ends_arr[wic])
 
     # stable sort by window keeps the original mention order within each
     # window (= the reference's entities-dict insertion order)
@@ -157,13 +219,14 @@ def window_candidates(
         # explicit guard against pathological dense windows; the caller
         # surfaces the overflow in lineage counters (never silent).
         bad = int(np.flatnonzero(npairs_w > max_pairs_per_window)[0])
+        bad_local = bad - int(doc_first_win[win_doc[bad]])
         raise ValueError(
-            f"window {bad}: {int(npairs_w[bad])} candidate "
+            f"window {bad_local}: {int(npairs_w[bad])} candidate "
             f"pairs exceeds cap {max_pairs_per_window}"
         )
     total = int(npairs_w.sum())
     if total == 0:
-        return {k: np.empty(0, dtype=object) for k in PAIR_COLS}
+        return empty
 
     d_off = np.zeros(W, np.int64)
     np.cumsum(nd_w[:-1], out=d_off[1:])
@@ -178,6 +241,7 @@ def window_candidates(
     Dg = d_off[pair_win] + k // no_p  # index into d_sel
     Og = o_off[pair_win] + k % no_p  # index into o_sel
     w0 = win_starts_arr[pair_win]
+    pair_doc = win_doc[pair_win]
 
     ds_ = m_start[d_sel][Dg] - w0
     de_ = m_end[d_sel][Dg] - w0
@@ -190,29 +254,40 @@ def window_candidates(
     s_s = np.where(d_first, os_, ds_)
     s_e = np.where(d_first, oe_, de_)
 
-    # stray markers: global scan once, assigned to the window that fully
+    # stray markers: per-doc scan, assigned to the window that fully
     # contains the match (matches of @[A-Za-z]+\$ cannot overlap, so the
-    # global non-overlapping scan finds every per-window match; a match
+    # non-overlapping scan finds every per-window match; a match
     # straddling a boundary is in no window's slice — also reference
     # behavior)
     stray_w = np.zeros(W, dtype=bool)
-    for mm in _MARKER_RE.finditer(text):
-        wm = int(np.searchsorted(win_starts_arr, mm.start(), side="right")) - 1
-        if 0 <= wm and mm.start() >= win_starts_arr[wm] and mm.end() <= win_ends_arr[wm]:
-            stray_w[wm] = True
+    for d, text in enumerate(texts):
+        o = int(off[d])
+        for mm in _MARKER_RE.finditer(text):
+            gs = mm.start() + o
+            wm = int(np.searchsorted(win_starts_arr, gs, side="right")) - 1
+            if (
+                0 <= wm
+                and gs >= win_starts_arr[wm]
+                and mm.end() + o <= win_ends_arr[wm]
+            ):
+                stray_w[wm] = True
     stray_p = stray_w[pair_win]
     fast = disjoint & ~stray_p
     gap_len = np.where(fast, s_s - f_e, -1).astype(np.int32)
 
     # double-space check on [f_e, s_s) without building the slice: the
-    # \n/\t scrub is 1:1, so GLOBAL double-space positions of the scrubbed
-    # doc line up with per-window ones (a double space is countable iff
-    # f_e <= p <= s_s-2, and s_s-2+w0 <= w_end-2, so boundary-straddling
-    # runs can never be counted — same as the per-window slice scan)
+    # \n/\t scrub is 1:1, so joined-scrub double-space positions line up
+    # with per-window ones (a double space is countable iff
+    # f_e <= p <= s_s-2, and s_s-2+w0 <= w_end-2, so boundary/separator
+    # runs can never be counted — same as the per-window slice scan; the
+    # 'X' separator matches the +1 offset slots and can't extend a run)
     gap_clean = np.zeros(total, dtype=bool)
+    scrub_join = None
     if fast.any():
-        doc_scrub = text.replace("\n", " ").replace("\t", " ")
-        dsp = _double_space_positions(doc_scrub)
+        scrub_join = "X".join(
+            t.replace("\n", " ").replace("\t", " ") for t in texts
+        )
+        dsp = _double_space_positions(scrub_join)
         if len(dsp):
             cnt = np.searchsorted(dsp, s_s + w0 - 2, side="right") - np.searchsorted(
                 dsp, f_e + w0, side="left"
@@ -232,16 +307,24 @@ def window_candidates(
         w = int(pair_win[i])
         cached = win_cache.get(w)
         if cached is None:
-            wt = text[int(win_starts_arr[w]) : int(win_ends_arr[w])]
-            cached = (wt, wt.replace("\n", " ").replace("\t", " "))
+            d = int(win_doc[w])
+            o = int(off[d])
+            ws_l = int(win_starts_arr[w]) - o
+            we_l = int(win_ends_arr[w]) - o
+            wt = texts[d][ws_l:we_l]
+            if scrub_join is not None:
+                wsr = scrub_join[int(win_starts_arr[w]) : int(win_ends_arr[w])]
+            else:
+                wsr = wt.replace("\n", " ").replace("\t", " ")
+            cached = (wt, wsr, ws_l)
             win_cache[w] = cached
-        win_text, win_scrub = cached
+        win_text, win_scrub, ws_l = cached
         di = int(d_sel[Dg[i]])
         oi = int(o_sel[Og[i]])
         if disjoint[i]:
             for mi in (di, oi):
                 if m_marker[mi] is None:
-                    m_marker[mi] = "@" + mentions[mi][1] + "$"
+                    m_marker[mi] = "@" + flat_mentions[mi][1] + "$"
             fs, fe, ss, se = int(f_s[i]), int(f_e[i]), int(s_s[i]), int(s_e[i])
             f_m = m_marker[di] if d_first[i] else m_marker[oi]
             s_m = m_marker[oi] if d_first[i] else m_marker[di]
@@ -251,17 +334,22 @@ def window_candidates(
                 gap_arr[i] = inner
         else:  # overlapping spans: exact reference slicing
             masked_arr[i] = mask_window(
-                win_text, int(win_starts_arr[w]), mentions[di], mentions[oi]
+                win_text, ws_l, flat_mentions[di], flat_mentions[oi]
             )
 
-    ment_id = np.fromiter((m[0] for m in mentions), dtype=object, count=M)
-    ment_text = np.fromiter((m[4] for m in mentions), dtype=object, count=M)
+    ment_id = np.fromiter((m[0] for m in flat_mentions), dtype=object, count=M)
+    ment_text = np.fromiter((m[4] for m in flat_mentions), dtype=object, count=M)
     ment_rel = np.fromiter(
-        ((m[1] + "-Drug") for m in mentions), dtype=object, count=M
+        ((m[1] + "-Drug") for m in flat_mentions), dtype=object, count=M
     )
-    return {
-        "win_idx": pair_win.astype(np.int32),
-        "cand_idx": np.arange(total, dtype=np.int64),
+    doc_pair_first = np.zeros(nD, np.int64)
+    pairs_per_doc = np.bincount(
+        win_doc, weights=npairs_w, minlength=nD
+    ).astype(np.int64)
+    np.cumsum(pairs_per_doc[:-1], out=doc_pair_first[1:])
+    cols = {
+        "win_idx": (pair_win - doc_first_win[pair_doc]).astype(np.int32),
+        "cand_idx": np.arange(total, dtype=np.int64) - doc_pair_first[pair_doc],
         "rel_type": ment_rel[o_sel][Og],
         "subj_id": ment_id[d_sel][Dg],
         "subj_text": ment_text[d_sel][Dg],
@@ -272,3 +360,4 @@ def window_candidates(
         "gap_len": gap_len,
         "gap_clean": gap_clean,
     }
+    return cols, pairs_per_doc

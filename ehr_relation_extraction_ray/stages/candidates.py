@@ -25,7 +25,7 @@ import ray.data
 
 from ..functions.chunking import char_windows, split_points
 from ..functions.ner import detect_mentions
-from ..functions.pairs import window_candidates
+from ..functions.pairs import window_candidates, window_candidates_batch
 from ..functions.tokenize import token_spans
 from ..lexicon import (
     DEFAULT_LEXICON,
@@ -87,7 +87,12 @@ class CandidateGenerator:
                 # batch-level failure must not defeat per-doc quarantine:
                 # fall back to the per-doc regex path under the guard
                 found = None
-        chunks: List[Dict[str, "np.ndarray"]] = []
+        # per-doc prep (guarded): mentions + windows; the pair grid itself
+        # runs ONCE for the whole batch (window_candidates_batch)
+        kept_ids: List = []
+        kept_texts: List[str] = []
+        kept_windows: List = []
+        kept_mentions: List = []
         for row, (doc_id, text) in enumerate(
             zip(batch["doc_id"].to_pylist(), texts)
         ):
@@ -110,28 +115,59 @@ class CandidateGenerator:
                     starts, ends = token_spans(text)
                 split = split_points(text, starts, max_len=self.max_len)
                 windows = char_windows(text, split, ends)
-                doc_cols = window_candidates(
-                    text,
-                    windows,
-                    mentions,
+                kept_ids.append(doc_id)
+                kept_texts.append(text)
+                kept_windows.append(windows)
+                kept_mentions.append(mentions)
+
+        cols = None
+        if kept_ids:
+            try:
+                cols, ppd = window_candidates_batch(
+                    kept_texts,
+                    kept_windows,
+                    kept_mentions,
                     max_pairs_per_window=self.max_pairs,
                     emit_masked=self.emit_masked,
                 )
-                n = len(doc_cols["cand_idx"])
-                if not n:
-                    continue
-                doc_cols["doc_id"] = np.full(n, doc_id, dtype=object)
-                chunks.append(doc_cols)
+                cols["doc_id"] = np.repeat(
+                    np.asarray(kept_ids, dtype=object), ppd
+                )
+            except Exception:
+                # a batch-level failure (e.g. one doc over the pair cap)
+                # must not defeat per-doc quarantine: per-doc fallback
+                cols = None
+        if cols is None and kept_ids:
+            chunks: List[Dict[str, "np.ndarray"]] = []
+            for doc_id, text, windows, mentions in zip(
+                kept_ids, kept_texts, kept_windows, kept_mentions
+            ):
+                with self.quarantine.guard(doc_id):
+                    doc_cols = window_candidates(
+                        text,
+                        windows,
+                        mentions,
+                        max_pairs_per_window=self.max_pairs,
+                        emit_masked=self.emit_masked,
+                    )
+                    n = len(doc_cols["cand_idx"])
+                    if not n:
+                        continue
+                    doc_cols["doc_id"] = np.full(n, doc_id, dtype=object)
+                    chunks.append(doc_cols)
+            cols = (
+                {
+                    f.name: np.concatenate([c[f.name] for c in chunks])
+                    for f in CANDIDATES
+                }
+                if chunks
+                else None
+            )
         self.quarantine.flush()
-        if not chunks:
+        if cols is None or len(cols["cand_idx"]) == 0:
             arrays = [pa.array([], f.type) for f in CANDIDATES]
         else:
-            arrays = [
-                pa.array(
-                    np.concatenate([c[f.name] for c in chunks]), f.type
-                )
-                for f in CANDIDATES
-            ]
+            arrays = [pa.array(cols[f.name], f.type) for f in CANDIDATES]
         return pa.Table.from_arrays(arrays, schema=CANDIDATES)
 
 
