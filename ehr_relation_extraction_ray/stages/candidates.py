@@ -26,7 +26,7 @@ import ray.data
 from ..functions.chunking import char_windows, split_points
 from ..functions.ner import detect_mentions
 from ..functions.pairs import window_candidates, window_candidates_batch
-from ..functions.tokenize import token_spans
+from ..functions.tokenize import token_spans, token_spans_batch
 from ..lexicon import (
     DEFAULT_LEXICON,
     DictMatcher,
@@ -87,11 +87,12 @@ class CandidateGenerator:
                 # batch-level failure must not defeat per-doc quarantine:
                 # fall back to the per-doc regex path under the guard
                 found = None
-        # per-doc prep (guarded): mentions + windows; the pair grid itself
-        # runs ONCE for the whole batch (window_candidates_batch)
+        # per-doc prep (guarded): mentions first, then windows; docs with
+        # no mentions are dropped BEFORE tokenization so the batch passes
+        # only pay for docs that can emit pairs. The pair grid itself runs
+        # ONCE for the whole batch (window_candidates_batch).
         kept_ids: List = []
         kept_texts: List[str] = []
-        kept_windows: List = []
         kept_mentions: List = []
         for row, (doc_id, text) in enumerate(
             zip(batch["doc_id"].to_pylist(), texts)
@@ -105,6 +106,21 @@ class CandidateGenerator:
                 )
                 if not mentions:
                     continue
+                kept_ids.append(doc_id)
+                kept_texts.append(text)
+                kept_mentions.append(mentions)
+
+        spans_batch = (
+            token_spans_batch(kept_texts) if self.tokenizer is None else None
+        )
+        kept2_ids: List = []
+        kept2_texts: List[str] = []
+        kept2_windows: List = []
+        kept2_mentions: List = []
+        for row, (doc_id, text, mentions) in enumerate(
+            zip(kept_ids, kept_texts, kept_mentions)
+        ):
+            with self.quarantine.guard(doc_id):
                 if self.tokenizer is not None:
                     from ..functions.wordpiece import model_token_spans
 
@@ -112,13 +128,15 @@ class CandidateGenerator:
                         text, self.tokenizer, self.is_bert_tokenizer
                     )
                 else:
-                    starts, ends = token_spans(text)
+                    starts, ends = spans_batch[row]
                 split = split_points(text, starts, max_len=self.max_len)
                 windows = char_windows(text, split, ends)
-                kept_ids.append(doc_id)
-                kept_texts.append(text)
-                kept_windows.append(windows)
-                kept_mentions.append(mentions)
+                kept2_ids.append(doc_id)
+                kept2_texts.append(text)
+                kept2_windows.append(windows)
+                kept2_mentions.append(mentions)
+        kept_ids, kept_texts = kept2_ids, kept2_texts
+        kept_windows, kept_mentions = kept2_windows, kept2_mentions
 
         cols = None
         if kept_ids:
