@@ -225,6 +225,11 @@ class DictMatcher:
             self.plan.append((ent_type, None))
 
         self._tables: Dict[int, tuple] = {}
+        # position-only power tables, grown lazily in _scan_chunk
+        import numpy as _np
+
+        self._ppow_cache = _np.empty(0, dtype=_np.uint64)
+        self._pinv_cache = _np.empty(0, dtype=_np.uint64)
         raw: Dict[int, Dict[int, list]] = {}
         # plan position per fast type (output/sort order)
         self._type_pos: Dict[str, int] = {
@@ -337,17 +342,26 @@ class DictMatcher:
             return
         # segmented position-independent word hash via ONE prefix sum:
         # sum(b_j * P^j) over the word, rebased by P^-start, then
-        # length-folded (must equal _word_hash_bytes)
+        # length-folded (must equal _word_hash_bytes). The P^j / P^-j
+        # power tables depend only on POSITION, so they are computed once
+        # per matcher instance (grown to the largest chunk seen) and
+        # sliced per chunk — two fewer cumprod allocations per chunk,
+        # which matters under 32-way concurrency.
         with np.errstate(over="ignore"):
             P = np.uint64(_POLY)
-            ppow = np.full(N, P, dtype=np.uint64)
-            ppow[0] = 1
-            np.cumprod(ppow, out=ppow)
+            if len(self._ppow_cache) < N:
+                ppow = np.full(N, P, dtype=np.uint64)
+                ppow[0] = 1
+                np.cumprod(ppow, out=ppow)
+                pinv_tab = np.full(N, np.uint64(_POLY_INV), dtype=np.uint64)
+                pinv_tab[0] = 1
+                np.cumprod(pinv_tab, out=pinv_tab)
+                self._ppow_cache = ppow
+                self._pinv_cache = pinv_tab
+            ppow = self._ppow_cache[:N]
+            pinv_tab = self._pinv_cache
             pref = np.zeros(N + 1, dtype=np.uint64)
             np.cumsum(arr.astype(np.uint64) * ppow, out=pref[1:])
-            pinv_tab = np.full(N, np.uint64(_POLY_INV), dtype=np.uint64)
-            pinv_tab[0] = 1
-            np.cumprod(pinv_tab, out=pinv_tab)
             seg = pref[w_end] - pref[w_start]
             wh = seg * pinv_tab[w_start]
             wh = wh * P + (w_end - w_start).astype(np.uint64)
