@@ -1155,17 +1155,19 @@ def pagerank_distributed(
 ) -> pd.DataFrame:
     """Distributed-rounds weighted PageRank — same spec (and bit-identical
     output) as :func:`pagerank` over :func:`edge_weights`, but the edge set
-    stays in the object store: each round broadcasts the V-sized rank
-    vector (``ray.put`` once per round, ``bget``-cached per worker) and one
-    zero-shuffle ``map_batches`` pass over the dst-partitioned edges emits
-    per-dst contribution totals (dst-complete inside each block, rows
-    pre-sorted (subj, obj), so every dst's float accumulation order equals
-    the driver path's ``np.add.at`` over the canonical edge list). Driver
-    work per round is placing V contribution values + the dangling scalar —
-    output-sized, never E-sized."""
+    stays in the object store: the dst-partitioned edge blocks pin ONCE as
+    Arrow object refs, then each round broadcasts the V-sized rank vector
+    (``ray.put`` once per round) and runs one raw Ray task per block
+    (functions/rounds — a fixed-point loop re-reading the same blocks is
+    the one shape the Dataset API can't express without paying a full
+    executor launch per round). Partials return in block order, so every
+    dst's float accumulation order equals the driver path's ``np.add.at``
+    over the canonical edge list (blocks dst-complete, rows pre-sorted
+    (subj, obj)). Driver work per round is placing V contribution values +
+    the dangling scalar — output-sized, never E-sized."""
     import numpy as np
 
-    from ..functions.broadcast import bget
+    from ..functions import rounds
 
     edges_int, nodes, out_w = _int_edges_by_dst(triples, num_partitions)
     n = len(nodes)
@@ -1174,31 +1176,27 @@ def pagerank_distributed(
             {"node": pd.Series([], dtype=str), "rank": pd.Series([], dtype="float64")}
         )
     rank = np.full(n, 1.0 / n)
-    out_w_ref = ray.put(out_w)  # broadcast ONCE, bget-cached per worker
+    out_w_ref = ray.put(out_w)  # broadcast ONCE, plasma-shared per node
+    erefs = rounds.block_refs(edges_int)
+
+    def round_fn(t: pa.Table, r: np.ndarray, ow: np.ndarray) -> pa.Table:
+        src = np.asarray(t["src"])
+        dst = np.asarray(t["dst"])
+        w = np.asarray(t["w"])
+        vals = r[src] * w / ow[src]
+        ud, inv = np.unique(dst, return_inverse=True)
+        c = np.zeros(len(ud))
+        np.add.at(c, inv, vals)
+        return pa.table({"dst": pa.array(ud, pa.int64()), "c": pa.array(c)})
+
     for _ in range(iters):
         rref = ray.put(rank)
-
-        def round_fn(t: pa.Table, _rref=rref, _oref=out_w_ref) -> pa.Table:
-            r = bget(_rref)
-            ow = bget(_oref)
-            src = np.asarray(t["src"])
-            dst = np.asarray(t["dst"])
-            w = np.asarray(t["w"])
-            vals = r[src] * w / ow[src]
-            ud, inv = np.unique(dst, return_inverse=True)
-            c = np.zeros(len(ud))
-            np.add.at(c, inv, vals)
-            return pa.table({"dst": pa.array(ud, pa.int64()), "c": pa.array(c)})
-
-        parts = edges_int.map_batches(
-            round_fn, batch_format="pyarrow", batch_size=None
-        ).to_pandas()
         contrib = np.zeros(n)
-        if not parts.empty:
+        for part in rounds.round_map(erefs, round_fn, rref, out_w_ref):
             np.add.at(
                 contrib,
-                parts["dst"].to_numpy(dtype=np.int64),
-                parts["c"].to_numpy(dtype=np.float64),
+                np.asarray(part["dst"], dtype=np.int64),
+                np.asarray(part["c"], dtype=np.float64),
             )
         dangling = rank[out_w == 0].sum()
         rank = (1.0 - damping) / n + damping * (contrib + dangling / n)
@@ -1210,15 +1208,15 @@ def label_propagation_distributed(
 ) -> pd.DataFrame:
     """Distributed-rounds synchronous weighted label propagation — same
     spec (and bit-identical output: integer vote weights are exact under
-    any merge order) as :func:`label_propagation`. Per round: broadcast the
-    V-sized label vector, one zero-shuffle ``map_batches`` pass over the
-    materialized int edges emits per-batch (dst, lab, w) vote partials
-    (undirected: each edge votes both ways), driver merges the
-    (labels-per-node)-bounded partial table and applies the deterministic
-    smallest-label-wins argmax."""
+    any merge order) as :func:`label_propagation`. The int edge blocks pin
+    ONCE as object refs; per round: broadcast the V-sized label vector and
+    run one raw Ray task per block (functions/rounds) emitting per-block
+    (dst, lab, w) vote partials (undirected: each edge votes both ways);
+    the driver merges the (labels-per-node)-bounded partial table and
+    applies the deterministic smallest-label-wins argmax."""
     import numpy as np
 
-    from ..functions.broadcast import bget
+    from ..functions import rounds
 
     edges_int, nodes, _out_w = _int_edges_by_dst(triples, num_partitions)
     n = len(nodes)
@@ -1227,29 +1225,28 @@ def label_propagation_distributed(
             {"node": pd.Series([], dtype=str), "community": pd.Series([], dtype=str)}
         )
     labels = np.arange(n, dtype=np.int64)
+    erefs = rounds.block_refs(edges_int)
+
+    def votes_fn(t: pa.Table, lab: np.ndarray) -> pa.Table:
+        src = np.asarray(t["src"])
+        dst = np.asarray(t["dst"])
+        w = np.asarray(t["w"]).astype(np.int64)
+        vd = np.concatenate([dst, src])  # undirected voting
+        vl = np.concatenate([lab[src], lab[dst]])
+        vw = np.concatenate([w, w])
+        df = (
+            pd.DataFrame({"dst": vd, "lab": vl, "w": vw})
+            .groupby(["dst", "lab"], as_index=False)["w"]
+            .sum()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     for _ in range(iters):
         lref = ray.put(labels)
-
-        def votes_fn(t: pa.Table, _lref=lref) -> pa.Table:
-            lab = bget(_lref)
-            src = np.asarray(t["src"])
-            dst = np.asarray(t["dst"])
-            w = np.asarray(t["w"]).astype(np.int64)
-            vd = np.concatenate([dst, src])  # undirected voting
-            vl = np.concatenate([lab[src], lab[dst]])
-            vw = np.concatenate([w, w])
-            df = (
-                pd.DataFrame({"dst": vd, "lab": vl, "w": vw})
-                .groupby(["dst", "lab"], as_index=False)["w"]
-                .sum()
-            )
-            return pa.Table.from_pandas(df, preserve_index=False)
-
-        parts = edges_int.map_batches(
-            votes_fn, batch_format="pyarrow", batch_size=None
-        ).to_pandas()
-        if parts.empty:
+        tabs = [t for t in rounds.round_map(erefs, votes_fn, lref) if len(t)]
+        if not tabs:
             break
+        parts = pa.concat_tables(tabs).to_pandas()
         votes = (
             parts.groupby(["dst", "lab"], as_index=False)["w"]
             .sum()
@@ -1402,10 +1399,12 @@ def personalized_pagerank_distributed(
     bit-identical output, same argument as :func:`pagerank_distributed`:
     dst-partition-complete contribution blocks, rows pre-sorted
     (subj, obj)) as :func:`personalized_pagerank`. Restart and dangling
-    mass both return to the seed; the edge set never collects."""
+    mass both return to the seed; the edge set never collects — blocks pin
+    once as object refs and each round is one raw task per block
+    (functions/rounds, same shape as :func:`pagerank_distributed`)."""
     import numpy as np
 
-    from ..functions.broadcast import bget
+    from ..functions import rounds
 
     edges_int, nodes, out_w = _int_edges_by_dst(triples, num_partitions)
     n = len(nodes)
@@ -1418,24 +1417,26 @@ def personalized_pagerank_distributed(
     rank = np.zeros(n)
     rank[s] = 1.0
     out_w_ref = ray.put(out_w)
+    erefs = rounds.block_refs(edges_int)
+
+    def round_fn(t: pa.Table, r: np.ndarray, ow: np.ndarray) -> pa.Table:
+        src = np.asarray(t["src"])
+        dst = np.asarray(t["dst"])
+        w = np.asarray(t["w"])
+        vals = r[src] * w / ow[src]
+        ud, inv = np.unique(dst, return_inverse=True)
+        c = np.zeros(len(ud))
+        np.add.at(c, inv, vals)
+        return pa.table({"dst": pa.array(ud, pa.int64()), "c": pa.array(c)})
+
     for _ in range(iters):
         rref = ray.put(rank)
-
-        def round_fn(t: pa.Table, _rref=rref, _oref=out_w_ref) -> pa.Table:
-            r = bget(_rref)
-            ow = bget(_oref)
-            src = np.asarray(t["src"])
-            dst = np.asarray(t["dst"])
-            w = np.asarray(t["w"])
-            vals = r[src] * w / ow[src]
-            ud, inv = np.unique(dst, return_inverse=True)
-            c = np.zeros(len(ud))
-            np.add.at(c, inv, vals)
-            return pa.table({"dst": pa.array(ud, pa.int64()), "c": pa.array(c)})
-
-        parts = edges_int.map_batches(
-            round_fn, batch_format="pyarrow", batch_size=None
-        ).to_pandas()
+        tabs = [t for t in rounds.round_map(erefs, round_fn, rref, out_w_ref) if len(t)]
+        parts = (
+            pa.concat_tables(tabs).to_pandas()
+            if tabs
+            else pd.DataFrame({"dst": [], "c": []})
+        )
         contrib = np.zeros(n)
         if not parts.empty:
             np.add.at(
