@@ -61,6 +61,12 @@ def block_refs(ds: "ray.data.Dataset") -> list:
     return [r for r, n in zip(refs, lens) if n]
 
 
+def ref_lens(refs: list) -> list:
+    """Row counts of block refs without fetching the blocks (one tiny
+    task each) — used to retire emptied blocks between peel rounds."""
+    return ray.get([_block_len.remote(r) for r in refs])
+
+
 def round_map(refs: list, fn: Callable, *args: Any) -> list:
     """One round: fn(block, *args) per block ref; results in block order.
 

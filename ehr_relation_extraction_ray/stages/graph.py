@@ -1270,16 +1270,25 @@ def kcore_distributed(
 ) -> "ray.data.Dataset":
     """Dataset-in / Dataset-out k-core decomposition (Matula/Beck peel)
     with partition-parallel degree recompute per round — the open-node-
-    space path promised by :func:`kcore`'s docstring. Per round:
+    space path promised by :func:`kcore`'s docstring.
 
-    1. hub-keyed partition pass over the live directed edges computes each
-       node's exact distinct-neighbor degree locally (a hub's rows are
-       partition-complete) — no global dedup shuffle needed;
-    2. only the nodes peeling at the current k cross to the driver (they
-       are the output), and their set broadcasts via ``ray.put``;
-    3. a second hub-keyed partition pass drops edges touching peeled
-       nodes and emits an orphan marker for any surviving hub whose
-       spokes ALL peeled (its core number is k — it died this round).
+    The directed edge set hub-partitions ONCE (groupby_partition: a hub's
+    rows land wholly in one partition), then the live blocks pin as Arrow
+    object refs and every peel round is raw Ray tasks over them
+    (functions/rounds — the peel loop re-reads the same shrinking blocks
+    dozens of times, the shape the Dataset API can't express without a
+    full executor launch per pass; the map_batches version here paid TWO
+    hash shuffles per round). Per round:
+
+    1. one task per block computes each hub's exact distinct-neighbor
+       degree locally (hub rows are block-complete; filtering preserves
+       that) — only the (node, deg) partials cross to the driver;
+    2. nodes peeling at the current k (they are the output) broadcast
+       back via ``ray.put``;
+    3. one task per block drops edges touching peeled nodes, RETURNS the
+       new block to the object store (never the driver), and reports
+       orphaned hubs — surviving hubs whose spokes all peeled: their core
+       number is k — plus the kept-row count so empty blocks retire.
 
     Core numbers are unique regardless of peel order, so the result is
     identical to the driver-path :func:`kcore`. Edge state stays in the
@@ -1287,12 +1296,10 @@ def kcore_distributed(
     """
     import numpy as np
 
-    from ..functions.broadcast import bget
+    from ..functions import rounds
     from ..functions.partitioning import groupby_partition
 
-    dir_schema = pa.schema(
-        [("hub", pa.string()), ("spoke", pa.string()), ("orphan", pa.bool_())]
-    )
+    dir_schema = pa.schema([("hub", pa.string()), ("spoke", pa.string())])
 
     def to_directed(t: pa.Table) -> pa.Table:
         a = np.asarray(t[a_col].combine_chunks().cast(pa.string()), dtype=object)
@@ -1303,79 +1310,59 @@ def kcore_distributed(
             {
                 "hub": pa.array(np.concatenate([a, b]), pa.string()),
                 "spoke": pa.array(np.concatenate([b, a]), pa.string()),
-                "orphan": pa.array([False] * (2 * len(a)), pa.bool_()),
             }
         )
 
-    alive = edges.map_batches(
-        to_directed, batch_format="pyarrow"
+    alive = groupby_partition(
+        edges.map_batches(to_directed, batch_format="pyarrow"),
+        "hub",
+        lambda df: df.astype({"hub": str, "spoke": str}),
+        num_partitions=num_partitions,
+        batch_format="pandas",
+        schema=dir_schema,
     ).materialize()
+    refs = rounds.block_refs(alive)
 
-    deg_schema = pa.schema([("node", pa.string()), ("deg", pa.int64())])
-
-    def deg_pass(df: "pd.DataFrame") -> "pd.DataFrame":
-        out = (
+    def deg_pass(t: pa.Table) -> "pd.DataFrame":
+        df = t.to_pandas()
+        return (
             df.groupby("hub", sort=False)["spoke"]
             .nunique()
             .reset_index()
             .rename(columns={"hub": "node", "spoke": "deg"})
         )
-        return out.astype({"node": str, "deg": "int64"})
+
+    def filter_pass(t: pa.Table, peeled: set) -> tuple:
+        df = t.to_pandas()
+        hub_ok = ~df["hub"].isin(peeled)
+        kept = df[hub_ok & ~df["spoke"].isin(peeled)]
+        orphans = np.setdiff1d(
+            df.loc[hub_ok, "hub"].unique(), kept["hub"].unique()
+        )
+        return (
+            pa.Table.from_pandas(kept.reset_index(drop=True), preserve_index=False),
+            list(orphans),
+        )
 
     core: dict = {}
     k = 0
-    while True:
-        deg = groupby_partition(
-            alive,
-            "hub",
-            deg_pass,
-            num_partitions=num_partitions,
-            batch_format="pandas",
-            schema=deg_schema,
-        ).materialize()
-        if deg.count() == 0:
+    while refs:
+        deg = pd.concat(rounds.round_map(refs, deg_pass), ignore_index=True)
+        if deg.empty:
             break
-        mind = deg.min("deg")
+        mind = int(deg["deg"].min())
         if mind > k:
-            k = int(mind)
-        peel = deg.filter(expr=f"deg <= {k}").to_pandas()
-        for v in peel["node"]:
+            k = mind
+        peel = deg.loc[deg["deg"] <= k, "node"]
+        for v in peel:
             core[v] = k
-        pref = ray.put(set(peel["node"]))
-        kk = k
-
-        def filter_pass(df: "pd.DataFrame", _pref=pref) -> "pd.DataFrame":
-            peeled = bget(_pref)
-            hub_ok = ~df["hub"].isin(peeled)
-            kept = df[hub_ok & ~df["spoke"].isin(peeled)]
-            orphans = np.setdiff1d(
-                df.loc[hub_ok, "hub"].unique(), kept["hub"].unique()
-            )
-            if len(orphans):
-                kept = pd.concat(
-                    [
-                        kept,
-                        pd.DataFrame(
-                            {"hub": orphans, "spoke": "", "orphan": True}
-                        ),
-                    ],
-                    ignore_index=True,
-                )
-            return kept.astype({"hub": str, "spoke": str, "orphan": bool})
-
-        alive = groupby_partition(
-            alive,
-            "hub",
-            filter_pass,
-            num_partitions=num_partitions,
-            batch_format="pandas",
-            schema=dir_schema,
-        ).materialize()
-        orph = alive.filter(expr="orphan == True").to_pandas()
-        if not orph.empty:
-            for v in orph["hub"]:
-                core[v] = kk
-            alive = alive.filter(expr="orphan == False").materialize()
+        pref = ray.put(set(peel))
+        refs, infos = rounds.round_update(refs, filter_pass, pref)
+        for orphans in infos:
+            for v in orphans:
+                core[v] = k
+        kept_lens = rounds.ref_lens(refs)
+        refs = [r for r, n in zip(refs, kept_lens) if n]
 
     if not core:
         out = pd.DataFrame(
