@@ -1669,15 +1669,19 @@ def betweenness_distributed(
     All k sources advance TOGETHER: dist/sigma/delta live as (V, k)
     driver matrices (V-sized = output-sized, k a constant), and each BFS
     level — forward sigma accumulation, then backward dependency
-    accumulation — is ONE ``map_batches`` pass over the materialized
-    distinct directed int edges with the current matrices broadcast, so
-    the total pass count is 2 x diameter, independent of k and of |E|.
-    Sigma counts are integers (exact under any partial-merge order);
-    delta partials are floats rounded at 6 dp like the driver path.
+    accumulation — is one raw Ray task per pinned edge block
+    (functions/rounds; the level loop re-reads the same materialized
+    distinct directed int edges with fresh broadcast matrices — paying a
+    Dataset executor launch per level would dominate), so the total pass
+    count is 2 x diameter, independent of k and of |E|. Sigma counts are
+    integers (exact under any partial-merge order); delta partials are
+    floats rounded at 6 dp like the driver path; partials merge in block
+    order, matching the map_batches path bit-for-bit.
     """
     import numpy as np
     import pyarrow.compute as pc
 
+    from ..functions import rounds
     from ..functions.broadcast import bget
     from ..functions.partitioning import groupby_partition
 
@@ -1736,6 +1740,7 @@ def betweenness_distributed(
         )
 
     edges_int = und.map_batches(double, batch_format="pyarrow").materialize()
+    erefs = rounds.block_refs(edges_int)
 
     k = min(k_sources, n)
     dist = np.full((n, k), -1, dtype=np.int64)
@@ -1746,29 +1751,27 @@ def betweenness_distributed(
 
     # forward: level-synchronous BFS, one pass per level, all sources at once
     levels = 0
+    def fwd(t: pa.Table, state: tuple) -> pa.Table:
+        d, sg, lvl = state
+        src = np.asarray(t["src"])
+        dst = np.asarray(t["dst"])
+        rows, cols = np.nonzero(d[src] == lvl)
+        if len(rows) == 0:
+            return pa.table(
+                {"cell": pa.array([], pa.int64()), "s": pa.array([], pa.float64())}
+            )
+        cell = dst[rows] * d.shape[1] + cols
+        uc, inv = np.unique(cell, return_inverse=True)
+        s = np.zeros(len(uc))
+        np.add.at(s, inv, sg[src[rows], cols])
+        return pa.table({"cell": pa.array(uc, pa.int64()), "s": pa.array(s)})
+
     while True:
         state_ref = ray.put((dist, sigma, levels))
-
-        def fwd(t: pa.Table, _ref=state_ref) -> pa.Table:
-            d, sg, lvl = bget(_ref)
-            src = np.asarray(t["src"])
-            dst = np.asarray(t["dst"])
-            rows, cols = np.nonzero(d[src] == lvl)
-            if len(rows) == 0:
-                return pa.table(
-                    {"cell": pa.array([], pa.int64()), "s": pa.array([], pa.float64())}
-                )
-            cell = dst[rows] * d.shape[1] + cols
-            uc, inv = np.unique(cell, return_inverse=True)
-            s = np.zeros(len(uc))
-            np.add.at(s, inv, sg[src[rows], cols])
-            return pa.table({"cell": pa.array(uc, pa.int64()), "s": pa.array(s)})
-
-        parts = edges_int.map_batches(
-            fwd, batch_format="pyarrow", batch_size=None
-        ).to_pandas()
-        if parts.empty:
+        tabs = [t for t in rounds.round_map(erefs, fwd, state_ref) if len(t)]
+        if not tabs:
             break
+        parts = pa.concat_tables(tabs).to_pandas()
         cell = parts["cell"].to_numpy(dtype=np.int64)
         sval = parts["s"].to_numpy()
         di, ki = cell // k, cell % k
@@ -1786,34 +1789,32 @@ def betweenness_distributed(
     # backward: dependency accumulation, one pass per level descending
     delta = np.zeros((n, k))
     bc = np.zeros(n)
+    def bwd(t: pa.Table, state: tuple) -> pa.Table:
+        d, sg, dl, L = state
+        src = np.asarray(t["src"])
+        dst = np.asarray(t["dst"])
+        # src one level above dst's predecessors: credit v=src where
+        # dist[v] == L-1 and dist[w=dst] == L
+        rows, cols = np.nonzero((d[src] == L - 1) & (d[dst] == L))
+        if len(rows) == 0:
+            return pa.table(
+                {"cell": pa.array([], pa.int64()), "s": pa.array([], pa.float64())}
+            )
+        v = src[rows]
+        w = dst[rows]
+        val = sg[v, cols] / sg[w, cols] * (1.0 + dl[w, cols])
+        cell = v * d.shape[1] + cols
+        uc, inv = np.unique(cell, return_inverse=True)
+        s = np.zeros(len(uc))
+        np.add.at(s, inv, val)
+        return pa.table({"cell": pa.array(uc, pa.int64()), "s": pa.array(s)})
+
     for lvl in range(levels, 0, -1):
         state_ref = ray.put((dist, sigma, delta, lvl))
-
-        def bwd(t: pa.Table, _ref=state_ref) -> pa.Table:
-            d, sg, dl, L = bget(_ref)
-            src = np.asarray(t["src"])
-            dst = np.asarray(t["dst"])
-            # src one level above dst's predecessors: credit v=src where
-            # dist[v] == L-1 and dist[w=dst] == L
-            rows, cols = np.nonzero((d[src] == L - 1) & (d[dst] == L))
-            if len(rows) == 0:
-                return pa.table(
-                    {"cell": pa.array([], pa.int64()), "s": pa.array([], pa.float64())}
-                )
-            v = src[rows]
-            w = dst[rows]
-            val = sg[v, cols] / sg[w, cols] * (1.0 + dl[w, cols])
-            cell = v * d.shape[1] + cols
-            uc, inv = np.unique(cell, return_inverse=True)
-            s = np.zeros(len(uc))
-            np.add.at(s, inv, val)
-            return pa.table({"cell": pa.array(uc, pa.int64()), "s": pa.array(s)})
-
-        parts = edges_int.map_batches(
-            bwd, batch_format="pyarrow", batch_size=None
-        ).to_pandas()
-        if parts.empty:
+        tabs = [t for t in rounds.round_map(erefs, bwd, state_ref) if len(t)]
+        if not tabs:
             continue
+        parts = pa.concat_tables(tabs).to_pandas()
         cell = parts["cell"].to_numpy(dtype=np.int64)
         sval = parts["s"].to_numpy()
         di, ki = cell // k, cell % k
