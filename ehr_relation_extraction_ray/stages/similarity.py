@@ -840,8 +840,13 @@ def kmeans_full(
     euclidean assignment with lowest-cell tiebreak, no RNG.
 
     Returns the (k, d) float64 centroid matrix after ``iters`` rounds.
+
+    The vector blocks pin once as Arrow object refs (functions/rounds) so
+    each Lloyd round is one raw task per block — no per-round Dataset
+    executor launch and no re-read of the input per round; partials merge
+    in block order, bit-identical to the map_batches path.
     """
-    from ..functions.broadcast import bget
+    from ..functions import rounds
 
     init = (
         vectors.filter(expr=f"{id_col} < {k}")
@@ -852,29 +857,29 @@ def kmeans_full(
         [np.asarray(v, dtype=np.float64) for v in init[vec_col]]
     )
 
+    vrefs = rounds.block_refs(vectors.materialize())
+
+    def partials(t: pa.Table, c: np.ndarray) -> pa.Table:
+        m = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()]
+        )
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin takes the LOWEST cell on ties
+        kk, dd = c.shape
+        counts = np.bincount(assign, minlength=kk).astype(np.int64)
+        sums = np.zeros((kk, dd))
+        np.add.at(sums, assign, m)
+        return pa.table(
+            {
+                "cell": pa.array(np.arange(kk, dtype=np.int64)),
+                "n": pa.array(counts),
+                "s": pa.array(list(sums), pa.list_(pa.float64())),
+            }
+        )
+
     for _ in range(iters):
         cent_ref = ray.put(cent)
-
-        def partials(t: pa.Table) -> pa.Table:
-            c = bget(cent_ref)
-            m = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()]
-            )
-            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)  # argmin takes the LOWEST cell on ties
-            kk, dd = c.shape
-            counts = np.bincount(assign, minlength=kk).astype(np.int64)
-            sums = np.zeros((kk, dd))
-            np.add.at(sums, assign, m)
-            return pa.table(
-                {
-                    "cell": pa.array(np.arange(kk, dtype=np.int64)),
-                    "n": pa.array(counts),
-                    "s": pa.array(list(sums), pa.list_(pa.float64())),
-                }
-            )
-
-        p = vectors.map_batches(partials, batch_format="pyarrow").to_pandas()
+        p = pa.concat_tables(rounds.round_map(vrefs, partials, cent_ref)).to_pandas()
         kk, dd = cent.shape
         n = np.zeros(kk, dtype=np.int64)
         s = np.zeros((kk, dd))
@@ -903,31 +908,33 @@ def logreg_full_batch(
     cannot change the result because the gradient sum is exact.
 
     Returns the (d+1,) weight vector (bias last) after ``epochs`` steps.
+
+    Blocks pin once (functions/rounds): each epoch is one raw task per
+    block, no Dataset re-execution or input re-read per epoch.
     """
-    from ..functions.broadcast import bget
+    from ..functions import rounds
 
     d = len(np.asarray(vectors.limit(1).to_pandas()[vec_col].iloc[0]))
     w = np.zeros(d + 1)
+    vrefs = rounds.block_refs(vectors.materialize())
+
+    def grad(t: pa.Table, ww: np.ndarray) -> pa.Table:
+        m = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()]
+        )
+        y = (np.asarray(t[id_col]).astype(np.int64) % 2).astype(np.float64)
+        z = m @ ww[:-1] + ww[-1]
+        pr = 1.0 / (1.0 + np.exp(-z))
+        err = pr - y
+        g = np.concatenate([m.T @ err, [err.sum()]])
+        return pa.table(
+            {"g": pa.array([g], pa.list_(pa.float64())),
+             "n": pa.array([len(y)], pa.int64())}
+        )
 
     for _ in range(epochs):
         w_ref = ray.put(w)
-
-        def grad(t: pa.Table) -> pa.Table:
-            ww = bget(w_ref)
-            m = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()]
-            )
-            y = (np.asarray(t[id_col]).astype(np.int64) % 2).astype(np.float64)
-            z = m @ ww[:-1] + ww[-1]
-            pr = 1.0 / (1.0 + np.exp(-z))
-            err = pr - y
-            g = np.concatenate([m.T @ err, [err.sum()]])
-            return pa.table(
-                {"g": pa.array([g], pa.list_(pa.float64())),
-                 "n": pa.array([len(y)], pa.int64())}
-            )
-
-        p = vectors.map_batches(grad, batch_format="pyarrow").to_pandas()
+        p = pa.concat_tables(rounds.round_map(vrefs, grad, w_ref)).to_pandas()
         total_n = int(p["n"].sum())
         gsum = np.sum(np.stack([np.asarray(x) for x in p["g"]]), axis=0)
         w = w - lr * gsum / max(total_n, 1)
