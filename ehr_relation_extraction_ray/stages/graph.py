@@ -237,15 +237,17 @@ def khop(triples: "ray.data.Dataset", k: int = 3) -> pd.DataFrame:
     """K-hop neighborhood (undirected BFS) from the lexicographically
     smallest subject, over the distributed triple set.
 
-    Scale shape: the edge list NEVER collects on the driver — each BFS
-    round is one ``map_batches`` pass over the triples with the current
-    frontier broadcast (``ray.put`` once per round, per-process cached
-    ``bget``), emitting per-block distinct neighbor partials. Only the
-    discovered node set crosses to the driver, and that set is bounded
-    by the closed ontology's surface vocabulary (dimension-sized), the
-    same justification as ``edge_weights``/``pagerank``. Rounds are
-    ``<= k`` sequential passes — the classic frontier-broadcast BFS for
-    edge lists too large to hold anywhere.
+    Scale shape: the edge list NEVER collects on the driver — the triple
+    blocks pin ONCE as Arrow object refs (functions/rounds) and each BFS
+    round is one raw Ray task per block with the current frontier
+    broadcast (``ray.put`` once per round), emitting per-block distinct
+    neighbor partials. Only the discovered node set crosses to the
+    driver, and that set is bounded by the closed ontology's surface
+    vocabulary (dimension-sized), the same justification as
+    ``edge_weights``/``pagerank``. Rounds are ``<= k`` sequential passes
+    — the classic frontier-broadcast BFS for edge lists too large to
+    hold anywhere, without a Dataset executor launch (or input re-read)
+    per hop.
 
     Returns (node, hop) with hop = shortest undirected distance <= k.
     Matches a DuckDB recursive CTE over (subj<->obj) edges.
@@ -254,29 +256,35 @@ def khop(triples: "ray.data.Dataset", k: int = 3) -> pd.DataFrame:
 
     import ray
 
-    from ..functions.broadcast import bget
+    from ..functions import rounds
 
     seed = triples.min("subj")
     if seed is None:
         return pd.DataFrame(
             {"node": pd.Series([], dtype=str), "hop": pd.Series([], dtype="int64")}
         )
+    erefs = rounds.block_refs(
+        triples.map_batches(
+            lambda t: t.select(["subj", "obj"]), batch_format="pyarrow"
+        ).materialize()
+    )
     dist: dict[str, int] = {seed: 0}
     frontier = [seed]
+
+    def expand(t: pa.Table, front: list) -> pa.Table:
+        fset = pa.array(front, type=pa.string())
+        fwd = t.filter(pc.is_in(t["subj"], value_set=fset))["obj"]
+        rev = t.filter(pc.is_in(t["obj"], value_set=fset))["subj"]
+        chunks = [*fwd.chunks, *rev.chunks] or [pa.array([], pa.string())]
+        nodes = pc.unique(pa.chunked_array(chunks))
+        return pa.table({"node": nodes.cast(pa.string())})
+
     for hop in range(1, k + 1):
         fref = ray.put(sorted(frontier))
-
-        def expand(t: pa.Table, _fref=fref) -> pa.Table:
-            fset = pa.array(bget(_fref), type=pa.string())
-            fwd = t.filter(pc.is_in(t["subj"], value_set=fset))["obj"]
-            rev = t.filter(pc.is_in(t["obj"], value_set=fset))["subj"]
-            chunks = [*fwd.chunks, *rev.chunks] or [pa.array([], pa.string())]
-            nodes = pc.unique(pa.chunked_array(chunks))
-            return pa.table({"node": nodes.cast(pa.string())})
-
-        found = triples.map_batches(expand, batch_format="pyarrow").to_pandas()
-        if found.empty or "node" not in found.columns:
+        tabs = [t for t in rounds.round_map(erefs, expand, fref) if len(t)]
+        if not tabs:
             break
+        found = pa.concat_tables(tabs).to_pandas()
         new = sorted(n for n in pd.unique(found["node"]) if n not in dist)
         if not new:
             break
