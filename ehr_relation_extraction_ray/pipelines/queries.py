@@ -1229,7 +1229,9 @@ def _cooccurrence(sf_dir: str) -> pd.DataFrame:
     path = synth.transcripts_path(sf_dir)
     out = _COOC_MEMO.get(path)
     if out is None:
-        out = graph.cooccurrence_counts(_mentions(sf_dir))
+        # doc_complete: mentions blocks hold whole documents (one doc = one
+        # documents row = one detect batch), so the doc_id shuffle is skipped
+        out = graph.cooccurrence_counts(_mentions(sf_dir), doc_complete=True)
         _COOC_MEMO[path] = out
     return out
 

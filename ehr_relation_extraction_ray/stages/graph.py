@@ -335,7 +335,9 @@ def triangles(edges: pd.DataFrame, a_col: str = "ent_a", b_col: str = "ent_b") -
     return out.sort_values("node").reset_index(drop=True)
 
 
-def cooccurrence_counts(ment: "ray.data.Dataset") -> pd.DataFrame:
+def cooccurrence_counts(
+    ment: "ray.data.Dataset", doc_complete: bool = False
+) -> pd.DataFrame:
     """Document-level entity co-occurrence counts from a mentions Dataset.
 
     One hash-partition pass keyed on doc_id (groupby_partition: a doc's
@@ -346,6 +348,15 @@ def cooccurrence_counts(ment: "ray.data.Dataset") -> pd.DataFrame:
     vocabulary squared, NOT by corpus size, so the driver merge is
     dimension-sized (playbook driver-partial-merge, same shape as
     edge_weights). Entities are "ent_type:surface" strings.
+
+    ``doc_complete=True`` declares the caller's invariant that every
+    block already holds whole documents (true for any mentions Dataset
+    produced by ``stages.mentions.detect`` over per-row documents: a
+    doc's mentions come from one input row, so they never straddle a
+    batch). The partition shuffle is then pure fixed cost and the same
+    partial runs as a zero-shuffle ``map_batches`` per block; integer
+    count partials make the driver merge order-invariant, so both paths
+    are exactly equal (pinned by tests/test_cooccurrence.py).
 
     Returns one frame with is_pair=True rows (ent_a < ent_b, n = co-doc
     count) and is_pair=False rows (ent_b = "", n = doc frequency).
@@ -404,9 +415,14 @@ def cooccurrence_counts(ment: "ray.data.Dataset") -> pd.DataFrame:
         [("ent_a", pa.string()), ("ent_b", pa.string()),
          ("n", pa.int64()), ("is_pair", pa.bool_())]
     )
-    parts = groupby_partition(
-        ment, "doc_id", partial, batch_format="pandas", schema=schema
-    ).to_pandas()
+    if doc_complete:
+        parts = ment.map_batches(
+            lambda df: partial(df), batch_format="pandas", batch_size=None
+        ).to_pandas()
+    else:
+        parts = groupby_partition(
+            ment, "doc_id", partial, batch_format="pandas", schema=schema
+        ).to_pandas()
     if parts.empty:
         return pd.DataFrame(
             {"ent_a": pd.Series([], dtype=str), "ent_b": pd.Series([], dtype=str),

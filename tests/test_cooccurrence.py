@@ -54,6 +54,20 @@ def test_cooccurrence_counts_match_serial():
     assert got_pairs == pairs
 
 
+def test_cooccurrence_doc_complete_path_equal():
+    # the zero-shuffle doc_complete path must equal the partitioned path
+    # exactly — valid whenever blocks hold whole documents (rows here are
+    # grouped per doc and never straddle the from_pandas block)
+    rows = [
+        (f"d{i}", t, s)
+        for i in range(15)
+        for t, s in [("Drug", "a"), ("ADE", f"r{i % 4}"), ("Form", "tab")]
+    ]
+    shuffled = graph.cooccurrence_counts(_ment_ds(rows))
+    fast = graph.cooccurrence_counts(_ment_ds(rows), doc_complete=True)
+    pd.testing.assert_frame_equal(shuffled, fast)
+
+
 def test_cooccurrence_parallelism_invariance():
     rows = [
         (f"d{i}", t, s)
