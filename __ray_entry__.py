@@ -277,9 +277,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def _transcripts_sql_path() -> str:
+    import os
+
     from ehr_relation_extraction_ray import synth
 
-    return synth.transcripts_path(SF_CORRECTNESS_DIR)
+    p = synth.transcripts_path(SF_CORRECTNESS_DIR)
+    # conversation-partitioned layout: DuckDB reads the shard glob
+    return os.path.join(p, "*.parquet") if os.path.isdir(p) else p
 
 
 def _ade_sql_path() -> str:

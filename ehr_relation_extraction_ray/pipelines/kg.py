@@ -26,6 +26,16 @@ from ..stages import assembly, candidates, canonicalize, relations
 
 
 def documents(sf_transcripts_path: str) -> "ray.data.Dataset":
+    """transcripts (file or conversation-partitioned dir) -> documents.
+
+    A directory input is the partitioned layout (a conversation never
+    spans files — synth writes it that way, as conversation-log writers
+    do at scale), so assembly takes the shuffle-free per-file path;
+    single-file input pays the one sort exchange."""
+    import os
+
+    if os.path.isdir(sf_transcripts_path):
+        return assembly.assemble_partitioned(sf_transcripts_path)
     return assembly.assemble(assembly.read_transcripts(sf_transcripts_path))
 
 
@@ -60,7 +70,19 @@ def run(
     concurrency: "Optional[int]" = None,
     dedup: bool = True,
 ) -> "ray.data.Dataset":
-    """transcripts parquet -> deduped triples Dataset (TRIPLES schema)."""
+    """transcripts parquet -> deduped triples Dataset (TRIPLES schema).
+
+    Directory input (conversation-partitioned layout) routes to
+    :func:`run_partitioned`: the per-file fused chain must keep
+    ``batch_size=None`` — a row-count batch size in a chain fused onto the
+    path-table source would bundle tasks in UPSTREAM PATH ROWS and collapse
+    the whole job into one task (the min_rows_per_bundled_input gotcha).
+    Explicit ``concurrency``/``dedup=False`` callers keep the generic
+    chain over the (sorted) single-stream assembly."""
+    import os
+
+    if os.path.isdir(transcripts_path) and concurrency is None and dedup:
+        return run_partitioned(transcripts_path, scorer_factory=scorer_factory)
     docs = documents(transcripts_path)
     cands = candidates.generate(
         docs, concurrency=concurrency, emit_masked=scorer_factory is not None

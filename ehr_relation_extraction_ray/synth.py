@@ -116,10 +116,15 @@ def generate_table(n_convs: int, seed: int = 42, hot_every: int = 97) -> pa.Tabl
     return table.select(TRANSCRIPTS.names).cast(TRANSCRIPTS)
 
 
-def _generate_to(out_dir: str, n_convs: int, shard_convs: int = 0) -> str:
+def _generate_to(
+    out_dir: str, n_convs: int, shard_convs: int = 0, shuffle_within: bool = False
+) -> str:
     """Write the table once, atomically. ``shard_convs > 0`` writes one
     parquet file per conversation chunk (parallel read at scale — a single
-    big file reads in ONE Ray task); returns the file or directory path."""
+    big file reads in ONE Ray task); returns the file or directory path.
+    ``shuffle_within`` deterministically permutes rows inside each shard so
+    the layout keeps generate_table's "input is not pre-sorted" property
+    (a conversation still never spans files — the partitioning contract)."""
     single = os.path.join(out_dir, "transcripts.parquet")
     target = out_dir if shard_convs else single
     if not os.path.exists(target if shard_convs else single) or (
@@ -132,6 +137,9 @@ def _generate_to(out_dir: str, n_convs: int, shard_convs: int = 0) -> str:
                 rows = []
                 for c in range(lo, min(lo + shard_convs, n_convs)):
                     rows.extend(conv_turns(42, c))
+                if shuffle_within:
+                    order = np.random.default_rng((42, i)).permutation(len(rows))
+                    rows = [rows[j] for j in order]
                 t = pa.Table.from_pylist(rows)
                 t = t.set_column(
                     t.schema.get_field_index("ts"),
@@ -161,7 +169,16 @@ def transcripts_path(sf_dir: str) -> str:
     """
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     n_convs = max(int(60000 * float(sf)), 10)
-    return _generate_to(f"/tmp/graft_transcripts/sf{sf}", n_convs)
+    # conversation-partitioned layout (one conv never spans files; ~64
+    # shards so the shuffle-free assembly path parallelizes), rows shuffled
+    # within each shard; identical row CONTENT to the old single-file
+    # layout (same conv_turns stream), so fixtures and oracles are unmoved
+    return _generate_to(
+        f"/tmp/graft_transcripts/sf{sf}_p",
+        n_convs,
+        shard_convs=max(5, n_convs // 64),
+        shuffle_within=True,
+    )
 
 
 def transcripts_path_n(n_convs: int) -> str:
