@@ -1147,20 +1147,22 @@ def _int_edges_by_dst(
     nodes = agg.index.to_numpy()
     out_w = agg.to_numpy(dtype=np.float64)
 
-    idx_ref = ray.put({n: i for i, n in enumerate(nodes)})
+    # nodes is SORTED (groupby index), so vectorized searchsorted is the
+    # exact inverse of the vocabulary — no per-row dict lookups
+    nodes_ref = ray.put(nodes)
 
     int_schema = pa.schema(
         [("src", pa.int64()), ("dst", pa.int64()), ("w", pa.float64())]
     )
 
     def intify(t: pa.Table) -> pa.Table:
-        idx = bget(idx_ref)
-        subj = t["subj"].to_pylist()
-        obj = t["obj"].to_pylist()
+        v = bget(nodes_ref)
+        subj = np.asarray(t["subj"].combine_chunks().cast(pa.string()), dtype=object)
+        obj = np.asarray(t["obj"].combine_chunks().cast(pa.string()), dtype=object)
         return pa.table(
             {
-                "src": pa.array([idx[s] for s in subj], pa.int64()),
-                "dst": pa.array([idx[o] for o in obj], pa.int64()),
+                "src": pa.array(np.searchsorted(v, subj), pa.int64()),
+                "dst": pa.array(np.searchsorted(v, obj), pa.int64()),
                 "w": t["n"].cast(pa.float64()),
             }
         )
