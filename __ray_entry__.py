@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_windows": q.kg_windows,
         "kg_triples": q.kg_triples,
         "kg_nodes": q.kg_nodes,
+        "kg_transe": q.kg_transe,
+        "kg_constraint_violations": q.kg_constraint_violations,
         "kg_pagerank_dist": q.kg_pagerank_dist,
         "kg_label_prop_dist": q.kg_label_prop_dist,
         "kg_kcore_dist": q.kg_kcore_dist,
@@ -1403,6 +1405,37 @@ ORDER BY node
         "kg_pagerank_dist": f"""
 SELECT node, rank FROM read_parquet('{_fixture("kg_pagerank")}')
 ORDER BY node
+""",
+        # serial fixture: independent single-process extraction + the shared
+        # deterministic TransE spec (bit-identical by the integer-coefficient
+        # gradient-partial contract, stages/graph.py)
+        "kg_transe": f"""
+SELECT kind, name, dim, value FROM read_parquet('{_fixture("kg_transe")}')
+ORDER BY kind, name, dim
+""",
+        "kg_constraint_violations": f"""
+WITH t AS (SELECT * FROM read_parquet('{_fixture("kg_triples")}')),
+drugs AS (SELECT DISTINCT subj FROM t),
+checks AS (
+  SELECT 'pred_known' AS rule, pred,
+         CASE WHEN pred IN ('Strength','Duration','Route','Form','ADE',
+                            'Dosage','Reason','Frequency') THEN 0 ELSE 1 END AS viol
+  FROM t
+  UNION ALL
+  SELECT 'self_loop', pred, CASE WHEN subj = obj THEN 1 ELSE 0 END FROM t
+  UNION ALL
+  SELECT 'strength_numeric', pred,
+         CASE WHEN NOT regexp_matches(obj, '\\d') THEN 1 ELSE 0 END
+  FROM t WHERE pred = 'Strength'
+  UNION ALL
+  SELECT 'short_obj', pred, CASE WHEN length(obj) < 4 THEN 1 ELSE 0 END FROM t
+  UNION ALL
+  SELECT 'obj_is_drug', pred,
+         CASE WHEN obj IN (SELECT subj FROM drugs) THEN 1 ELSE 0 END FROM t
+)
+SELECT rule, pred, CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(sum(viol) AS BIGINT) AS n_violations
+FROM checks GROUP BY rule, pred ORDER BY rule, pred
 """,
         "kg_label_prop_dist": f"""
 SELECT node, community FROM read_parquet('{_fixture("kg_label_prop")}')

@@ -25,6 +25,7 @@ from ..stages import (
     candidates,
     canonicalize,
     clusters,
+    constraints,
     dedupe,
     diff,
     graph,
@@ -3531,6 +3532,27 @@ def kg_pagerank_dist(sf_dir: str) -> pd.DataFrame:
     trip = _triples(sf_dir)
     out = graph.pagerank_distributed(trip)
     return out.sort_values("node").reset_index(drop=True)
+
+
+def kg_transe(sf_dir: str) -> pd.DataFrame:
+    """TransE knowledge-graph embeddings trained distributed over the
+    extracted triple set (graph.transe_train): full-batch margin-ranking
+    epochs whose gradient partials are INTEGER coefficient matrices —
+    exact under any block structure, so the output (embeddings + the
+    per-epoch loss curve) is bit-identical to the serial fixture at any
+    parallelism. Oracle: serial fixture re-running the shared spec
+    (graph.transe) on independently-extracted triples."""
+    return graph.transe_train(_triples(sf_dir))
+
+
+def kg_constraint_violations(sf_dir: str) -> pd.DataFrame:
+    """Ontology QC audit (stages/constraints.check_triples): per
+    (rule, pred) checked/violation counts over the full triple stream —
+    pred inventory, self-loops, non-numeric Strengths, truncated-span
+    short objects, attribute/drug vocabulary collisions. One zero-shuffle
+    pass with integer count partials + a broadcast drug vocabulary.
+    Oracle: the same rules in SQL over the triples fixture."""
+    return constraints.check_triples(_triples(sf_dir))
 
 
 def kg_label_prop_dist(sf_dir: str) -> pd.DataFrame:

@@ -1099,6 +1099,8 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_ivf_topk_df(vec_ids, emb, [0, 1, 2])
     if name == "kg_pagerank":
         return serial_pagerank_df(_transcript_docs(sf_dir))
+    if name == "kg_transe":
+        return serial_transe_df(_transcript_docs(sf_dir))
     if name == "kg_label_prop":
         return serial_label_prop_df(_transcript_docs(sf_dir))
     if name == "events_hll_overlap":
@@ -1180,6 +1182,18 @@ def serial_pca_df(embeddings: np.ndarray, iters: int = 100) -> pd.DataFrame:
     m = embeddings.astype(np.float64)
     cov = np.cov(m, rowvar=False, bias=True)
     return pd.DataFrame(power_iteration_table(cov, iters))
+
+
+def serial_transe_df(docs: Dict[str, str]) -> pd.DataFrame:
+    """TransE fixture: serial triples -> the shared deterministic training
+    spec (stages/graph.transe — the pagerank pattern: stages/graph owns the
+    math; this path feeds it independently-extracted triples in ONE process,
+    so a hash match proves the distributed epoch loop including its
+    integer-coefficient gradient merge)."""
+    from .stages.graph import transe
+
+    trip = serial_triples_df(docs)
+    return transe(trip[["subj", "pred", "obj"]])
 
 
 def serial_pagerank_df(docs: Dict[str, str]) -> pd.DataFrame:

@@ -1853,3 +1853,353 @@ def betweenness_distributed(
         bc += d
     bc /= max(k, 1)
     return pd.DataFrame({"node": vocab, "betweenness": np.round(bc, 6)})
+
+
+# ---------------------------------------------------------------------------
+# TransE knowledge-graph embeddings (Bordes et al. 2013, "Translating
+# Embeddings for Modeling Multi-relational Data") — the KG-native training
+# loop over the extracted triple set. Squared-L2 variant with margin ranking
+# loss and one content-addressed corrupted object per triple (the
+# kg_negative_samples spec: md5 indexing into the sorted object vocabulary
+# replaces the reference's order-dependent RNG draws, utils_re.py:237).
+#
+# Exactness contract (what makes the distributed epoch reproducible): with
+# squared-L2 distance the margin-active gradient of EVERY embedding row is a
+# ±2-integer-weighted sum of other embedding rows —
+#   d(s,p,o) = ||E_s + R_p - E_o||²,  active = margin + d_pos - d_neg > 0
+#   ∂/∂E_s = ∂/∂R_p = 2(E_o' - E_o);  ∂/∂E_o = -2(E_s + R_p - E_o);
+#   ∂/∂E_o' = 2(E_s + R_p - E_o')
+# so each block emits INTEGER coefficient partials (flat (row,col) index,
+# signed count) instead of float gradients. Integers merge exactly under any
+# block structure / arrival order; the driver then applies ONE scatter-add in
+# canonical (sorted unique) order — the distributed result is bit-identical
+# to the serial single-pass loop at any parallelism, which is what the
+# fixture oracle checks.
+
+
+def _transe_md5_idx(keys: "list[str]", n: int) -> "np.ndarray":
+    """Content-addressed vocabulary indices: md5(key)[:8] % n per key."""
+    import hashlib
+
+    import numpy as np
+
+    return np.fromiter(
+        (int(hashlib.md5(k.encode("utf-8")).hexdigest()[:8], 16) % n for k in keys),
+        dtype=np.int64,
+        count=len(keys),
+    )
+
+
+def transe_init(ents: "np.ndarray", rels: "np.ndarray", dim: int) -> "np.ndarray":
+    """Content-addressed Xavier-style init for the stacked (V+R, dim) weight
+    matrix: W[i, j] = U(-b, b), b = 6/sqrt(dim), drawn from
+    md5("<kind>|<name>|<j>") — no RNG state, reproducible at any parallelism.
+    Entity rows are L2-normalized (the TransE paper's init discipline)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    b = 6.0 / math.sqrt(dim)
+    names = [("ent", str(e)) for e in ents] + [("rel", str(r)) for r in rels]
+    W = np.empty((len(names), dim), dtype=np.float64)
+    for i, (kind, name) in enumerate(names):
+        for j in range(dim):
+            u = (
+                int(
+                    hashlib.md5(f"{kind}|{name}|{j}".encode("utf-8")).hexdigest()[:12],
+                    16,
+                )
+                / float(1 << 48)
+            )
+            W[i, j] = (2.0 * u - 1.0) * b
+    nv = len(ents)
+    if nv:
+        norms = np.linalg.norm(W[:nv], axis=1, keepdims=True)
+        W[:nv] = W[:nv] / np.where(norms == 0.0, 1.0, norms)
+    return W
+
+
+def _transe_epoch_coo(
+    s: "np.ndarray",
+    p: "np.ndarray",
+    o: "np.ndarray",
+    neg: "np.ndarray",
+    W: "np.ndarray",
+    margin: float,
+) -> "tuple[np.ndarray, np.ndarray, float]":
+    """One pass over (already int-ified) triples: the integer gradient
+    coefficients of the margin-active rows as (flat (row*n+col) index,
+    signed count) partials, plus the summed margin loss. Pure — called on
+    the full arrays by the serial path and per block by the distributed
+    path; the concatenated partials merge exactly (see module note)."""
+    import numpy as np
+
+    D = W[s] + W[p] - W[o]
+    Dn = W[s] + W[p] - W[neg]
+    viol = margin + np.einsum("ij,ij->i", D, D) - np.einsum("ij,ij->i", Dn, Dn)
+    loss = float(np.sum(np.maximum(viol, 0.0)))
+    act = viol > 0.0
+    sa, pa_, oa, na = s[act], p[act], o[act], neg[act]
+    m = len(sa)
+    if m == 0:
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int64),
+            loss,
+        )
+    two = np.full(m, 2, dtype=np.int64)
+    rows = np.concatenate([sa, sa, pa_, pa_, oa, oa, oa, na, na, na])
+    cols = np.concatenate([na, oa, na, oa, sa, pa_, oa, sa, pa_, na])
+    coef = np.concatenate(
+        [two, -two, two, -two, -two, -two, two, two, two, -two]
+    )
+    flat = rows * np.int64(W.shape[0]) + cols
+    uf, inv = np.unique(flat, return_inverse=True)
+    vals = np.zeros(len(uf), dtype=np.int64)
+    np.add.at(vals, inv, coef)
+    keep = vals != 0
+    return uf[keep], vals[keep], loss
+
+
+def _transe_step(
+    W: "np.ndarray",
+    flat_idx: "np.ndarray",
+    coef: "np.ndarray",
+    lr: float,
+    n_triples: int,
+    n_ents: int,
+) -> "np.ndarray":
+    """Apply one full-batch step from merged integer coefficient partials.
+    The float math happens HERE only, in canonical (sorted unique pair)
+    order — identical for the serial and distributed paths. The gradient
+    scatter is O(nnz × dim): nnz is bounded by distinct co-active (row,col)
+    pairs, never V² (no dense coefficient matrix is built)."""
+    import numpy as np
+
+    n_rows = W.shape[0]
+    uf, inv = np.unique(flat_idx, return_inverse=True)
+    vals = np.zeros(len(uf), dtype=np.int64)
+    np.add.at(vals, inv, coef)
+    nz = vals != 0
+    uf, vals = uf[nz], vals[nz]
+    r = uf // n_rows
+    c = uf % n_rows
+    grad = np.zeros_like(W)
+    np.add.at(grad, r, vals[:, None].astype(np.float64) * W[c])
+    W = W - lr * grad / max(n_triples, 1)
+    if n_ents:
+        norms = np.linalg.norm(W[:n_ents], axis=1, keepdims=True)
+        W[:n_ents] = W[:n_ents] / np.where(norms == 0.0, 1.0, norms)
+    return W
+
+
+def _transe_table(
+    ents: "np.ndarray",
+    rels: "np.ndarray",
+    W: "np.ndarray",
+    losses: "list[float]",
+    dim: int,
+) -> pd.DataFrame:
+    import numpy as np
+
+    nv, nr = len(ents), len(rels)
+    kind = ["ent"] * (nv * dim) + ["rel"] * (nr * dim) + ["loss"] * len(losses)
+    name = (
+        [str(e) for e in ents for _ in range(dim)]
+        + [str(r) for r in rels for _ in range(dim)]
+        + ["margin_loss"] * len(losses)
+    )
+    dims = (
+        list(np.tile(np.arange(dim), nv))
+        + list(np.tile(np.arange(dim), nr))
+        + list(range(len(losses)))
+    )
+    value = list(np.round(W.ravel(), 6)) + [round(x, 6) for x in losses]
+    out = pd.DataFrame(
+        {"kind": kind, "name": name, "dim": np.asarray(dims, dtype=np.int64),
+         "value": np.asarray(value, dtype=np.float64)}
+    )
+    return out.sort_values(["kind", "name", "dim"]).reset_index(drop=True)
+
+
+def transe(
+    spo: pd.DataFrame,
+    dim: int = 8,
+    epochs: int = 12,
+    lr: float = 0.1,
+    margin: float = 1.0,
+) -> pd.DataFrame:
+    """Serial/driver-path TransE over a distinct (subj, pred, obj) frame —
+    the shared spec the fixture oracle recomputes (the pagerank pattern:
+    stages/graph owns the deterministic math, the serial oracle feeds it
+    independently-extracted triples). Returns the long embedding table
+    (kind ent|rel|loss, name, dim, value)."""
+    import numpy as np
+
+    spo = (
+        spo[["subj", "pred", "obj"]]
+        .drop_duplicates()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    ents = np.unique(
+        np.concatenate(
+            [spo["subj"].to_numpy(dtype=object), spo["obj"].to_numpy(dtype=object)]
+        )
+    )
+    rels = np.unique(spo["pred"].to_numpy(dtype=object))
+    objs = np.unique(spo["obj"].to_numpy(dtype=object))
+    if len(spo) == 0:
+        return _transe_table(ents, rels, np.zeros((0, dim)), [], dim)
+    nv = len(ents)
+    s = np.searchsorted(ents, spo["subj"].to_numpy(dtype=object))
+    p = nv + np.searchsorted(rels, spo["pred"].to_numpy(dtype=object))
+    o = np.searchsorted(ents, spo["obj"].to_numpy(dtype=object))
+    ni = _transe_md5_idx(
+        [f"{a}|{b}|{c}" for a, b, c in zip(spo["subj"], spo["pred"], spo["obj"])],
+        len(objs),
+    )
+    hit = objs[ni] == spo["obj"].to_numpy(dtype=object)
+    ni[hit] = (ni[hit] + 1) % len(objs)
+    neg = np.searchsorted(ents, objs[ni])
+    W = transe_init(ents, rels, dim)
+    losses: "list[float]" = []
+    for _ in range(epochs):
+        flat, coef, loss = _transe_epoch_coo(s, p, o, neg, W, margin)
+        losses.append(loss)
+        W = _transe_step(W, flat, coef, lr, len(spo), nv)
+    return _transe_table(ents, rels, W, losses, dim)
+
+
+def transe_train(
+    triples: "ray.data.Dataset",
+    dim: int = 8,
+    epochs: int = 12,
+    lr: float = 0.1,
+    margin: float = 1.0,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Distributed full-batch TransE over the triple Dataset — bit-identical
+    to :func:`transe` at any parallelism (asserted by tests).
+
+    Shape: ONE subj-keyed partition pass reduces to the distinct
+    (subj, pred, obj) set (identical rows co-locate, so per-partition
+    drop_duplicates is globally exact); vocabularies come from per-block
+    distinct partials (V- and R-bounded driver merges, the
+    pagerank_distributed discipline); negatives are content-addressed at
+    intify time, once. The int-ified triple blocks pin ONCE as object refs
+    (functions/rounds — a fixed-point loop re-reading the same blocks is
+    the shape the Dataset API can't express), then every epoch broadcasts
+    the (V+R, dim) float64 weight matrix and collects INTEGER coefficient
+    partials per block, merged exactly on the driver (see module note).
+    Driver-held state is vocab-bounded — weights + nnz coefficient pairs —
+    never O(triples)."""
+    import numpy as np
+
+    from ..functions import rounds
+    from ..functions.broadcast import bget
+
+    spo_schema = pa.schema(
+        [("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string())]
+    )
+
+    def distinct_part(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates().sort_values(["subj", "pred", "obj"])
+        return pa.Table.from_pandas(df, preserve_index=False).cast(spo_schema)
+
+    reduced = groupby_partition(
+        triples.map_batches(
+            lambda t: t.select(["subj", "pred", "obj"]), batch_format="pyarrow"
+        ),
+        "subj",
+        distinct_part,
+        num_partitions=num_partitions,
+        schema=spo_schema,
+    ).materialize()
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.unique(t["subj"].combine_chunks()).cast(pa.string())
+        uo = pc.unique(t["obj"].combine_chunks()).cast(pa.string())
+        up = pc.unique(t["pred"].combine_chunks()).cast(pa.string())
+        return pa.table(
+            {
+                "name": pa.concat_arrays([us, uo, up]),
+                "kind": pa.array(
+                    ["e"] * (len(us) + len(uo)) + ["r"] * len(up), pa.string()
+                ),
+                "is_obj": pa.array(
+                    [False] * len(us) + [True] * len(uo) + [False] * len(up)
+                ),
+            }
+        )
+
+    vp = reduced.map_batches(vocab_partial, batch_format="pyarrow").to_pandas()
+    if vp.empty or "kind" not in vp.columns:
+        # empty blocks skip the UDF, losing the partial schema
+        return _transe_table(
+            np.array([], dtype=object), np.array([], dtype=object),
+            np.zeros((0, dim)), [], dim,
+        )
+    ents = np.unique(vp.loc[vp["kind"] == "e", "name"].to_numpy(dtype=object))
+    rels = np.unique(vp.loc[vp["kind"] == "r", "name"].to_numpy(dtype=object))
+    objs = np.unique(vp.loc[vp["is_obj"], "name"].to_numpy(dtype=object))
+    if len(objs) == 0:
+        return _transe_table(ents, rels, np.zeros((0, dim)), [], dim)
+    nv = len(ents)
+    ents_ref = ray.put(ents)
+    rels_ref = ray.put(rels)
+    objs_ref = ray.put(objs)
+
+    int_schema = pa.schema(
+        [("s", pa.int64()), ("p", pa.int64()), ("o", pa.int64()), ("neg", pa.int64())]
+    )
+
+    def intify(t: pa.Table) -> pa.Table:
+        ev, rv, ov = bget(ents_ref), bget(rels_ref), bget(objs_ref)
+        subj = np.asarray(t["subj"].combine_chunks().cast(pa.string()), dtype=object)
+        pred = np.asarray(t["pred"].combine_chunks().cast(pa.string()), dtype=object)
+        obj = np.asarray(t["obj"].combine_chunks().cast(pa.string()), dtype=object)
+        ni = _transe_md5_idx(
+            [f"{a}|{b}|{c}" for a, b, c in zip(subj, pred, obj)], len(ov)
+        )
+        hit = ov[ni] == obj
+        ni[hit] = (ni[hit] + 1) % len(ov)
+        return pa.table(
+            {
+                "s": pa.array(np.searchsorted(ev, subj), pa.int64()),
+                "p": pa.array(len(ev) + np.searchsorted(rv, pred), pa.int64()),
+                "o": pa.array(np.searchsorted(ev, obj), pa.int64()),
+                "neg": pa.array(np.searchsorted(ev, ov[ni]), pa.int64()),
+            }
+        )
+
+    spo_int = reduced.map_batches(
+        intify, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    erefs = rounds.block_refs(spo_int)
+    n_triples = sum(rounds.ref_lens(erefs))
+
+    def epoch_fn(t: pa.Table, W: "np.ndarray", mg: float) -> dict:
+        flat, coef, loss = _transe_epoch_coo(
+            np.asarray(t["s"], dtype=np.int64),
+            np.asarray(t["p"], dtype=np.int64),
+            np.asarray(t["o"], dtype=np.int64),
+            np.asarray(t["neg"], dtype=np.int64),
+            W,
+            mg,
+        )
+        return {"flat": flat, "coef": coef, "loss": loss}
+
+    W = transe_init(ents, rels, dim)
+    losses: "list[float]" = []
+    for _ in range(epochs):
+        wref = ray.put(W)
+        parts = rounds.round_map(erefs, epoch_fn, wref, margin)
+        flat = np.concatenate([p["flat"] for p in parts]) if parts else np.zeros(0, np.int64)
+        coef = np.concatenate([p["coef"] for p in parts]) if parts else np.zeros(0, np.int64)
+        losses.append(float(sum(p["loss"] for p in parts)))
+        W = _transe_step(W, flat, coef, lr, n_triples, nv)
+    return _transe_table(ents, rels, W, losses, dim)
