@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": q.kg_triples,
         "kg_nodes": q.kg_nodes,
         "kg_transe": q.kg_transe,
+        "kg_transe_eval": q.kg_transe_eval,
         "kg_constraint_violations": q.kg_constraint_violations,
         "kg_pagerank_dist": q.kg_pagerank_dist,
         "kg_label_prop_dist": q.kg_label_prop_dist,
@@ -1412,6 +1413,10 @@ ORDER BY node
         "kg_transe": f"""
 SELECT kind, name, dim, value FROM read_parquet('{_fixture("kg_transe")}')
 ORDER BY kind, name, dim
+""",
+        "kg_transe_eval": f"""
+SELECT metric, value FROM read_parquet('{_fixture("kg_transe_eval")}')
+ORDER BY metric
 """,
         "kg_constraint_violations": f"""
 WITH t AS (SELECT * FROM read_parquet('{_fixture("kg_triples")}')),

@@ -3545,6 +3545,16 @@ def kg_transe(sf_dir: str) -> pd.DataFrame:
     return graph.transe_train(_triples(sf_dir))
 
 
+def kg_transe_eval(sf_dir: str) -> pd.DataFrame:
+    """TransE link-prediction evaluation (Bordes 2013 'raw' setting):
+    content-addressed ~20% triple holdout, train on the rest
+    (graph.transe_train), rank each held-out true object against the full
+    trained object vocabulary — hits@{1,3,10}, mean rank, MRR from
+    per-block INTEGER rank histograms (exact merge, bit-identical to the
+    serial fixture at any parallelism)."""
+    return graph.transe_eval(_triples(sf_dir))
+
+
 def kg_constraint_violations(sf_dir: str) -> pd.DataFrame:
     """Ontology QC audit (stages/constraints.check_triples): per
     (rule, pred) checked/violation counts over the full triple stream —

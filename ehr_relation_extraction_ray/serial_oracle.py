@@ -1101,6 +1101,8 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_pagerank_df(_transcript_docs(sf_dir))
     if name == "kg_transe":
         return serial_transe_df(_transcript_docs(sf_dir))
+    if name == "kg_transe_eval":
+        return serial_transe_eval_df(_transcript_docs(sf_dir))
     if name == "kg_label_prop":
         return serial_label_prop_df(_transcript_docs(sf_dir))
     if name == "events_hll_overlap":
@@ -1194,6 +1196,17 @@ def serial_transe_df(docs: Dict[str, str]) -> pd.DataFrame:
 
     trip = serial_triples_df(docs)
     return transe(trip[["subj", "pred", "obj"]])
+
+
+def serial_transe_eval_df(docs: Dict[str, str]) -> pd.DataFrame:
+    """TransE link-prediction metrics fixture: serial triples -> the shared
+    holdout/train/rank spec (stages/graph.transe_eval_serial) in one
+    process — a hash match proves the distributed holdout split, training
+    loop AND integer rank-histogram merge."""
+    from .stages.graph import transe_eval_serial
+
+    trip = serial_triples_df(docs)
+    return transe_eval_serial(trip[["subj", "pred", "obj"]])
 
 
 def serial_pagerank_df(docs: Dict[str, str]) -> pd.DataFrame:

@@ -2023,13 +2023,43 @@ def _transe_table(
     return out.sort_values(["kind", "name", "dim"]).reset_index(drop=True)
 
 
+def _transe_negatives(
+    subj: "np.ndarray",
+    pred: "np.ndarray",
+    obj: "np.ndarray",
+    ents: "np.ndarray",
+    objs: "np.ndarray",
+    n_negs: int,
+) -> "np.ndarray":
+    """Per-triple bank of ``n_negs`` content-addressed corrupted objects
+    (md5("s|p|o|k") into the sorted object vocabulary, +1 bump on
+    self-collision — the kg_negative_samples spec). Epoch e trains against
+    column e % n_negs: cycling negatives keeps the margin active against
+    more of the candidate space than one fixed draw, with zero RNG state —
+    the draw is still a pure function of the triple."""
+    import numpy as np
+
+    n = len(subj)
+    out = np.empty((n, n_negs), dtype=np.int64)
+    for k in range(n_negs):
+        ni = _transe_md5_idx(
+            [f"{a}|{b}|{c}|{k}" for a, b, c in zip(subj, pred, obj)], len(objs)
+        )
+        hit = objs[ni] == obj
+        ni[hit] = (ni[hit] + 1) % len(objs)
+        out[:, k] = np.searchsorted(ents, objs[ni])
+    return out
+
+
 def transe(
     spo: pd.DataFrame,
     dim: int = 8,
     epochs: int = 12,
     lr: float = 0.1,
     margin: float = 1.0,
-) -> pd.DataFrame:
+    n_negs: int = 4,
+    return_raw: bool = False,
+) -> "pd.DataFrame | tuple":
     """Serial/driver-path TransE over a distinct (subj, pred, obj) frame —
     the shared spec the fixture oracle recomputes (the pagerank pattern:
     stages/graph owns the deterministic math, the serial oracle feeds it
@@ -2056,19 +2086,22 @@ def transe(
     s = np.searchsorted(ents, spo["subj"].to_numpy(dtype=object))
     p = nv + np.searchsorted(rels, spo["pred"].to_numpy(dtype=object))
     o = np.searchsorted(ents, spo["obj"].to_numpy(dtype=object))
-    ni = _transe_md5_idx(
-        [f"{a}|{b}|{c}" for a, b, c in zip(spo["subj"], spo["pred"], spo["obj"])],
-        len(objs),
+    negs = _transe_negatives(
+        spo["subj"].to_numpy(dtype=object),
+        spo["pred"].to_numpy(dtype=object),
+        spo["obj"].to_numpy(dtype=object),
+        ents,
+        objs,
+        n_negs,
     )
-    hit = objs[ni] == spo["obj"].to_numpy(dtype=object)
-    ni[hit] = (ni[hit] + 1) % len(objs)
-    neg = np.searchsorted(ents, objs[ni])
     W = transe_init(ents, rels, dim)
     losses: "list[float]" = []
-    for _ in range(epochs):
-        flat, coef, loss = _transe_epoch_coo(s, p, o, neg, W, margin)
+    for e in range(epochs):
+        flat, coef, loss = _transe_epoch_coo(s, p, o, negs[:, e % n_negs], W, margin)
         losses.append(loss)
         W = _transe_step(W, flat, coef, lr, len(spo), nv)
+    if return_raw:
+        return ents, rels, W, losses
     return _transe_table(ents, rels, W, losses, dim)
 
 
@@ -2078,8 +2111,10 @@ def transe_train(
     epochs: int = 12,
     lr: float = 0.1,
     margin: float = 1.0,
+    n_negs: int = 4,
     num_partitions: int = 16,
-) -> pd.DataFrame:
+    return_raw: bool = False,
+) -> "pd.DataFrame | tuple":
     """Distributed full-batch TransE over the triple Dataset — bit-identical
     to :func:`transe` at any parallelism (asserted by tests).
 
@@ -2139,42 +2174,36 @@ def transe_train(
     vp = reduced.map_batches(vocab_partial, batch_format="pyarrow").to_pandas()
     if vp.empty or "kind" not in vp.columns:
         # empty blocks skip the UDF, losing the partial schema
-        return _transe_table(
-            np.array([], dtype=object), np.array([], dtype=object),
-            np.zeros((0, dim)), [], dim,
-        )
+        e0 = np.array([], dtype=object)
+        if return_raw:
+            return e0, e0, np.zeros((0, dim)), []
+        return _transe_table(e0, e0, np.zeros((0, dim)), [], dim)
     ents = np.unique(vp.loc[vp["kind"] == "e", "name"].to_numpy(dtype=object))
     rels = np.unique(vp.loc[vp["kind"] == "r", "name"].to_numpy(dtype=object))
     objs = np.unique(vp.loc[vp["is_obj"], "name"].to_numpy(dtype=object))
     if len(objs) == 0:
+        if return_raw:
+            return ents, rels, np.zeros((0, dim)), []
         return _transe_table(ents, rels, np.zeros((0, dim)), [], dim)
     nv = len(ents)
     ents_ref = ray.put(ents)
     rels_ref = ray.put(rels)
     objs_ref = ray.put(objs)
 
-    int_schema = pa.schema(
-        [("s", pa.int64()), ("p", pa.int64()), ("o", pa.int64()), ("neg", pa.int64())]
-    )
-
     def intify(t: pa.Table) -> pa.Table:
         ev, rv, ov = bget(ents_ref), bget(rels_ref), bget(objs_ref)
         subj = np.asarray(t["subj"].combine_chunks().cast(pa.string()), dtype=object)
         pred = np.asarray(t["pred"].combine_chunks().cast(pa.string()), dtype=object)
         obj = np.asarray(t["obj"].combine_chunks().cast(pa.string()), dtype=object)
-        ni = _transe_md5_idx(
-            [f"{a}|{b}|{c}" for a, b, c in zip(subj, pred, obj)], len(ov)
-        )
-        hit = ov[ni] == obj
-        ni[hit] = (ni[hit] + 1) % len(ov)
-        return pa.table(
-            {
-                "s": pa.array(np.searchsorted(ev, subj), pa.int64()),
-                "p": pa.array(len(ev) + np.searchsorted(rv, pred), pa.int64()),
-                "o": pa.array(np.searchsorted(ev, obj), pa.int64()),
-                "neg": pa.array(np.searchsorted(ev, ov[ni]), pa.int64()),
-            }
-        )
+        negs = _transe_negatives(subj, pred, obj, ev, ov, n_negs)
+        cols = {
+            "s": pa.array(np.searchsorted(ev, subj), pa.int64()),
+            "p": pa.array(len(ev) + np.searchsorted(rv, pred), pa.int64()),
+            "o": pa.array(np.searchsorted(ev, obj), pa.int64()),
+        }
+        for k in range(n_negs):
+            cols[f"neg{k}"] = pa.array(negs[:, k], pa.int64())
+        return pa.table(cols)
 
     spo_int = reduced.map_batches(
         intify, batch_format="pyarrow", batch_size=None
@@ -2182,12 +2211,12 @@ def transe_train(
     erefs = rounds.block_refs(spo_int)
     n_triples = sum(rounds.ref_lens(erefs))
 
-    def epoch_fn(t: pa.Table, W: "np.ndarray", mg: float) -> dict:
+    def epoch_fn(t: pa.Table, W: "np.ndarray", mg: float, k: int) -> dict:
         flat, coef, loss = _transe_epoch_coo(
             np.asarray(t["s"], dtype=np.int64),
             np.asarray(t["p"], dtype=np.int64),
             np.asarray(t["o"], dtype=np.int64),
-            np.asarray(t["neg"], dtype=np.int64),
+            np.asarray(t[f"neg{k}"], dtype=np.int64),
             W,
             mg,
         )
@@ -2195,11 +2224,258 @@ def transe_train(
 
     W = transe_init(ents, rels, dim)
     losses: "list[float]" = []
-    for _ in range(epochs):
+    for e in range(epochs):
         wref = ray.put(W)
-        parts = rounds.round_map(erefs, epoch_fn, wref, margin)
+        parts = rounds.round_map(erefs, epoch_fn, wref, margin, e % n_negs)
         flat = np.concatenate([p["flat"] for p in parts]) if parts else np.zeros(0, np.int64)
         coef = np.concatenate([p["coef"] for p in parts]) if parts else np.zeros(0, np.int64)
         losses.append(float(sum(p["loss"] for p in parts)))
         W = _transe_step(W, flat, coef, lr, n_triples, nv)
+    if return_raw:
+        return ents, rels, W, losses
     return _transe_table(ents, rels, W, losses, dim)
+
+
+def _in_sorted(vocab: "np.ndarray", vals: "np.ndarray") -> "np.ndarray":
+    """Membership mask of vals in a SORTED object-dtype vocabulary
+    (searchsorted + equality probe; np.isin on object arrays loops)."""
+    import numpy as np
+
+    if len(vocab) == 0:
+        return np.zeros(len(vals), dtype=bool)
+    i = np.clip(np.searchsorted(vocab, vals), 0, len(vocab) - 1)
+    return vocab[i] == vals
+
+
+def _transe_rank_hist(
+    s: "np.ndarray",
+    p: "np.ndarray",
+    ti: "np.ndarray",
+    W: "np.ndarray",
+    cand_rows: "np.ndarray",
+    chunk: int = 2048,
+) -> "np.ndarray":
+    """Integer link-prediction ranks of the true object among ALL candidate
+    objects under squared-L2 TransE distance, as a bincount histogram
+    (length |cand|+1). Ties break by candidate vocabulary position — fully
+    deterministic. Candidates stream in ``chunk``-sized slices so memory is
+    O(block x chunk x dim) at any vocabulary size; the true distance is
+    EXTRACTED from its own chunk (identical elementwise ops), so equality
+    comparisons are bit-consistent. Integer histograms merge exactly across
+    blocks — the distributed eval is bit-identical to the serial one."""
+    import numpy as np
+
+    n = len(s)
+    n_cand = len(cand_rows)
+    if n == 0 or n_cand == 0:
+        return np.zeros(n_cand + 1, dtype=np.int64)
+    v = W[s] + W[p]
+    d_true = np.empty(n, dtype=np.float64)
+    for lo in range(0, n_cand, chunk):
+        hi = min(lo + chunk, n_cand)
+        sel = (ti >= lo) & (ti < hi)
+        if not sel.any():
+            continue
+        diff = v[sel][:, None, :] - W[cand_rows[lo:hi]][None, :, :]
+        d2 = (diff * diff).sum(axis=2)
+        d_true[sel] = d2[np.arange(int(sel.sum())), ti[sel] - lo]
+    rank = np.ones(n, dtype=np.int64)
+    for lo in range(0, n_cand, chunk):
+        hi = min(lo + chunk, n_cand)
+        diff = v[:, None, :] - W[cand_rows[lo:hi]][None, :, :]
+        d2 = (diff * diff).sum(axis=2)
+        rank += (d2 < d_true[:, None]).sum(axis=1)
+        idx = np.arange(lo, hi, dtype=np.int64)
+        rank += ((d2 == d_true[:, None]) & (idx[None, :] < ti[:, None])).sum(axis=1)
+    return np.bincount(rank, minlength=n_cand + 1).astype(np.int64)
+
+
+def _transe_metrics(hist: "np.ndarray", n_skipped: int) -> pd.DataFrame:
+    """Metric rows from the exact rank histogram (canonical ascending-rank
+    driver math — deterministic): raw-setting hits@k, mean rank, MRR."""
+    import numpy as np
+
+    n = int(hist.sum())
+    r = np.arange(len(hist), dtype=np.float64)
+    rows = [("n_test", float(n)), ("n_skipped", float(n_skipped))]
+    if n == 0:
+        rows += [("hits_at_1", 0.0), ("hits_at_3", 0.0), ("hits_at_10", 0.0),
+                 ("mean_rank", 0.0), ("mrr", 0.0)]
+    else:
+        mrr = 0.0
+        for k in range(1, len(hist)):
+            mrr += hist[k] / k
+        rows += [
+            ("hits_at_1", float(hist[1:2].sum()) / n),
+            ("hits_at_3", float(hist[1:4].sum()) / n),
+            ("hits_at_10", float(hist[1:11].sum()) / n),
+            ("mean_rank", float((r * hist).sum()) / n),
+            ("mrr", float(mrr) / n),
+        ]
+    out = pd.DataFrame(rows, columns=["metric", "value"])
+    out["value"] = out["value"].round(6)
+    return out.sort_values("metric").reset_index(drop=True)
+
+
+def _transe_is_test(
+    subj: "np.ndarray", pred: "np.ndarray", obj: "np.ndarray", holdout_mod: int
+) -> "np.ndarray":
+    """Content-addressed holdout mask (md5 of the triple, like the
+    hash-Bernoulli sampling that replaced the reference's order-dependent
+    RNG, utils_re.py:237): ~1/holdout_mod of the distinct triples."""
+    return _transe_md5_idx(
+        [f"{a}|{b}|{c}|holdout" for a, b, c in zip(subj, pred, obj)], holdout_mod
+    ) == 0
+
+
+def transe_eval_serial(
+    spo: pd.DataFrame,
+    dim: int = 8,
+    epochs: int = 12,
+    lr: float = 0.1,
+    margin: float = 1.0,
+    holdout_mod: int = 5,
+) -> pd.DataFrame:
+    """Serial spec of the TransE link-prediction evaluation (Bordes 2013
+    §4 'raw' setting): hold out a content-addressed ~1/holdout_mod of the
+    distinct triples, train on the rest, rank each held-out true object
+    against the full trained object vocabulary. The fixture oracle path."""
+    import numpy as np
+
+    spo = (
+        spo[["subj", "pred", "obj"]]
+        .drop_duplicates()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    subj = spo["subj"].to_numpy(dtype=object)
+    pred = spo["pred"].to_numpy(dtype=object)
+    obj = spo["obj"].to_numpy(dtype=object)
+    is_test = _transe_is_test(subj, pred, obj, holdout_mod)
+    train = spo.loc[~is_test]
+    ents, rels, W, _ = transe(
+        train, dim=dim, epochs=epochs, lr=lr, margin=margin, return_raw=True
+    )
+    cand = np.unique(train["obj"].to_numpy(dtype=object))
+    cand_rows = np.searchsorted(ents, cand)
+    ts, tp, to = subj[is_test], pred[is_test], obj[is_test]
+    ok = _in_sorted(ents, ts) & _in_sorted(rels, tp) & _in_sorted(cand, to)
+    n_skipped = int((~ok).sum())
+    s = np.searchsorted(ents, ts[ok])
+    p = len(ents) + np.searchsorted(rels, tp[ok])
+    ti = np.searchsorted(cand, to[ok])
+    hist = _transe_rank_hist(s, p, ti, W, cand_rows)
+    return _transe_metrics(hist, n_skipped)
+
+
+def transe_eval(
+    triples: "ray.data.Dataset",
+    dim: int = 8,
+    epochs: int = 12,
+    lr: float = 0.1,
+    margin: float = 1.0,
+    holdout_mod: int = 5,
+    num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Distributed TransE link-prediction evaluation — bit-identical to
+    :func:`transe_eval_serial` at any parallelism.
+
+    The holdout mask is content-addressed per distinct triple, the trained
+    weights come from :func:`transe_train` (bit-exact by the
+    integer-coefficient contract), and the eval pass is one streamed
+    ``map_batches`` over the held-out rows emitting per-block INTEGER rank
+    histograms against the broadcast (vocab-bounded) weight matrix —
+    candidate objects stream in chunks inside the kernel, so per-task
+    memory is O(batch x chunk x dim) at any vocabulary size."""
+    import numpy as np
+
+    from ..functions.broadcast import bget
+
+    spo_schema = pa.schema(
+        [("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string())]
+    )
+
+    def distinct_part(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates().sort_values(["subj", "pred", "obj"])
+        return pa.Table.from_pandas(df, preserve_index=False).cast(spo_schema)
+
+    reduced = groupby_partition(
+        triples.map_batches(
+            lambda t: t.select(["subj", "pred", "obj"]), batch_format="pyarrow"
+        ),
+        "subj",
+        distinct_part,
+        num_partitions=num_partitions,
+        schema=spo_schema,
+    ).materialize()
+
+    def split(t: pa.Table, want_test: bool) -> pa.Table:
+        subj = np.asarray(t["subj"].combine_chunks().cast(pa.string()), dtype=object)
+        pred = np.asarray(t["pred"].combine_chunks().cast(pa.string()), dtype=object)
+        obj = np.asarray(t["obj"].combine_chunks().cast(pa.string()), dtype=object)
+        mask = _transe_is_test(subj, pred, obj, holdout_mod)
+        return t.filter(pa.array(mask if want_test else ~mask))
+
+    train_ds = reduced.map_batches(
+        lambda t: split(t, False), batch_format="pyarrow", batch_size=None
+    )
+    ents, rels, W, _ = transe_train(
+        train_ds, dim=dim, epochs=epochs, lr=lr, margin=margin,
+        num_partitions=num_partitions, return_raw=True,
+    )
+
+    def cand_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tr = split(t, False)
+        return pa.table(
+            {"obj": pc.unique(tr["obj"].combine_chunks().cast(pa.string()))}
+        )
+
+    cp = reduced.map_batches(cand_partial, batch_format="pyarrow").to_pandas()
+    cand = (
+        np.unique(cp["obj"].to_numpy(dtype=object))
+        if "obj" in cp.columns
+        else np.array([], dtype=object)
+    )
+    cand_rows = np.searchsorted(ents, cand)
+    state_ref = ray.put((ents, rels, cand, cand_rows, W))
+
+    def eval_partial(t: pa.Table) -> pa.Table:
+        ev, rv, cv, crows, Wb = bget(state_ref)
+        te = split(t, True)
+        ts = np.asarray(te["subj"].combine_chunks().cast(pa.string()), dtype=object)
+        tp = np.asarray(te["pred"].combine_chunks().cast(pa.string()), dtype=object)
+        to = np.asarray(te["obj"].combine_chunks().cast(pa.string()), dtype=object)
+        ok = _in_sorted(ev, ts) & _in_sorted(rv, tp) & _in_sorted(cv, to)
+        s = np.searchsorted(ev, ts[ok])
+        p = len(ev) + np.searchsorted(rv, tp[ok])
+        ti = np.searchsorted(cv, to[ok])
+        hist = _transe_rank_hist(s, p, ti, Wb, crows)
+        nz = np.nonzero(hist)[0]
+        return pa.table(
+            {
+                "rank": pa.array(
+                    np.concatenate([[-1], nz]).astype(np.int64), pa.int64()
+                ),
+                "n": pa.array(
+                    np.concatenate(
+                        [[int((~ok).sum())], hist[nz]]
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = reduced.map_batches(
+        eval_partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    hist = np.zeros(len(cand) + 1, dtype=np.int64)
+    n_skipped = 0
+    if not parts.empty and "rank" in parts.columns:
+        ranks = parts["rank"].to_numpy(dtype=np.int64)
+        ns = parts["n"].to_numpy(dtype=np.int64)
+        skip = ranks == -1
+        n_skipped = int(ns[skip].sum())
+        np.add.at(hist, ranks[~skip], ns[~skip])
+    return _transe_metrics(hist, n_skipped)

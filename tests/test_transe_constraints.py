@@ -58,8 +58,10 @@ def test_transe_loss_decreases(spo):
     losses = out.loc[out["kind"] == "loss"].sort_values("dim")["value"].to_numpy()
     assert len(losses) == 12
     assert losses[-1] < losses[0] * 0.9
-    # monotone on this instance (full-batch, small lr)
-    assert (np.diff(losses) <= 1e-9).all()
+    # epochs cycle through 4 negative banks, so the loss is only comparable
+    # at the same phase: each per-bank subsequence must be monotone here
+    for k in range(4):
+        assert (np.diff(losses[k::4]) <= 1e-9).all()
 
 
 def test_transe_gradient_matches_finite_difference():
@@ -109,28 +111,39 @@ def test_transe_gradient_matches_finite_difference():
         assert abs(num - grad[i, j]) < 1e-4, (i, j, num, grad[i, j])
 
 
-def test_transe_learns_translation_structure(spo):
-    """After training, the true (s, p, o) should score better (smaller
-    ||E_s + R_p - E_o||^2) than the content-addressed corruption, on
-    average — i.e. the margin objective actually separates."""
-    out = graph.transe(spo, epochs=40, lr=0.25)
+def test_transe_learns_translation_structure():
+    """After training on a learnable cluster KG, the true (s, p, o) should
+    score better (smaller ||E_s + R_p - E_o||^2) than the content-addressed
+    corruptions, on average — i.e. the margin objective actually separates."""
+    rows = [
+        (f"drug_{g}_{k}", f"P{j}", f"attr_{g}")
+        for g in range(8)
+        for k in range(5)
+        for j in range(2)
+    ]
+    spo = pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+    out = graph.transe(spo, epochs=80, lr=0.5)
     emb = out[out["kind"] != "loss"]
     W = {
         (k, n): g.sort_values("dim")["value"].to_numpy()
         for (k, n), g in emb.groupby(["kind", "name"])
     }
     objs = np.unique(spo["obj"].to_numpy())
-    ni = graph._transe_md5_idx(
-        [f"{a}|{b}|{c}" for a, b, c in zip(spo["subj"], spo["pred"], spo["obj"])],
-        len(objs),
+    ents = np.unique(np.concatenate([spo["subj"].to_numpy(), spo["obj"].to_numpy()]))
+    negs = graph._transe_negatives(
+        spo["subj"].to_numpy(dtype=object),
+        spo["pred"].to_numpy(dtype=object),
+        spo["obj"].to_numpy(dtype=object),
+        ents,
+        objs,
+        4,
     )
-    hit = objs[ni] == spo["obj"].to_numpy(dtype=object)
-    ni[hit] = (ni[hit] + 1) % len(objs)
     d_pos, d_neg = [], []
-    for (su, pr, ob), ng in zip(spo.itertuples(index=False), objs[ni]):
+    for i, (su, pr, ob) in enumerate(spo.itertuples(index=False)):
         v = W[("ent", su)] + W[("rel", pr)]
         d_pos.append(((v - W[("ent", ob)]) ** 2).sum())
-        d_neg.append(((v - W[("ent", ng)]) ** 2).sum())
+        for k in range(4):
+            d_neg.append(((v - W[("ent", ents[negs[i, k]])]) ** 2).sum())
     assert np.mean(d_neg) - np.mean(d_pos) > 0.25
 
 
@@ -177,3 +190,59 @@ def test_constraints_empty(ray_session):
     out = constraints.check_triples(_as_ds(trip, 1))
     assert len(out) == 0
     assert list(out.columns) == ["rule", "pred", "n_checked", "n_violations"]
+
+
+def test_transe_eval_bit_identical(ray_session, spo):
+    serial = graph.transe_eval_serial(spo)
+    for blocks in (1, 6):
+        dist = graph.transe_eval(_as_ds(spo, blocks))
+        pd.testing.assert_frame_equal(serial, dist)
+
+
+def test_transe_eval_beats_random():
+    """On a LEARNABLE relation (obj is a function of (subj, pred) — the
+    exact translation structure TransE models) the trained ranks must beat
+    the random-candidate baseline: expected random MRR over n candidates is
+    H(n)/n and random mean rank (n+1)/2."""
+    rows = [
+        (f"drug_{g}_{k}", f"P{j}", f"attr_{g}")
+        for g in range(8)
+        for k in range(5)
+        for j in range(2)
+    ]
+    df = pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+    out = graph.transe_eval_serial(df, epochs=80, lr=0.5, holdout_mod=5)
+    m = dict(zip(out["metric"], out["value"]))
+    n_cand = df["obj"].nunique()  # 8 candidate objects
+    assert m["n_test"] > 0
+    # random baseline: mean rank (n+1)/2 = 4.5, MRR = H(8)/8 ~= 0.34
+    assert m["mean_rank"] < 2.5
+    assert m["mrr"] > 0.6
+    assert m["hits_at_3"] > 2 * sum(1.0 / k for k in range(1, n_cand + 1)) / n_cand
+
+
+def test_transe_eval_skips_unseen(ray_session):
+    """A test triple whose object never appears in training must be
+    counted as skipped, not ranked."""
+    rows = [("a", "p", f"x{i}") for i in range(30)] + [("b", "p", "x0")]
+    df = pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+    out = graph.transe_eval_serial(df, holdout_mod=2)
+    m = dict(zip(out["metric"], out["value"]))
+    # the 50% holdout removes some objects from training entirely; those
+    # test rows are skipped and the accounting must balance
+    subj = df["subj"].to_numpy(dtype=object)
+    pred = df["pred"].to_numpy(dtype=object)
+    obj = df["obj"].to_numpy(dtype=object)
+    is_test = graph._transe_is_test(subj, pred, obj, 2)
+    train_objs = set(obj[~is_test])
+    train_ents = set(subj[~is_test]) | train_objs
+    train_preds = set(pred[~is_test])
+    expected_skip = sum(
+        1
+        for i in np.nonzero(is_test)[0]
+        if obj[i] not in train_objs
+        or subj[i] not in train_ents
+        or pred[i] not in train_preds
+    )
+    assert m["n_skipped"] == expected_skip
+    assert m["n_test"] + m["n_skipped"] == int(is_test.sum())
