@@ -128,6 +128,7 @@ def _run_bench() -> dict:
             "kg_node_similarity": lambda: q.kg_node_similarity(sf_dir),
             "kg_pagerank_dist": lambda: q.kg_pagerank_dist(sf_dir),
             "kg_kcore_dist": lambda: q.kg_kcore_dist(sf_dir),
+            "kg_transe_eval": lambda: q.kg_transe_eval(sf_dir),
         }.items():
             # three timed runs, report the min (this VM shows intermittent
             # multi-second host-noise stalls; raw runs kept for honesty)
