@@ -246,3 +246,22 @@ def test_transe_eval_skips_unseen(ray_session):
     )
     assert m["n_skipped"] == expected_skip
     assert m["n_test"] + m["n_skipped"] == int(is_test.sum())
+
+
+def test_transe_open_vocabulary_parity(ray_session):
+    """Scale-shaped instance (open vocabulary: thousands of entities,
+    ~30k distinct triples): the distributed loop must stay bit-identical
+    to the serial spec — the integer-coefficient partial contract cannot
+    depend on the ontology being small."""
+    n = 30_000
+    i = np.arange(n)
+    df = pd.DataFrame(
+        {
+            "subj": [f"s{(x * 2654435761) % 3000}" for x in i],
+            "pred": [f"p{x % 12}" for x in i],
+            "obj": [f"o{(x * 40503) % 1500}" for x in i],
+        }
+    ).drop_duplicates()
+    serial = graph.transe(df, epochs=3)
+    dist = graph.transe_train(_as_ds(df, 8), epochs=3)
+    pd.testing.assert_frame_equal(serial, dist)
