@@ -2259,7 +2259,7 @@ def _transe_rank_hist(
     objects under squared-L2 TransE distance, as a bincount histogram
     (length |cand|+1). Ties break by candidate vocabulary position — fully
     deterministic. Candidates stream in ``chunk``-sized slices so memory is
-    O(block x chunk x dim) at any vocabulary size; the true distance is
+    O(block x chunk x dim), independent of block AND vocabulary size; the true distance is
     EXTRACTED from its own chunk (identical elementwise ops), so equality
     comparisons are bit-consistent. Integer histograms merge exactly across
     blocks — the distributed eval is bit-identical to the serial one."""
@@ -2270,23 +2270,29 @@ def _transe_rank_hist(
     if n == 0 or n_cand == 0:
         return np.zeros(n_cand + 1, dtype=np.int64)
     v = W[s] + W[p]
-    d_true = np.empty(n, dtype=np.float64)
-    for lo in range(0, n_cand, chunk):
-        hi = min(lo + chunk, n_cand)
-        sel = (ti >= lo) & (ti < hi)
-        if not sel.any():
-            continue
-        diff = v[sel][:, None, :] - W[cand_rows[lo:hi]][None, :, :]
-        d2 = (diff * diff).sum(axis=2)
-        d_true[sel] = d2[np.arange(int(sel.sum())), ti[sel] - lo]
     rank = np.ones(n, dtype=np.int64)
-    for lo in range(0, n_cand, chunk):
-        hi = min(lo + chunk, n_cand)
-        diff = v[:, None, :] - W[cand_rows[lo:hi]][None, :, :]
-        d2 = (diff * diff).sum(axis=2)
-        rank += (d2 < d_true[:, None]).sum(axis=1)
-        idx = np.arange(lo, hi, dtype=np.int64)
-        rank += ((d2 == d_true[:, None]) & (idx[None, :] < ti[:, None])).sum(axis=1)
+    row_chunk = 256  # rows are independent: slicing them cannot change bits
+    for rl in range(0, n, row_chunk):
+        rh = min(rl + row_chunk, n)
+        vr, tr = v[rl:rh], ti[rl:rh]
+        d_true = np.empty(rh - rl, dtype=np.float64)
+        for lo in range(0, n_cand, chunk):
+            hi = min(lo + chunk, n_cand)
+            sel = (tr >= lo) & (tr < hi)
+            if not sel.any():
+                continue
+            diff = vr[sel][:, None, :] - W[cand_rows[lo:hi]][None, :, :]
+            d2 = (diff * diff).sum(axis=2)
+            d_true[sel] = d2[np.arange(int(sel.sum())), tr[sel] - lo]
+        for lo in range(0, n_cand, chunk):
+            hi = min(lo + chunk, n_cand)
+            diff = vr[:, None, :] - W[cand_rows[lo:hi]][None, :, :]
+            d2 = (diff * diff).sum(axis=2)
+            rank[rl:rh] += (d2 < d_true[:, None]).sum(axis=1)
+            idx = np.arange(lo, hi, dtype=np.int64)
+            rank[rl:rh] += (
+                (d2 == d_true[:, None]) & (idx[None, :] < tr[:, None])
+            ).sum(axis=1)
     return np.bincount(rank, minlength=n_cand + 1).astype(np.int64)
 
 
@@ -2385,8 +2391,9 @@ def transe_eval(
     integer-coefficient contract), and the eval pass is one streamed
     ``map_batches`` over the held-out rows emitting per-block INTEGER rank
     histograms against the broadcast (vocab-bounded) weight matrix —
-    candidate objects stream in chunks inside the kernel, so per-task
-    memory is O(batch x chunk x dim) at any vocabulary size."""
+    candidate objects AND rows stream in chunks inside the kernel, so
+    per-task memory is O(row_chunk x chunk x dim) regardless of block or
+    vocabulary size."""
     import numpy as np
 
     from ..functions.broadcast import bget
