@@ -31,6 +31,9 @@ import ray
 import ray.data
 
 
+SCAN_TARGET_BLOCK_BYTES = 16 << 20
+
+
 def with_prefix_sum(
     ds: "ray.data.Dataset",
     col: str,
@@ -44,7 +47,22 @@ def with_prefix_sum(
     # below the AllToAll sort, so the whole shuffle would run twice
     # (measured ~2x on the scan-based queries). The scan is a barrier
     # anyway — the sorted blocks are consumed immediately, twice.
-    refs = ds.sort(order_cols).materialize().to_arrow_refs()
+    #
+    # The scan input is the narrow (order_cols, col) projection, so it is
+    # often orders of magnitude smaller than the corpus it describes; a
+    # range-partition sort over its ORIGINAL block count then pays the
+    # all-to-all's fixed per-task cost on near-empty exchanges (measured
+    # 1.8 s vs 0.16 s for a 1.5 MB / 64-block input at 32 CPUs). Size the
+    # sort's partition count from the materialized bytes instead: coalesce
+    # (cheap concat tasks, no shuffle) toward SCAN_TARGET_BLOCK_BYTES
+    # blocks, never increasing the block count — at scale blocks already
+    # exceed the target and this is a no-op.
+    mat = ds.materialize()
+    n_blocks = mat.num_blocks()
+    want = max(1, min(n_blocks, -(-mat.size_bytes() // SCAN_TARGET_BLOCK_BYTES)))
+    if want < n_blocks // 2:
+        mat = mat.repartition(want)
+    refs = mat.sort(order_cols).materialize().to_arrow_refs()
 
     @ray.remote(num_cpus=0.5)
     def block_sum(t: pa.Table) -> int:
