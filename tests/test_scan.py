@@ -87,3 +87,26 @@ def test_pack_sequences_null_text(ray_session):
     assert list(out["n_tokens"]) == [3, 0, 2, 4]
     # exclusive prefix: 0,3,3,5 -> bins 0,0,0,1
     assert list(out["bin_id"]) == [0, 0, 0, 1]
+
+
+def test_prefix_sum_coalesces_tiny_exchanges(ray_session):
+    # A tiny input spread over many near-empty blocks must not pay a
+    # many-partition all-to-all: the scan sizes the sort from the
+    # materialized bytes (functions/scan.py SCAN_TARGET_BLOCK_BYTES) and
+    # coalesces first. Values must be identical to the serial scan either
+    # way — this pins the decision AND the output.
+    rng = np.random.default_rng(7)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "k": rng.permutation(n).astype("int64"),
+            "v": rng.integers(0, 9, size=n).astype("int64"),
+        }
+    )
+    serial = df.sort_values("k").reset_index(drop=True)
+    serial["prefix_sum"] = serial["v"].cumsum().shift(1, fill_value=0)
+    out_ds = with_prefix_sum(ray.data.from_pandas(df).repartition(64), "v", "k")
+    # tiny bytes -> ceil(bytes / target) == 1 block after the coalesce
+    assert out_ds.num_blocks() == 1
+    got = out_ds.to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, serial)
