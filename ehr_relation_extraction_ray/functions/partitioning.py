@@ -66,6 +66,32 @@ def add_hash_partition(
     return t.append_column("_part", pa.array(part))
 
 
+PARTITION_TARGET_BYTES = 32 << 20
+
+
+def coalesce_small(
+    ds: "ray.data.Dataset", num_partitions: int = 64
+) -> "tuple[ray.data.Dataset, int]":
+    """Materialize ``ds`` and size an imminent all-to-all from its actual
+    bytes: returns ``(ds', n)`` with ``n = clamp(ceil(bytes / target), 1,
+    num_partitions)`` and ``ds'`` coalesced (concat tasks, no shuffle)
+    when its blocks are near-empty — the exchange's task width follows
+    the INPUT block count, so shrinking only the key count is not enough.
+    A 64-way groupby over a few-MB input is ~2 s of pure fixed cost on
+    this box; at scale the byte clamp is a no-op and the input keeps its
+    block structure. Use where the shuffled table is a REDUCED projection
+    (band rows, candidate ids, partials), whose materialization the
+    all-to-all pays anyway."""
+    ds = ds.materialize()
+    num_partitions = max(
+        1,
+        min(num_partitions, -(-ds.size_bytes() // PARTITION_TARGET_BYTES)),
+    )
+    if ds.num_blocks() > 2 * num_partitions:
+        ds = ds.repartition(num_partitions)
+    return ds, num_partitions
+
+
 def groupby_partition(
     ds: "ray.data.Dataset",
     key_cols: Union[str, Sequence[str]],
@@ -73,6 +99,7 @@ def groupby_partition(
     num_partitions: int = 64,
     batch_format: str = "pyarrow",
     schema: "pa.Schema | None" = None,
+    size_aware: bool = False,
 ) -> "ray.data.Dataset":
     """``groupby(key).map_groups(fn)`` with one UDF call per hash partition.
 
@@ -83,9 +110,20 @@ def groupby_partition(
     pandas frame loses column types on conversion (object -> null), and
     blocks with divergent schemas poison downstream concat (the round-1
     ``kg_nodes`` failure mode).
+
+    ``size_aware=True`` materializes ``ds`` and clamps ``num_partitions``
+    to ``ceil(bytes / PARTITION_TARGET_BYTES)``: a 64-way all-to-all over
+    a few-MB input is pure fixed per-partition cost (~2 s on this box for
+    16k rows). Opt in ONLY where the input is already reduced/bounded
+    (candidate verify passes, partials) — the group-closed contract makes
+    the result identical at any partition count, and at scale the byte
+    clamp leaves ``num_partitions`` untouched. Corpus-scale callers should
+    NOT pass it: the extra materialize pass costs more than it saves.
     """
     if isinstance(key_cols, str):
         key_cols = [key_cols]
+    if size_aware:
+        ds, num_partitions = coalesce_small(ds, num_partitions)
     key_cols = list(key_cols)
 
     def tag(t: pa.Table) -> pa.Table:

@@ -354,11 +354,21 @@ def minhash_lsh_pairs(
 
     # bucket at PARTITION granularity: one vectorized Python call per
     # partition, not one per distinct bucket (corpus x bands micro-groups
-    # at scale); mapping shared via _add_bucket_part
-    num_partitions = _LSH_BUCKET_PARTITIONS
+    # at scale); mapping shared via _add_bucket_part. Band rows are the
+    # reduced (id, band, band_hash) projection, so the exchange is sized
+    # from their actual bytes (coalesce_small) — a bucket hashes to ONE
+    # partition at any count, so the emitted pairs are identical.
+    from ..functions.partitioning import coalesce_small
+
+    band_rows, num_partitions = coalesce_small(
+        band_rows, _LSH_BUCKET_PARTITIONS
+    )
 
     pairs = (
-        band_rows.map_batches(_add_bucket_part, batch_format="pyarrow")
+        band_rows.map_batches(
+            lambda t: _add_bucket_part(t, num_partitions),
+            batch_format="pyarrow",
+        )
         .groupby("_part")
         .map_groups(
             lambda g: _bucket_pairs_partition(g, bucket_cap, overflow_dir),
@@ -434,7 +444,13 @@ def _pair_reduce(
 ) -> "ray.data.Dataset":
     """groupby(pair partition) -> per-partition vectorized Jaccard over
     (pair_id, side, sh list<int64>) rows. Group size is bounded by one
-    partition's pairs x 2 shingle sets, never the corpus."""
+    partition's pairs x 2 shingle sets, never the corpus. The sides table
+    is candidate-bounded, so the exchange is sized from its actual bytes
+    (coalesce_small) — pair->partition assignment is per-pair, so the
+    verified set is identical at any partition count."""
+    from ..functions.partitioning import coalesce_small
+
+    sides, num_partitions = coalesce_small(sides, num_partitions)
 
     def add_pair_part(t: pa.Table) -> pa.Table:
         h = content_hash_64(t["pair_id"].to_pylist())
@@ -1203,9 +1219,13 @@ def bloom_decontaminate(
         out = hit.groupby(id_col).size().reset_index(name="n_hits")
         return out.astype({"n_hits": "int64"})
 
+    # size_aware: the tagged union is candidate-bounded (contaminated tail
+    # + fp sliver + bench distinct shingles), never corpus-scale — at sf0.1
+    # it is ~16k rows scattered over 128 near-empty blocks, and the 64-way
+    # exchange was ~2.2 s of pure fixed cost.
     partials = groupby_partition(
         tagged, "sh", verify_count,
-        batch_format="pandas", schema=partial_schema,
+        batch_format="pandas", schema=partial_schema, size_aware=True,
     )
     # a doc's shingles scatter across sh-partitions: one tiny
     # (contaminated docs only) doc-keyed pass sums the partials.
@@ -1233,6 +1253,7 @@ def bloom_decontaminate(
         .astype({"n_hits": "int64"}),
         batch_format="pandas",
         schema=partial_schema,
+        size_aware=True,  # partials are output-bounded (docs x partitions)
     )
 
 
@@ -1342,9 +1363,18 @@ def minhash_lsh_cross_pairs(
         ).union(docs_b.map_batches(rows_with_side(1), batch_format="pyarrow"))
 
     # verify_jaccard dedups pairs internally (same contract as
-    # minhash_lsh_pairs(distinct=False)), so no distinct shuffle here
+    # minhash_lsh_pairs(distinct=False)), so no distinct shuffle here.
+    # Same size-aware exchange as the within-corpus variant.
+    from ..functions.partitioning import coalesce_small
+
+    band_rows, num_partitions = coalesce_small(
+        band_rows, _LSH_BUCKET_PARTITIONS
+    )
     return (
-        band_rows.map_batches(_add_bucket_part, batch_format="pyarrow")
+        band_rows.map_batches(
+            lambda t: _add_bucket_part(t, num_partitions),
+            batch_format="pyarrow",
+        )
         .groupby("_part")
         .map_groups(
             lambda g: _bucket_cross_pairs_partition(g, bucket_cap, overflow_dir),
