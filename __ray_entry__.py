@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_transe": q.kg_transe,
         "kg_transe_eval": q.kg_transe_eval,
         "kg_constraint_violations": q.kg_constraint_violations,
+        "kg_contradictions": q.kg_contradictions,
+        "kg_asof_snapshot": q.kg_asof_snapshot,
         "kg_pagerank_dist": q.kg_pagerank_dist,
         "kg_label_prop_dist": q.kg_label_prop_dist,
         "kg_kcore_dist": q.kg_kcore_dist,
@@ -1485,6 +1487,50 @@ SELECT subj, pred, obj, count(*) AS n_docs,
 FROM read_parquet('{_fixture("kg_triples")}') t
 JOIN ts0 ON t.doc_id = ts0.conv_id
 GROUP BY subj, pred, obj ORDER BY subj, pred, obj
+""",
+        "kg_contradictions": f"""
+WITH ts0 AS (
+  SELECT conv_id, min(epoch_us(ts)) AS t0
+  FROM read_parquet('{tp}') GROUP BY conv_id
+),
+per_obj AS (
+  SELECT subj, pred, obj, count(*) AS n, max(t0) AS last_ts
+  FROM read_parquet('{_fixture("kg_triples")}') t
+  JOIN ts0 ON t.doc_id = ts0.conv_id
+  GROUP BY subj, pred, obj
+),
+grp AS (
+  SELECT subj, pred, CAST(count(*) AS BIGINT) AS n_objs,
+         CAST(sum(n) AS BIGINT) AS n_support
+  FROM per_obj GROUP BY subj, pred HAVING count(*) > 1
+),
+win AS (
+  SELECT subj, pred, obj AS winner_obj,
+         CAST(last_ts AS BIGINT) AS winner_last_ts,
+         row_number() OVER (
+           PARTITION BY subj, pred ORDER BY last_ts DESC, obj ASC
+         ) AS rn
+  FROM per_obj
+)
+SELECT g.subj, g.pred, g.n_objs, g.n_support, w.winner_obj, w.winner_last_ts
+FROM grp g JOIN win w ON w.subj = g.subj AND w.pred = g.pred AND w.rn = 1
+ORDER BY g.subj, g.pred
+""",
+        "kg_asof_snapshot": f"""
+WITH ts0 AS (
+  SELECT conv_id, min(epoch_us(ts)) AS t0
+  FROM read_parquet('{tp}') GROUP BY conv_id
+),
+cut AS (SELECT (min(t0) + max(t0)) // 2 AS c FROM ts0),
+fe AS (
+  SELECT subj, pred, obj, CAST(min(ts0.t0) AS BIGINT) AS first_ts
+  FROM read_parquet('{_fixture("kg_triples")}') t
+  JOIN ts0 ON t.doc_id = ts0.conv_id
+  GROUP BY subj, pred, obj
+)
+SELECT subj, pred, obj, first_ts FROM fe
+WHERE first_ts <= (SELECT c FROM cut)
+ORDER BY subj, pred, obj
 """,
         "kg_negative_samples": f"""
 WITH trip AS (

@@ -1743,53 +1743,46 @@ def kg_edge_spans(sf_dir: str) -> pd.DataFrame:
     """Temporal KG edge spans: for every distinct (subj, pred, obj) edge,
     the supporting-document count and the first/last conversation start
     time (epoch microseconds) — the time dimension of graph
-    materialization. Shape: per-conv min-ts combiner -> ONE
-    groupby(conv_id).min (conversation-sized), native hash join against
-    the triple stream on doc_id (both sides fact-sized — no broadcast),
-    then ontology-bounded per-edge partials merged on the driver.
-    kg.run emits one row per (doc, edge), so per-block sizes sum exactly
-    to the distinct-doc count. Oracle: join SQL over the triples fixture
-    and the transcripts parquet."""
-    from ray.data.aggregate import Min
+    materialization (stages/temporal.edge_intervals). Shape: per-conv
+    min-ts combiner -> ONE groupby(conv_id).min (conversation-sized),
+    native hash join against the triple stream on doc_id (both sides
+    fact-sized — no broadcast), then one (subj, pred)-keyed partition
+    pass whose per-partition agg is exact (a key never splits). Oracle:
+    join SQL over the triples fixture and the transcripts parquet."""
+    from ..stages import temporal
 
-    from ..stages import joins
+    out = temporal.edge_intervals(
+        _triples(sf_dir), synth.transcripts_path(sf_dir)
+    ).to_pandas()
+    return out.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
 
-    tp = synth.transcripts_path(sf_dir)
-    trip = _triples(sf_dir)
 
-    def conv_min(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "conv_id": t["conv_id"].to_pandas(),
-                "t0": np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64),
-            }
-        )
-        return pa.Table.from_pandas(
-            df.groupby("conv_id", as_index=False)["t0"].min(), preserve_index=False
-        )
+def kg_contradictions(sf_dir: str) -> pd.DataFrame:
+    """Cross-document conflict detection + latest-wins resolution
+    (stages/temporal.contradictions): (subj, pred) groups asserted with
+    >1 distinct object, with the winner = the object whose latest
+    supporting conversation is most recent (obj-ascending tie-break).
+    The knowledge-fusion step the reference's per-note graphs never need
+    — a corpus-scale KG does. Oracle: window SQL over the triples
+    fixture joined to conversation start times."""
+    from ..stages import temporal
 
-    tsmin = (
-        ray.data.read_parquet(tp, columns=["conv_id", "ts"])
-        .map_batches(conv_min, batch_format="pyarrow")
-        .groupby("conv_id")
-        .aggregate(Min("t0", alias_name="t0"))
-    )
-    joined = joins.hash_join(trip, tsmin, on="doc_id", right_on="conv_id")
+    out = temporal.contradictions(
+        _triples(sf_dir), synth.transcripts_path(sf_dir)
+    ).to_pandas()
+    return out.sort_values(["subj", "pred"]).reset_index(drop=True)
 
-    def edge_partial(t: pa.Table) -> pa.Table:
-        df = t.select(["subj", "pred", "obj", "t0"]).to_pandas()
-        g = df.groupby(["subj", "pred", "obj"], sort=False).agg(
-            n_docs=("t0", "size"), first_ts=("t0", "min"), last_ts=("t0", "max")
-        )
-        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
 
-    parts = joined.map_batches(edge_partial, batch_format="pyarrow").to_pandas()
-    out = parts.groupby(["subj", "pred", "obj"], as_index=False).agg(
-        n_docs=("n_docs", "sum"), first_ts=("first_ts", "min"),
-        last_ts=("last_ts", "max"),
-    )
-    for c in ("n_docs", "first_ts", "last_ts"):
-        out[c] = out[c].astype("int64")
+def kg_asof_snapshot(sf_dir: str) -> pd.DataFrame:
+    """Reproducible as-of read of the KG (stages/temporal.asof_snapshot):
+    the distinct edge set whose first supporting conversation started at
+    or before the deterministic default cutoff (midpoint of the corpus'
+    conversation-start range). Oracle: the same midpoint math in SQL."""
+    from ..stages import temporal
+
+    out = temporal.asof_snapshot(
+        _triples(sf_dir), synth.transcripts_path(sf_dir)
+    ).to_pandas()
     return out.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
 
 

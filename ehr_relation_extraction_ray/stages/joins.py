@@ -106,7 +106,12 @@ def hash_join(
     try:
         return attempt(num_partitions).materialize()
     except Exception as exc:  # noqa: BLE001 - match the acero signature only
-        if num_partitions > 1 and "KeyError" in repr(exc):
+        # acero surfaces the schema-less empty partition either as
+        # KeyError(<key col>) or as "No match or multiple matches for key
+        # field reference" (ArrowInvalid), depending on which side is empty.
+        if num_partitions > 1 and (
+            "KeyError" in repr(exc) or "No match or multiple matches" in repr(exc)
+        ):
             return attempt(1).materialize()
         raise
 
