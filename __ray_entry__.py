@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_constraint_violations": q.kg_constraint_violations,
         "kg_contradictions": q.kg_contradictions,
         "kg_asof_snapshot": q.kg_asof_snapshot,
+        "kg_ntriples_export": q.kg_ntriples_export,
         "kg_pagerank_dist": q.kg_pagerank_dist,
         "kg_label_prop_dist": q.kg_label_prop_dist,
         "kg_kcore_dist": q.kg_kcore_dist,
@@ -1531,6 +1532,26 @@ fe AS (
 SELECT subj, pred, obj, first_ts FROM fe
 WHERE first_ts <= (SELECT c FROM cut)
 ORDER BY subj, pred, obj
+""",
+        "kg_ntriples_export": f"""
+WITH e AS (
+  SELECT DISTINCT subj, pred, obj
+  FROM read_parquet('{_fixture("kg_triples")}')
+),
+enc AS (
+  SELECT
+    replace(replace(replace(replace(replace(
+      subj, '%', '%25'), ' ', '%20'), '<', '%3C'), '>', '%3E'), '"', '%22'
+    ) AS s,
+    replace(replace(replace(replace(replace(
+      pred, '%', '%25'), ' ', '%20'), '<', '%3C'), '>', '%3E'), '"', '%22'
+    ) AS p,
+    replace(replace(replace(obj, '\\', '\\\\'), '"', '\\"'), chr(10), '\\n') AS o
+  FROM e
+)
+SELECT '<urn:ehr:node:' || s || '> <urn:ehr:pred:' || p || '> "' || o || '" .'
+       AS line
+FROM enc ORDER BY line
 """,
         "kg_negative_samples": f"""
 WITH trip AS (

@@ -1786,6 +1786,51 @@ def kg_asof_snapshot(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
 
 
+def ntriples_dir(sf_dir: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    return f"/tmp/graft_ntriples/sf{sf}/kg"
+
+
+def kg_ntriples_export(sf_dir: str) -> pd.DataFrame:
+    """RDF N-Triples sink+source roundtrip for the materialized KG
+    (sources/ntriples): distinct (subj, pred, obj) edges -> sharded
+    ``.nt`` files (one content-addressed file per block — resumable,
+    no write coordinator) -> independent ``read_text`` decode. Returns
+    the exported LINES, so the DuckDB oracle re-derives the full
+    encoding (IRI percent-codes + literal backslash escapes) from the
+    triples fixture with its own string kernels — a hash match proves
+    the wire format, not just self-consistency. The reference only
+    materializes per-note NetworkX figures (ehr.py get_relations);
+    a corpus KG needs a standard interchange export."""
+    import shutil
+
+    from ..functions.partitioning import groupby_partition
+    from ..sources import ntriples
+
+    key = ["subj", "pred", "obj"]
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(key)
+        return t.select(key).group_by(key, use_threads=False).aggregate([])
+
+    # batch-local distinct combiner thins duplicates before the (subj,
+    # pred)-keyed exchange; the partition pass is exact (key never splits)
+    edges = groupby_partition(
+        _triples(sf_dir).map_batches(local_distinct, batch_format="pyarrow"),
+        ["subj", "pred"],
+        lambda df: df.drop_duplicates(key),
+        batch_format="pandas",
+        size_aware=True,
+    )
+    out_dir = ntriples_dir(sf_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ntriples.write_ntriples(edges, out_dir)
+    back = ntriples.read_ntriples(out_dir).to_pandas()
+    out = pd.DataFrame({"line": back["text"].astype(str)})
+    return out.sort_values("line").reset_index(drop=True)
+
+
 def kg_conv_dedup(sf_dir: str) -> pd.DataFrame:
     """Conversation-level exact dedup — the "drop duplicated transcripts
     before paying for extraction" pre-step of the KG chain: assemble
