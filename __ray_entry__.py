@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_contradictions": q.kg_contradictions,
         "kg_asof_snapshot": q.kg_asof_snapshot,
         "kg_ntriples_export": q.kg_ntriples_export,
+        "kg_bgp_match": q.kg_bgp_match,
         "kg_pagerank_dist": q.kg_pagerank_dist,
         "kg_label_prop_dist": q.kg_label_prop_dist,
         "kg_kcore_dist": q.kg_kcore_dist,
@@ -1552,6 +1553,19 @@ enc AS (
 SELECT '<urn:ehr:node:' || s || '> <urn:ehr:pred:' || p || '> "' || o || '" .'
        AS line
 FROM enc ORDER BY line
+""",
+        "kg_bgp_match": f"""
+WITH e AS (
+  SELECT DISTINCT subj, pred, obj
+  FROM read_parquet('{_fixture("kg_triples")}')
+)
+SELECT DISTINCT a.subj AS drug, b.obj AS ae, c.obj AS dose
+FROM e a
+JOIN e b ON b.subj = a.subj
+JOIN e c ON c.subj = a.subj
+WHERE a.pred = 'Form' AND a.obj = 'tablet'
+  AND b.pred = 'ADE' AND c.pred = 'Dosage'
+ORDER BY drug, ae, dose
 """,
         "kg_negative_samples": f"""
 WITH trip AS (

@@ -1831,6 +1831,35 @@ def kg_ntriples_export(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("line").reset_index(drop=True)
 
 
+def kg_bgp_match(sf_dir: str) -> pd.DataFrame:
+    """SPARQL-style conjunctive triple-pattern query over the
+    materialized KG (stages/bgp): "drugs taken as tablets — what adverse
+    events and dosages co-occur with them?"
+
+        ?drug -Form-> "tablet" . ?drug -ADE-> ?ae . ?drug -Dosage-> ?dose
+
+    Left-deep hash-join plan: most-constant pattern first, every join
+    key-partitioned on the shared variable, DISTINCT at every step. The
+    reference draws per-note figures (ehr.py get_relations); corpus-KG
+    consumers need this read path. Oracle: DuckDB self-joins over the
+    distinct edge set."""
+    from ..stages import bgp
+
+    out = bgp.bgp_match(
+        _triples(sf_dir),
+        [
+            ("?drug", "Form", "tablet"),
+            ("?drug", "ADE", "?ae"),
+            ("?drug", "Dosage", "?dose"),
+        ],
+    )
+    cols = ["drug", "ae", "dose"]
+    if out.count() == 0:  # Ray's to_pandas drops columns on zero blocks
+        return pd.DataFrame({c: pd.Series([], dtype=str) for c in cols})
+    df = out.to_pandas()[cols]
+    return df.sort_values(cols).reset_index(drop=True)
+
+
 def kg_conv_dedup(sf_dir: str) -> pd.DataFrame:
     """Conversation-level exact dedup — the "drop duplicated transcripts
     before paying for extraction" pre-step of the KG chain: assemble
