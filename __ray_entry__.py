@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ntriples_export": q.kg_ntriples_export,
         "kg_bgp_match": q.kg_bgp_match,
         "kg_assoc_rules": q.kg_assoc_rules,
+        "kg_entity_alignment": q.kg_entity_alignment,
         "kg_pagerank_dist": q.kg_pagerank_dist,
         "kg_label_prop_dist": q.kg_label_prop_dist,
         "kg_kcore_dist": q.kg_kcore_dist,
@@ -1602,6 +1603,29 @@ JOIN sup sa ON sa.item = r.antecedent
 JOIN sup sc ON sc.item = r.consequent
 WHERE CAST(r.n_ab AS DOUBLE) / sa.n >= 0.2
 ORDER BY antecedent, consequent
+""",
+        "kg_entity_alignment": f"""
+WITH e AS (
+  SELECT DISTINCT
+         CASE WHEN strpos('01234567', substr(md5(doc_id), 1, 1)) > 0
+              THEN 'a' ELSE 'b' END AS side,
+         subj AS ent, pred || ':' || obj AS feat
+  FROM read_parquet('{_fixture("kg_triples")}')
+),
+d AS (SELECT side, ent, COUNT(*) AS deg FROM e GROUP BY side, ent),
+i AS (
+  SELECT a.ent AS ent_a, b.ent AS ent_b, COUNT(*) AS c
+  FROM e a JOIN e b ON a.feat = b.feat
+  WHERE a.side = 'a' AND b.side = 'b'
+  GROUP BY a.ent, b.ent
+)
+SELECT ent_a, ent_b,
+       round(CAST(i.c AS DOUBLE) / (da.deg + db.deg - i.c), 4) AS jaccard
+FROM i
+JOIN d da ON da.side = 'a' AND da.ent = i.ent_a
+JOIN d db ON db.side = 'b' AND db.ent = i.ent_b
+WHERE CAST(i.c AS DOUBLE) / (da.deg + db.deg - i.c) >= 0.5
+ORDER BY ent_a, ent_b
 """,
         "kg_negative_samples": f"""
 WITH trip AS (

@@ -1874,6 +1874,30 @@ def kg_assoc_rules(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def kg_entity_alignment(sf_dir: str) -> pd.DataFrame:
+    """Cross-snapshot entity alignment (stages/align): documents split
+    into two snapshots by an md5 hash of doc_id (first hex digit 0-7 ->
+    'a'), each snapshot's subjects reduced to distinct (pred:obj)
+    signature sets, and entities aligned across snapshots by signature
+    Jaccard >= 0.5 — bipartite candidate generation blocked on shared
+    features with hot-feature chunk splitting, never all-pairs. Oracle:
+    the same split + distinct feature sets + Jaccard in SQL over the
+    kg_triples fixture."""
+    from ..stages import align
+
+    trip = _triples(sf_dir)
+
+    def side_of(doc_ids: "pd.Series") -> np.ndarray:
+        return np.where(
+            np.array([hashlib.md5(str(d).encode()).hexdigest()[0]
+                      in "01234567" for d in doc_ids]),
+            "a", "b",
+        )
+
+    feats = align.side_features(trip, side_of)
+    return align.align_pairs(feats, min_jaccard=0.5)
+
+
 def kg_conv_dedup(sf_dir: str) -> pd.DataFrame:
     """Conversation-level exact dedup — the "drop duplicated transcripts
     before paying for extraction" pre-step of the KG chain: assemble
