@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_match": q.kg_bgp_match,
         "kg_assoc_rules": q.kg_assoc_rules,
         "kg_entity_alignment": q.kg_entity_alignment,
+        "kg_mention_chains": q.kg_mention_chains,
         "kg_pagerank_dist": q.kg_pagerank_dist,
         "kg_label_prop_dist": q.kg_label_prop_dist,
         "kg_kcore_dist": q.kg_kcore_dist,
@@ -389,6 +390,24 @@ SELECT ent_type,
        count(DISTINCT substr(raw, 2, length(raw) - 2)) AS n_surfaces
 FROM m GROUP BY ent_type ORDER BY ent_type
 """
+
+
+def _turn_mentions_union(tp: str) -> str:
+    """Per-TURN regex mention extraction (no conversation assembly):
+    one SELECT per entity type over the raw transcript rows, keeping
+    (conv_id, turn_idx) — the granularity the mention-chain oracle needs."""
+    from ehr_relation_extraction_ray.lexicon import DEFAULT_LEXICON, fit_patterns
+
+    patterns = fit_patterns(DEFAULT_LEXICON)
+    selects = []
+    for ent_type, pat in patterns.items():
+        tag = f"$p{len(selects)}$"
+        selects.append(
+            f"SELECT conv_id, turn_idx, '{ent_type}' AS ent_type, "
+            f"unnest(regexp_extract_all(COALESCE(text, ''), {tag}{pat}{tag}, 0, 'i')) AS raw "
+            f"FROM read_parquet('{tp}')"
+        )
+    return " UNION ALL ".join(selects)
 
 
 def _cooccurrence_cte(tp: str) -> str:
@@ -1603,6 +1622,26 @@ JOIN sup sa ON sa.item = r.antecedent
 JOIN sup sc ON sc.item = r.consequent
 WHERE CAST(r.n_ab AS DOUBLE) / sa.n >= 0.2
 ORDER BY antecedent, consequent
+""",
+        "kg_mention_chains": f"""
+WITH m AS ({_turn_mentions_union(tp)}),
+occ AS (
+  SELECT DISTINCT conv_id, turn_idx, ent_type,
+         lower(substr(raw, 2, length(raw) - 2)) AS surface
+  FROM m
+),
+nxt AS (
+  SELECT conv_id, ent_type, surface, turn_idx,
+         lead(turn_idx) OVER (
+           PARTITION BY conv_id, ent_type, surface ORDER BY turn_idx) AS nt
+  FROM occ
+)
+SELECT ent_type,
+       count(DISTINCT CASE WHEN nt IS NOT NULL
+                           THEN conv_id || chr(0) || surface END) AS n_chains,
+       count(nt) AS n_links,
+       CAST(COALESCE(sum(nt - turn_idx), 0) AS BIGINT) AS sum_gap
+FROM nxt GROUP BY ent_type ORDER BY ent_type
 """,
         "kg_entity_alignment": f"""
 WITH e AS (

@@ -956,6 +956,105 @@ def kg_linked_mentions(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def kg_mention_chains(sf_dir: str) -> pd.DataFrame:
+    """Within-conversation mention chains (coref-style identity threading):
+    a chain is one (conv, ent_type, lowercased surface) recurring across
+    >=2 distinct turns; its links are the consecutive-turn occurrence
+    pairs — the backbone structure entity coreference resolvers emit.
+    Distributed shape: per-turn dict-NER reuses the vectorized detector
+    (doc_id packs conv|turn, so no new kernel), in-batch occurrence dedup
+    (one turn = one input row, so its mentions never split blocks), ONE
+    conv_id hash-partition exchange over the reduced occurrence digests,
+    a vectorized per-partition run-walk, ent_type-bounded driver merge.
+    Oracle: the same per-turn regex union + lead() window in DuckDB."""
+    from ..functions.partitioning import groupby_partition
+
+    path = synth.transcripts_path(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+
+    def as_turn_docs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        doc_id = pc.binary_join_element_wise(
+            pc.cast(t["conv_id"], pa.string()),
+            pc.cast(t["turn_idx"], pa.string()),
+            "|",
+        )
+        return pa.table(
+            {"doc_id": doc_id, "text": pc.coalesce(t["text"], pa.scalar(""))}
+        )
+
+    ment = mentions_stage.detect(
+        ds.map_batches(as_turn_docs, batch_format="pyarrow")
+    )
+
+    def occurrences(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tab = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "ent_type": t["ent_type"],
+                "surface": pc.utf8_lower(t["text"]),
+            }
+        )
+        # distinct per (turn, type, surface): a turn's mentions all live in
+        # this batch, so the in-batch dedup is globally exact
+        tab = tab.group_by(
+            ["doc_id", "ent_type", "surface"], use_threads=False
+        ).aggregate([])
+        split = pc.split_pattern(tab["doc_id"], "|")
+        return pa.table(
+            {
+                "conv_id": pc.list_element(split, 0),
+                "turn_idx": pc.cast(pc.list_element(split, 1), pa.int64()),
+                "ent_type": tab["ent_type"],
+                "surface": tab["surface"],
+            }
+        )
+
+    def chain_partials(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["conv_id", "ent_type", "surface", "turn_idx"])
+        key = part["conv_id"] + "\x00" + part["ent_type"] + "\x00" + part["surface"]
+        same = key.eq(key.shift()).to_numpy()
+        gaps = part["turn_idx"].diff().to_numpy()
+        # a run of k occurrences of one chain key = k-1 links; the run's
+        # FIRST link marks one chain (>=2 distinct turns)
+        first_link = same & ~np.concatenate(([False], same[:-1]))
+        g = pd.DataFrame(
+            {
+                "ent_type": part["ent_type"].to_numpy(),
+                "n_chains": first_link.astype("int64"),
+                "n_links": same.astype("int64"),
+                "sum_gap": np.where(same, gaps, 0).astype("int64"),
+            }
+        )
+        return g.groupby("ent_type", as_index=False).sum()
+
+    partials = groupby_partition(
+        ment.map_batches(occurrences, batch_format="pyarrow"),
+        "conv_id",
+        chain_partials,
+        batch_format="pandas",
+        schema=pa.schema(
+            [
+                ("ent_type", pa.string()),
+                ("n_chains", pa.int64()),
+                ("n_links", pa.int64()),
+                ("sum_gap", pa.int64()),
+            ]
+        ),
+        size_aware=True,
+    )
+    out = (
+        partials.to_pandas()
+        .groupby("ent_type", as_index=False)[["n_chains", "n_links", "sum_gap"]]
+        .sum()
+        .astype({"n_chains": "int64", "n_links": "int64", "sum_gap": "int64"})
+    )
+    return out.sort_values("ent_type").reset_index(drop=True)
+
+
 def kg_eval_detailed(sf_dir: str) -> pd.DataFrame:
     """Per-entity-type + micro/macro P/R/F1 (n2c2 pare-down semantics,
     lenient overlap): full-lexicon dict-NER scored against a
