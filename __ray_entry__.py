@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_assoc_rules": q.kg_assoc_rules,
         "kg_entity_alignment": q.kg_entity_alignment,
         "kg_mention_chains": q.kg_mention_chains,
+        "kg_truth_discovery": q.kg_truth_discovery,
         "kg_pagerank_dist": q.kg_pagerank_dist,
         "kg_label_prop_dist": q.kg_label_prop_dist,
         "kg_kcore_dist": q.kg_kcore_dist,
@@ -1642,6 +1643,38 @@ SELECT ent_type,
        count(nt) AS n_links,
        CAST(COALESCE(sum(nt - turn_idx), 0) AS BIGINT) AS sum_gap
 FROM nxt GROUP BY ent_type ORDER BY ent_type
+""",
+        "kg_truth_discovery": f"""
+WITH a AS (
+  SELECT DISTINCT doc_id, subj, pred, obj
+  FROM read_parquet('{_fixture("kg_triples")}')
+),
+v AS (SELECT subj, pred, obj, count(*) AS n FROM a GROUP BY 1, 2, 3),
+conf AS (SELECT subj, pred FROM v GROUP BY subj, pred HAVING count(*) >= 2),
+maj AS (
+  SELECT subj, pred, obj AS mobj FROM (
+    SELECT subj, pred, obj,
+           row_number() OVER (PARTITION BY subj, pred
+                              ORDER BY n DESC, obj ASC) AS rn
+    FROM v) WHERE rn = 1
+),
+acc AS (
+  SELECT a.doc_id, avg(CASE WHEN a.obj = m.mobj THEN 1.0 ELSE 0.0 END) AS acc
+  FROM a JOIN maj m USING (subj, pred) GROUP BY a.doc_id
+),
+wv AS (
+  SELECT a.subj, a.pred, a.obj,
+         count(*) AS n_votes, sum(acc.acc) AS w
+  FROM a JOIN acc USING (doc_id) GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT subj, pred, obj, n_votes, w,
+         row_number() OVER (PARTITION BY subj, pred
+                            ORDER BY round(w, 9) DESC, obj ASC) AS rn
+  FROM wv JOIN conf USING (subj, pred)
+)
+SELECT subj, pred, obj, n_votes, round(w, 6) AS w_votes
+FROM ranked WHERE rn = 1 ORDER BY subj, pred
 """,
         "kg_entity_alignment": f"""
 WITH e AS (

@@ -33,6 +33,7 @@ from ..stages import (
     multimodal,
     relations,
     text_analysis,
+    truth,
 )
 from . import kg
 
@@ -1053,6 +1054,17 @@ def kg_mention_chains(sf_dir: str) -> pd.DataFrame:
         .astype({"n_chains": "int64", "n_links": "int64", "sum_gap": "int64"})
     )
     return out.sort_values("ent_type").reset_index(drop=True)
+
+
+def kg_truth_discovery(sf_dir: str) -> pd.DataFrame:
+    """Conflicting-assertion resolution (stages/truth.resolve_conflicts):
+    two-round source-reliability-weighted voting (majority -> per-doc
+    reliability -> weighted revote) over the flagship triples, restricted
+    to genuinely conflicting (subj, pred) keys. Zero shuffles: vote
+    partials merge on the driver (ontology-bounded), the majority table
+    broadcasts once, round 2 is one pass over doc-complete triple blocks.
+    Oracle: the same two rounds as SQL windows over the triples fixture."""
+    return truth.resolve_conflicts(_triples(sf_dir))
 
 
 def kg_eval_detailed(sf_dir: str) -> pd.DataFrame:
