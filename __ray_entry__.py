@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_alignment": q.kg_entity_alignment,
         "kg_mention_chains": q.kg_mention_chains,
         "kg_truth_discovery": q.kg_truth_discovery,
+        "kg_distant_supervision": q.kg_distant_supervision,
+        "kg_pred_cooccurrence": q.kg_pred_cooccurrence,
+        "docs_dsir_select": q.docs_dsir_select,
         "kg_pagerank_dist": q.kg_pagerank_dist,
         "kg_label_prop_dist": q.kg_label_prop_dist,
         "kg_kcore_dist": q.kg_kcore_dist,
@@ -1675,6 +1678,100 @@ ranked AS (
 )
 SELECT subj, pred, obj, n_votes, round(w, 6) AS w_votes
 FROM ranked WHERE rn = 1 ORDER BY subj, pred
+""",
+        "kg_distant_supervision": _cooccurrence_cte(tp) + f"""
+, de2 AS (
+  SELECT DISTINCT conv_id, ent_type,
+         substr(raw, 2, length(raw) - 2) AS surf
+  FROM m
+),
+kb AS (
+  SELECT lower(subj) AS ksubj, lower(obj) AS kobj, min(pred) AS pred
+  FROM read_parquet('{{trip}}')
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+cand AS (
+  SELECT d.conv_id AS doc_id, d.surf AS subj,
+         o.ent_type AS obj_type, o.surf AS obj
+  FROM de2 d JOIN de2 o
+    ON o.conv_id = d.conv_id AND o.ent_type <> 'Drug'
+  WHERE d.ent_type = 'Drug'
+),
+lab AS (
+  SELECT c.doc_id, c.subj, c.obj_type, c.obj,
+         COALESCE(kb.pred, 'NA') AS label
+  FROM cand c LEFT JOIN kb
+    ON kb.ksubj = lower(c.subj) AND kb.kobj = lower(c.obj)
+)
+SELECT doc_id, subj, obj_type, obj, label FROM lab
+WHERE label <> 'NA'
+   OR ('0x' || substr(md5(doc_id || '|' || subj || '|' || obj), 1, 15))::UBIGINT
+      % 10 = 0
+ORDER BY doc_id, subj, obj_type, obj
+""".replace("{trip}", _fixture("kg_triples")),
+        "kg_pred_cooccurrence": f"""
+WITH sp AS (
+  SELECT DISTINCT subj, pred FROM read_parquet('{_fixture("kg_triples")}')
+),
+ns AS (SELECT count(DISTINCT subj) AS n FROM sp),
+ca AS (SELECT pred, count(*) AS c FROM sp GROUP BY pred),
+p AS (
+  SELECT a.pred AS pred_a, b.pred AS pred_b, count(*) AS n_ab
+  FROM sp a JOIN sp b ON a.subj = b.subj AND a.pred < b.pred
+  GROUP BY 1, 2
+)
+SELECT pred_a, pred_b, n_ab,
+       round(ln(CAST((SELECT n FROM ns) AS DOUBLE) * n_ab / (x.c * y.c)), 6)
+           AS lift
+FROM p
+JOIN ca x ON x.pred = pred_a
+JOIN ca y ON y.pred = pred_b
+ORDER BY pred_a, pred_b
+""",
+        "docs_dsir_select": r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+),
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 15))::UBIGINT % 256 AS bucket
+  FROM toks
+),
+spine AS (SELECT unnest(range(256)) AS bucket),
+tgt AS (SELECT bucket, count(*) AS c FROM b WHERE doc_id % 7 = 0 GROUP BY 1),
+src AS (SELECT bucket, count(*) AS c FROM b WHERE doc_id % 7 <> 0 GROUP BY 1),
+tot AS (
+  SELECT (SELECT COALESCE(sum(c), 0) FROM tgt) AS nt,
+         (SELECT COALESCE(sum(c), 0) FROM src) AS ns
+),
+lr AS (
+  SELECT s.bucket,
+         ln((COALESCE(t.c, 0) + 1.0) / (tot.nt + 256))
+           - ln((COALESCE(sr.c, 0) + 1.0) / (tot.ns + 256)) AS logratio
+  FROM spine s
+  LEFT JOIN tgt t ON t.bucket = s.bucket
+  LEFT JOIN src sr ON sr.bucket = s.bucket, tot
+),
+w AS (
+  SELECT b.doc_id, count(*) AS n_tokens, sum(lr.logratio) / count(*) AS wgt
+  FROM b JOIN lr USING (bucket)
+  WHERE b.doc_id % 7 <> 0
+  GROUP BY b.doc_id
+),
+sc AS (
+  SELECT doc_id, n_tokens,
+         wgt - ln(-ln(
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT + 1)
+           / 1152921504606846977.0
+         )) AS score
+  FROM w
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, round(score, 6) AS score
+FROM sc ORDER BY score DESC, doc_id LIMIT 50
 """,
         "kg_entity_alignment": f"""
 WITH e AS (

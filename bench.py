@@ -129,6 +129,8 @@ def _run_bench() -> dict:
             "kg_pagerank_dist": lambda: q.kg_pagerank_dist(sf_dir),
             "kg_kcore_dist": lambda: q.kg_kcore_dist(sf_dir),
             "kg_transe_eval": lambda: q.kg_transe_eval(sf_dir),
+            "kg_distant_supervision": lambda: q.kg_distant_supervision(sf_dir),
+            "docs_dsir_select": lambda: q.docs_dsir_select(sf_dir),
         }.items():
             # three timed runs, report the min (this VM shows intermittent
             # multi-second host-noise stalls; raw runs kept for honesty)

@@ -3846,3 +3846,189 @@ def kg_betweenness_dist(sf_dir: str) -> pd.DataFrame:
     trip = _triples(sf_dir)
     out = graph.betweenness_distributed(trip)
     return out.sort_values("node").reset_index(drop=True)
+
+
+def kg_distant_supervision(sf_dir: str, min_support: int = 3) -> pd.DataFrame:
+    """Distant-supervision silver labels (Mintz et al. 2009): pair every
+    in-document Drug mention with every other-type mention, label with
+    the support-filtered KB predicate from the engine's OWN extracted
+    triples (bootstrap), downsample 'NA' negatives 1/10 with an md5
+    coin — the training-data-generation half of a KG-construction
+    pipeline. Scale shape: KB = block combiner + vocab-bounded driver
+    merge, broadcast once via ray.put; labeling = ONE doc-complete
+    mention pass (zero shuffles end-to-end). Oracle: same regex-mention
+    CTE as kg_cooccurrence, left-joined to the support-filtered triples
+    fixture, identical md5 coin in SQL."""
+    kb = graph.kb_support_pairs(_triples(sf_dir), min_support=min_support)
+    return graph.distant_supervision(
+        _mentions(sf_dir), kb, subj_type="Drug", na_mod=10, doc_complete=True
+    )
+
+
+def kg_pred_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """Predicate co-occurrence (schema-discovery signal): for each pair
+    of predicates, how many subjects carry BOTH, with the PMI-style lift
+    over the subject universe — which attribute slots travel together in
+    the induced schema. Scale shape: one block-combiner pass reduces the
+    triple stream to distinct (subj, pred) partials (vocabulary-bounded
+    here; an open KB would finish with a groupby over the same
+    partials); pair enumeration is driver math over the pred-vocab
+    square. Oracle: distinct self-join + count SQL over the triples
+    fixture."""
+    trip = _triples(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["subj", "pred"]).group_by(
+            ["subj", "pred"], use_threads=False
+        ).aggregate([])
+        return g
+
+    sp = (
+        trip.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if sp.empty:
+        return pd.DataFrame(
+            {"pred_a": pd.Series([], dtype=str),
+             "pred_b": pd.Series([], dtype=str),
+             "n_ab": pd.Series([], dtype="int64"),
+             "lift": pd.Series([], dtype="float64")}
+        )
+    n_subj = sp["subj"].nunique()
+    ca = sp.groupby("pred").size()
+    pairs = sp.merge(sp, on="subj", suffixes=("_a", "_b"))
+    pairs = pairs[pairs["pred_a"] < pairs["pred_b"]]
+    g = pairs.groupby(["pred_a", "pred_b"]).size().reset_index(name="n_ab")
+    lift = np.log(
+        float(n_subj) * g["n_ab"].to_numpy(dtype=np.float64)
+        / (ca[g["pred_a"]].to_numpy(dtype=np.float64)
+           * ca[g["pred_b"]].to_numpy(dtype=np.float64))
+    )
+    g["n_ab"] = g["n_ab"].astype("int64")
+    g["lift"] = np.round(lift, 6)
+    return g.sort_values(["pred_a", "pred_b"]).reset_index(drop=True)
+
+
+def docs_dsir_select(
+    sf_dir: str, n_buckets: int = 256, k: int = 50, target_mod: int = 7
+) -> pd.DataFrame:
+    """DSIR data selection (Xie et al. 2023, NeurIPS — Data Selection
+    with Importance Resampling): score every source document by the
+    log-likelihood ratio of hashed-unigram bucket models fitted on a
+    target corpus vs the source corpus, then Gumbel-top-k resample with
+    content-addressed uniforms. Target = docs with doc_id % 7 == 0 (the
+    deterministic 'domain' slice); source = the rest.
+
+    Scale shape: pass 1 is a block combiner emitting two
+    ``n_buckets``-long count partials (driver merge is dimension-sized,
+    not corpus-sized); the smoothed log-ratio vector is broadcast once
+    via ray.put; pass 2 scores docs vectorized (md5 bucket per token ->
+    np.bincount per doc) and prunes to a per-block top-k so the driver
+    merges (blocks x k) rows, never a global sort. Oracle: identical
+    bucket/smoothing/Gumbel formulas in SQL (md5 dialect matched to
+    DuckDB as in docs_weighted_sample)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from ..functions.broadcast import bget
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    DENOM = float(2**60) + 1.0
+
+    def bucketize(texts: "pa.ChunkedArray | pa.Array"):
+        """(doc_index, bucket) for every nonempty whitespace token —
+        one Arrow split/flatten, md5 only per DISTINCT token (vocab-
+        bounded per block), RE2 \\s+ dialect matched to the oracle."""
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(texts, "")), r"\s+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        flat = flat.filter(mask)
+        parents = parents.filter(mask).to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(
+            flat.to_numpy(zero_copy_only=False), sort=False
+        )
+        ub = np.array(
+            [
+                int(hashlib.md5(u.encode("utf-8")).hexdigest()[:15], 16)
+                % n_buckets
+                for u in uniq
+            ],
+            dtype=np.int64,
+        )
+        return parents.astype(np.int64), ub[codes]
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        parents, buckets = bucketize(t["text"])
+        is_tgt = (ids[parents] % target_mod) == 0
+        tgt = np.bincount(buckets[is_tgt], minlength=n_buckets)
+        src = np.bincount(buckets[~is_tgt], minlength=n_buckets)
+        return pa.table(
+            {"bucket": np.arange(n_buckets, dtype=np.int64),
+             "tgt": tgt.astype(np.int64), "src": src.astype(np.int64)}
+        )
+
+    parts = docs.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+    merged = parts.groupby("bucket")[["tgt", "src"]].sum()
+    tgt = np.zeros(n_buckets, dtype=np.float64)
+    src = np.zeros(n_buckets, dtype=np.float64)
+    tgt[merged.index.to_numpy()] = merged["tgt"].to_numpy(dtype=np.float64)
+    src[merged.index.to_numpy()] = merged["src"].to_numpy(dtype=np.float64)
+    nt, ns = tgt.sum(), src.sum()
+    logratio = np.log((tgt + 1.0) / (nt + n_buckets)) - np.log(
+        (src + 1.0) / (ns + n_buckets)
+    )
+    lr_ref = ray.put(logratio)
+
+    def score_prune(t: pa.Table) -> pa.Table:
+        lr = bget(lr_ref)
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        parents, buckets = bucketize(t["text"])
+        nts = np.bincount(parents, minlength=len(ids))
+        sums = np.zeros(len(ids), dtype=np.float64)
+        np.add.at(sums, parents, lr[buckets])
+        keep = ((ids % target_mod) != 0) & (nts > 0)
+        ids, nts, sums = ids[keep], nts[keep], sums[keep]
+        if not len(ids):
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        u = (
+            np.array(
+                [
+                    int(hashlib.md5(str(i).encode("utf-8")).hexdigest()[:15], 16)
+                    for i in ids
+                ],
+                dtype=np.float64,
+            )
+            + 1.0
+        ) / DENOM
+        score = sums / nts + (-np.log(-np.log(u)))
+        top = np.argsort(-score, kind="stable")[: min(k, len(ids))]
+        return pa.table(
+            {"doc_id": ids[top], "n_tokens": nts[top].astype(np.int64),
+             "score": score[top]}
+        )
+
+    pruned = docs.map_batches(score_prune, batch_format="pyarrow").to_pandas()
+    out = (
+        pruned.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    out["score"] = out["score"].round(6)
+    return out[["rank", "doc_id", "n_tokens", "score"]]

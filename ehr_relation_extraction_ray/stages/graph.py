@@ -2486,3 +2486,150 @@ def transe_eval(
         n_skipped = int(ns[skip].sum())
         np.add.at(hist, ranks[~skip], ns[~skip])
     return _transe_metrics(hist, n_skipped)
+
+
+def kb_support_pairs(
+    triples: "ray.data.Dataset", min_support: int = 3
+) -> "pd.DataFrame":
+    """Support-filtered knowledge-base pairs for distant supervision.
+
+    One block-combiner pass reduces the triple stream to distinct
+    (subj, pred, obj, n_docs) partials (vocabulary-bounded for a closed
+    ontology; an open KB would finish with a groupby on the same
+    partials instead of the driver merge). Keeps (lower(subj),
+    lower(obj)) pairs supported by >= ``min_support`` docs, labeled with
+    the lexicographically-min pred (deterministic when a pair maps to
+    several predicates).
+    """
+    import numpy as np  # noqa: F401  (parity with sibling kernels)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["subj", "pred", "obj"]).group_by(
+            ["subj", "pred", "obj"], use_threads=False
+        ).aggregate([([], "count_all")])
+        return g.rename_columns(["subj", "pred", "obj", "n"])
+
+    parts = triples.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"subj": pd.Series([], dtype=str), "obj": pd.Series([], dtype=str),
+             "pred": pd.Series([], dtype=str)}
+        )
+    full = parts.groupby(["subj", "pred", "obj"], as_index=False)["n"].sum()
+    full = full[full["n"] >= min_support]
+    full["subj"] = full["subj"].str.lower()
+    full["obj"] = full["obj"].str.lower()
+    kb = full.groupby(["subj", "obj"], as_index=False)["pred"].min()
+    return kb.reset_index(drop=True)
+
+
+def distant_supervision(
+    ment: "ray.data.Dataset",
+    kb: "pd.DataFrame",
+    subj_type: str = "Drug",
+    na_mod: int = 10,
+    doc_complete: bool = False,
+) -> "pd.DataFrame":
+    """Mintz-style distant supervision: label co-occurring entity pairs
+    with a KB predicate (training-data generation for relation
+    extraction; Mintz et al. 2009, ACL).
+
+    For every document, each distinct subject-type mention is paired
+    with each distinct other-type mention; a pair whose lowercased
+    surfaces appear in the KB gets that predicate as its silver label,
+    every other pair is a negative ('NA') and is deterministically
+    downsampled to 1/``na_mod`` by a content-addressed md5 coin (same
+    md5 dialect as the sampling kernels, so the SQL oracle reproduces
+    the exact row set).
+
+    Scale shape: the KB is vocabulary-bounded and broadcast once via
+    ``ray.put`` (read per actor, not re-shipped per batch); the pair
+    emission is ONE doc-keyed partition pass (``doc_complete=True``
+    declares the mentions-blocks-hold-whole-docs invariant of
+    stages.mentions.detect, skipping the shuffle — same contract as
+    ``cooccurrence_counts``). Output rows stream from the pass; no
+    driver-side joins. Reference anchor: the candidate-pair semantics
+    mirror the reference's RE candidate generation
+    (/root/reference/generate_data.py pairing of drug mentions with
+    attribute mentions), re-expressed as a distributed silver-labeling
+    operator.
+    """
+    import hashlib
+
+    import numpy as np
+
+    import ray
+
+    from ..functions.broadcast import bget
+
+    kb_pred = dict(zip(zip(kb["subj"].astype(str), kb["obj"].astype(str)),
+                       kb["pred"].astype(str)))
+    kb_ref = ray.put(kb_pred)
+
+    schema = pa.schema(
+        [("doc_id", pa.string()), ("subj", pa.string()),
+         ("obj_type", pa.string()), ("obj", pa.string()),
+         ("label", pa.string())]
+    )
+
+    def label_pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        preds = bget(kb_ref)
+        de = pd.DataFrame(
+            {"doc_id": df["doc_id"].astype(str),
+             "ent_type": df["ent_type"].astype(str),
+             "surf": df["text"].astype(str)}
+        ).drop_duplicates()
+        subs = de[de["ent_type"] == subj_type][["doc_id", "surf"]]
+        objs = de[de["ent_type"] != subj_type]
+        cand = subs.merge(objs, on="doc_id", suffixes=("_s", "_o"))
+        if cand.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=str),
+                 "subj": pd.Series([], dtype=str),
+                 "obj_type": pd.Series([], dtype=str),
+                 "obj": pd.Series([], dtype=str),
+                 "label": pd.Series([], dtype=str)}
+            )
+        sl = cand["surf_s"].str.lower().to_numpy()
+        ol = cand["surf_o"].str.lower().to_numpy()
+        labels = np.array(
+            [preds.get((a, b), "NA") for a, b in zip(sl, ol)], dtype=object
+        )
+        # deterministic 1/na_mod negative downsampling (md5 coin)
+        coins = np.array(
+            [
+                int(hashlib.md5(k.encode("utf-8")).hexdigest()[:15], 16) % na_mod
+                for k in (
+                    cand["doc_id"] + "|" + cand["surf_s"] + "|" + cand["surf_o"]
+                )
+            ],
+            dtype=np.int64,
+        )
+        keep = (labels != "NA") | (coins == 0)
+        out = pd.DataFrame(
+            {"doc_id": cand["doc_id"].to_numpy()[keep],
+             "subj": cand["surf_s"].to_numpy()[keep],
+             "obj_type": cand["ent_type"].to_numpy()[keep],
+             "obj": cand["surf_o"].to_numpy()[keep],
+             "label": labels[keep]}
+        )
+        return out.astype(str)
+
+    if doc_complete:
+        parts = ment.map_batches(
+            label_pairs, batch_format="pandas", batch_size=None
+        ).to_pandas()
+    else:
+        parts = groupby_partition(
+            ment, "doc_id", label_pairs, batch_format="pandas", schema=schema
+        ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=str), "subj": pd.Series([], dtype=str),
+             "obj_type": pd.Series([], dtype=str), "obj": pd.Series([], dtype=str),
+             "label": pd.Series([], dtype=str)}
+        )
+    return (
+        parts.sort_values(["doc_id", "subj", "obj_type", "obj"])
+        .reset_index(drop=True)
+    )
