@@ -101,6 +101,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_truth_discovery": q.kg_truth_discovery,
         "kg_distant_supervision": q.kg_distant_supervision,
         "kg_pred_cooccurrence": q.kg_pred_cooccurrence,
+        "kg_share_rules": q.kg_share_rules,
+        "kg_neighbor_sample": q.kg_neighbor_sample,
+        "kg_feature_prop": q.kg_feature_prop,
+        "kg_entity_summary": q.kg_entity_summary,
+        "kg_dictionary": q.kg_dictionary,
+        "kg_index_zonemaps": q.kg_index_zonemaps,
         "docs_dsir_select": q.docs_dsir_select,
         "kg_pagerank_dist": q.kg_pagerank_dist,
         "kg_label_prop_dist": q.kg_label_prop_dist,
@@ -1727,6 +1733,134 @@ FROM p
 JOIN ca x ON x.pred = pred_a
 JOIN ca y ON y.pred = pred_b
 ORDER BY pred_a, pred_b
+""",
+        "kg_share_rules": f"""
+WITH e AS (
+  SELECT DISTINCT subj, pred, obj
+  FROM read_parquet('{_fixture("kg_triples")}')
+),
+sh AS (
+  SELECT DISTINCT a.pred AS p, a.subj AS x, b.subj AS z
+  FROM e a JOIN e b ON a.pred = b.pred AND a.obj = b.obj
+  WHERE a.subj < b.subj
+),
+bn AS (SELECT p, count(*) AS n_ant FROM sh GROUP BY p),
+bo AS (
+  SELECT s1.p AS antecedent, s2.p AS consequent, count(*) AS n_both
+  FROM sh s1 JOIN sh s2 ON s1.x = s2.x AND s1.z = s2.z AND s1.p <> s2.p
+  GROUP BY 1, 2
+)
+SELECT b.antecedent, b.consequent, bn.n_ant, b.n_both,
+       round(CAST(b.n_both AS DOUBLE) / bn.n_ant, 6) AS confidence
+FROM bo b JOIN bn ON bn.p = b.antecedent
+WHERE b.n_both >= 5
+  AND CAST(b.n_both AS DOUBLE) / bn.n_ant >= 0.1
+ORDER BY antecedent, consequent
+""",
+        "kg_neighbor_sample": f"""
+WITH e AS (
+  SELECT DISTINCT subj, obj FROM read_parquet('{_fixture("kg_triples")}')
+),
+und AS (
+  SELECT subj AS v, obj AS u FROM e
+  UNION
+  SELECT obj AS v, subj AS u FROM e
+),
+rk AS (
+  SELECT v, u,
+         row_number() OVER (
+           PARTITION BY v ORDER BY md5(v || chr(31) || u)) AS r
+  FROM und
+),
+h1 AS (SELECT v, u FROM rk WHERE r <= 3),
+s2 AS (SELECT v AS mid, u AS w FROM rk WHERE r <= 2)
+SELECT v AS seed, 1 AS hop, v AS src, u AS dst FROM h1
+UNION ALL
+SELECT h1.v AS seed, 2 AS hop, h1.u AS src, s2.w AS dst
+FROM h1 JOIN s2 ON s2.mid = h1.u
+ORDER BY seed, hop, src, dst
+""",
+        "kg_feature_prop": f"""
+WITH e AS (
+  SELECT DISTINCT subj, obj FROM read_parquet('{_fixture("kg_triples")}')
+),
+und AS (
+  SELECT subj AS v, obj AS u FROM e
+  UNION
+  SELECT obj AS v, subj AS u FROM e
+),
+feat AS (
+  SELECT v,
+         strpos('0123456789abcdef', substr(md5(v), 1, 1)) - 1 AS x1,
+         strpos('0123456789abcdef', substr(md5(v), 2, 1)) - 1 AS x2,
+         strpos('0123456789abcdef', substr(md5(v), 3, 1)) - 1 AS x3,
+         strpos('0123456789abcdef', substr(md5(v), 4, 1)) - 1 AS x4
+  FROM (SELECT DISTINCT v FROM und)
+),
+h1 AS (
+  SELECT und.v, count(*) AS c1,
+         sum(f.x1) AS s1, sum(f.x2) AS s2, sum(f.x3) AS s3,
+         sum(f.x4) AS s4
+  FROM und JOIN feat f ON f.v = und.u GROUP BY und.v
+),
+h2 AS (
+  SELECT und.v, sum(h1.c1) AS c2,
+         sum(h1.s1) AS t1, sum(h1.s2) AS t2, sum(h1.s3) AS t3,
+         sum(h1.s4) AS t4
+  FROM und JOIN h1 ON h1.v = und.u GROUP BY und.v
+)
+SELECT v AS node, CAST(c2 AS BIGINT) AS n_paths,
+       round(CAST(t1 AS DOUBLE) / c2, 6) AS f1,
+       round(CAST(t2 AS DOUBLE) / c2, 6) AS f2,
+       round(CAST(t3 AS DOUBLE) / c2, 6) AS f3,
+       round(CAST(t4 AS DOUBLE) / c2, 6) AS f4
+FROM h2 ORDER BY node
+""",
+        "kg_entity_summary": f"""
+WITH e AS (
+  SELECT DISTINCT subj, pred, obj
+  FROM read_parquet('{_fixture("kg_triples")}')
+),
+c AS (SELECT pred, obj, count(*) AS n FROM e GROUP BY 1, 2),
+r AS (
+  SELECT e.subj, e.pred, e.obj, c.n,
+         row_number() OVER (
+           PARTITION BY e.subj ORDER BY c.n, e.pred, e.obj) AS rk
+  FROM e JOIN c USING (pred, obj)
+)
+SELECT subj, pred, obj, n AS fact_freq, rk
+FROM r WHERE rk <= 5 ORDER BY subj, rk
+""",
+        "kg_dictionary": f"""
+WITH t AS (
+  SELECT subj AS term FROM read_parquet('{_fixture("kg_triples")}')
+  UNION
+  SELECT pred FROM read_parquet('{_fixture("kg_triples")}')
+  UNION
+  SELECT obj FROM read_parquet('{_fixture("kg_triples")}')
+)
+SELECT term, row_number() OVER (ORDER BY term) - 1 AS id
+FROM t ORDER BY term
+""",
+        "kg_index_zonemaps": f"""
+WITH e AS (
+  SELECT DISTINCT subj, pred, obj
+  FROM read_parquet('{_fixture("kg_triples")}')
+),
+z AS (
+  SELECT 'spo' AS idx_order, substr(md5(subj), 1, 1) AS bucket,
+         count(*) AS n,
+         min(subj || chr(31) || pred || chr(31) || obj) AS key_min,
+         max(subj || chr(31) || pred || chr(31) || obj) AS key_max
+  FROM e GROUP BY 2
+  UNION ALL
+  SELECT 'osp', substr(md5(obj), 1, 1),
+         count(*),
+         min(obj || chr(31) || subj || chr(31) || pred),
+         max(obj || chr(31) || subj || chr(31) || pred)
+  FROM e GROUP BY 2
+)
+SELECT * FROM z ORDER BY idx_order, bucket
 """,
         "docs_dsir_select": r"""
 WITH toks AS (

@@ -4032,3 +4032,78 @@ def docs_dsir_select(
     out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
     out["score"] = out["score"].round(6)
     return out[["rank", "doc_id", "n_tokens", "score"]]
+
+
+def kg_share_rules(sf_dir: str) -> pd.DataFrame:
+    """AMIE-style implication rules over derived share_p(x, z) relations
+    (stages/mining.share_rules): pass 1 keys distinct (pred, obj, subj)
+    by attribute VALUE and emits the slab-chunked owner-pair mesh, pass
+    2 keys candidates by the entity PAIR for the exact global dedup and
+    predicate-vocabulary-bounded rule partials. Oracle: the same two
+    self-joins in SQL over the kg_triples fixture."""
+    from ..stages import mining
+
+    return mining.share_rules(
+        _triples(sf_dir), min_support=5, min_confidence=0.1
+    )
+
+
+def kg_neighbor_sample(sf_dir: str) -> pd.DataFrame:
+    """GraphSAGE-style deterministic 2-hop fanout sample
+    (stages/neighborhood.neighbor_sample): per-node top-k neighbors by
+    md5 rank in ONE node-keyed pass, hop-2 via ONE mid-node-keyed join
+    of the sampled frontier against the per-node samples. Oracle:
+    row_number() over md5 ordering in SQL."""
+    from ..stages import neighborhood
+
+    return neighborhood.neighbor_sample(_triples(sf_dir), k1=3, k2=2)
+
+
+def kg_feature_prop(sf_dir: str) -> pd.DataFrame:
+    """SGC-style 2-hop feature propagation over the symmetrized KG
+    (stages/neighborhood.feature_propagation): hex-digit md5 node
+    features, integer-sum SpMV passes (bit-exact at any parallelism),
+    one final division per output row. Oracle: two joins + integer sums
+    in SQL."""
+    from ..stages import neighborhood
+
+    return neighborhood.feature_propagation(_triples(sf_dir), dims=4)
+
+
+def kg_entity_summary(sf_dir: str) -> pd.DataFrame:
+    """Per-entity top-k rarest facts (stages/neighborhood.entity_summary):
+    fact frequencies from block partials merged on the driver
+    (attribute-vocabulary-bounded), broadcast once, per-subject rank in
+    ONE subject-keyed pass. Oracle: row_number() over (freq, pred, obj)."""
+    from ..stages import neighborhood
+
+    return neighborhood.entity_summary(_triples(sf_dir), k=5)
+
+
+def kg_dictionary(sf_dir: str) -> pd.DataFrame:
+    """Global term dictionary (stages/kgstore.term_dictionary): distinct
+    subj/pred/obj terms, dense ids = global rank via the distributed
+    prefix-sum scan (no driver sort). Oracle: row_number() - 1 over the
+    sorted distinct union."""
+    from ..stages import kgstore
+
+    return kgstore.term_dictionary(_triples(sf_dir))
+
+
+def kg_index_zonemaps(sf_dir: str) -> pd.DataFrame:
+    """Hexastore-style sorted bucket index build + zone maps
+    (stages/kgstore.sorted_index): triples hash-bucketed by the leading
+    term's md5 prefix per permutation (SPO / OSP), each bucket written
+    as one sorted Parquet file (resumable output), returning per-bucket
+    row counts and min/max composite keys. Oracle: the same md5-prefix
+    grouping + min/max concat in SQL; file sortedness is pinned by
+    tests/test_kgstore.py."""
+    import shutil
+    import tempfile
+
+    from ..stages import kgstore
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = os.path.join(tempfile.gettempdir(), f"kg_index_{tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return kgstore.sorted_index(_triples(sf_dir), out_dir)

@@ -216,3 +216,190 @@ def assoc_rules(
         out = pd.concat([out, overflow_rows], ignore_index=True)
     out["n_both"] = out["n_both"].astype("int64")
     return out.sort_values(["antecedent", "consequent"]).reset_index(drop=True)
+
+
+# -- share-predicate implication rules (AMIE-style over derived relations) --
+#
+# This KG is bipartite (entity -> attribute value; reference ehr.py
+# get_relations emits drug -> Dosage/ADE/... edges only), so classic
+# p1(x,y) ^ p2(y,z) => p3(x,z) horn rules have an empty body: no object
+# ever re-appears as a subject. The AMIE-shaped mining that IS meaningful
+# here runs over the DERIVED symmetric relations
+#
+#     share_p(x, z)  :=  EXISTS y . p(x, y) AND p(z, y)   (x < z)
+#
+# ("x and z share an attribute value under predicate p") and mines the
+# implication rules  share_p1(x, z) => share_p2(x, z)  with support and
+# confidence — e.g. "entity pairs sharing an ADE also share a Reason".
+#
+# Distributed shape:
+#  - pass 1 keys distinct (pred, obj, subj) rows by ATTRIBUTE VALUE
+#    (pred, obj) — a group's owner list is partition-complete, so the
+#    C(d, 2) pair mesh is emitted locally, slab-chunked so memory stays
+#    bounded for hot values (Form:tablet-style stopword attributes), with
+#    a lineage row per hot group (caps are visible, never silent).
+#  - pass 2 keys the emitted (p, x, z) candidates by the PAIR (x, z):
+#    global dedup is exact there (same pair always lands together), and
+#    the per-pair predicate set P emits |P| body partials + |P|^2 rule
+#    partials — predicate-vocabulary-bounded, never corpus-bounded.
+#  - the driver merge is P^2-sized.
+
+
+def share_pairs(
+    triples: "ray.data.Dataset",
+    hot_threshold: int = 2048,
+    slab_pairs: int = 4_000_000,
+) -> "ray.data.Dataset":
+    """Distinct share_p(x, z) candidate rows (kind=0) + lineage (kind=1).
+
+    One (pred, obj)-keyed partition pass; each attribute-value group of
+    d owners emits its C(d, 2) ordered pairs via flat index arithmetic
+    (no per-group Python pair loop), sliced into ``slab_pairs`` slabs so
+    a hot value never materializes its whole mesh at once. Rows are
+    deduped per partition; exact global dedup happens in the pass-2
+    (x, z) exchange of :func:`share_rules`.
+    """
+    schema = pa.schema(
+        [("p", pa.string()), ("x", pa.string()), ("z", pa.string()),
+         ("kind", pa.int8())]
+    )
+
+    def emit(part: pd.DataFrame) -> pd.DataFrame:
+        df = part.drop_duplicates(["pred", "obj", "subj"])
+        df = df.sort_values(["pred", "obj", "subj"], kind="stable")
+        sizes = df.groupby(["pred", "obj"], sort=False).size().to_numpy()
+        preds = df["pred"].to_numpy()
+        subs = df["subj"].to_numpy()
+        starts = np.cumsum(sizes) - sizes
+        n_pairs = sizes * (sizes - 1) // 2
+        total = int(n_pairs.sum())
+        n_hot = int((sizes > hot_threshold).sum())
+        frames = []
+        if total:
+            # flat pair enumeration: group g contributes C(sizes[g], 2)
+            # (i < j) index pairs; all groups at once, slab by slab
+            goff = np.cumsum(n_pairs) - n_pairs
+            for lo in range(0, total, slab_pairs):
+                hi = min(lo + slab_pairs, total)
+                gsel = np.searchsorted(goff, np.arange(lo, hi), side="right") - 1
+                within = np.arange(lo, hi) - goff[gsel]
+                d = sizes[gsel]
+                # row i of the upper triangle starts at i*d - i*(i+1)/2 - i
+                # invert: i = d - 2 - floor((sqrt(8*(T-1-w)+1) - 1) / 2)
+                # where T = C(d,2); cheaper exact form via quadratic solve
+                t = d * (d - 1) // 2
+                rev = t - 1 - within
+                i_rev = ((np.sqrt(8.0 * rev + 1.0) - 1.0) // 2).astype(np.int64)
+                # exact integer correction of the float sqrt (one step each
+                # way covers the at-most-one-off rounding at slab scale)
+                for _ in range(2):
+                    i_rev += ((i_rev + 1) * (i_rev + 2) // 2 <= rev).astype(np.int64)
+                    i_rev -= (i_rev * (i_rev + 1) // 2 > rev).astype(np.int64)
+                i = d - 2 - i_rev
+                j = within - (i * (2 * d - i - 1) // 2) + i + 1
+                rows = starts[gsel]
+                frames.append(pd.DataFrame({
+                    "p": preds[rows],
+                    "x": subs[rows + i],
+                    "z": subs[rows + j],
+                    "kind": np.int8(0),
+                }))
+        out = (
+            pd.concat(frames, ignore_index=True).drop_duplicates()
+            if frames else
+            pd.DataFrame({"p": pd.Series([], dtype=str),
+                          "x": pd.Series([], dtype=str),
+                          "z": pd.Series([], dtype=str),
+                          "kind": pd.Series([], dtype="int8")})
+        )
+        if n_hot:
+            out = pd.concat([out, pd.DataFrame(
+                {"p": ["__hot_value__"], "x": [f">{hot_threshold}"],
+                 "z": [str(n_hot)], "kind": [np.int8(1)]})], ignore_index=True)
+        out["kind"] = out["kind"].astype("int8")
+        return out
+
+    return groupby_partition(
+        triples.select_columns(["pred", "obj", "subj"]),
+        ["pred", "obj"],
+        emit,
+        batch_format="pandas",
+        schema=schema,
+    )
+
+
+def share_rules(
+    triples: "ray.data.Dataset",
+    min_support: int = 5,
+    min_confidence: float = 0.1,
+    hot_threshold: int = 2048,
+) -> pd.DataFrame:
+    """share_p1(x,z) => share_p2(x,z) implication rules.
+
+    Returns (antecedent, consequent, n_ant, n_both, confidence) for every
+    directed predicate pair with n_both >= min_support and confidence =
+    n_both / n_ant >= min_confidence, sorted by (antecedent, consequent).
+    n_ant counts DISTINCT entity pairs sharing a p1-value; n_both counts
+    those that also share a p2-value.
+    """
+    cand = share_pairs(triples, hot_threshold=hot_threshold)
+    schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("n", pa.int64())]
+    )
+
+    def rule_partials(part: pd.DataFrame) -> pd.DataFrame:
+        df = part[part["kind"] == 0].drop_duplicates(["p", "x", "z"])
+        if df.empty:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=str), "b": pd.Series([], dtype=str),
+                 "n": pd.Series([], dtype="int64")})
+        body = df.groupby("p", sort=False).size().rename("n").reset_index()
+        body = body.rename(columns={"p": "a"})
+        body["b"] = ""
+        joined = df.merge(df, on=["x", "z"], suffixes=("_1", "_2"))
+        joined = joined[joined["p_1"] != joined["p_2"]]
+        both = (
+            joined.groupby(["p_1", "p_2"], sort=False).size()
+            .rename("n").reset_index()
+            .rename(columns={"p_1": "a", "p_2": "b"})
+        )
+        out = pd.concat(
+            [body[["a", "b", "n"]], both[["a", "b", "n"]]], ignore_index=True
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = groupby_partition(
+        cand.filter(expr="kind == 0"),
+        ["x", "z"],
+        rule_partials,
+        batch_format="pandas",
+        schema=schema,
+        size_aware=True,
+    ).to_pandas()
+    cols = ["antecedent", "consequent", "n_ant", "n_both", "confidence"]
+    if parts.empty:
+        return pd.DataFrame({
+            "antecedent": pd.Series([], dtype=str),
+            "consequent": pd.Series([], dtype=str),
+            "n_ant": pd.Series([], dtype="int64"),
+            "n_both": pd.Series([], dtype="int64"),
+            "confidence": pd.Series([], dtype="float64")})
+    merged = parts.groupby(["a", "b"], as_index=False)["n"].sum()
+    n_ant = dict(zip(
+        merged.loc[merged["b"] == "", "a"],
+        merged.loc[merged["b"] == "", "n"].astype(int),
+    ))
+    both = merged[merged["b"] != ""]
+    rows = []
+    for a, b, n in both.itertuples(index=False):
+        conf = n / n_ant[a]
+        if n >= min_support and conf >= min_confidence:
+            rows.append({"antecedent": a, "consequent": b,
+                         "n_ant": int(n_ant[a]), "n_both": int(n),
+                         "confidence": round(conf, 6)})
+    out = pd.DataFrame(rows, columns=cols)
+    out["n_ant"] = out["n_ant"].astype("int64")
+    out["n_both"] = out["n_both"].astype("int64")
+    out["confidence"] = out["confidence"].astype("float64")
+    return out.sort_values(["antecedent", "consequent"]).reset_index(drop=True)

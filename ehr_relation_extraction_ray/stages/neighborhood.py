@@ -1,0 +1,390 @@
+"""Node-neighborhood operators for GNN-style training data over the KG.
+
+A production KG feeds graph learning: GraphSAGE-style minibatch training
+needs deterministic bounded-fanout neighbor samples, SGC/LightGCN-style
+models need k-hop feature propagation, and entity cards / retrieval
+contexts need per-entity fact summaries. The reference stops at drawing
+per-note relation tables (ehr.py:538-618); these are the training-data
+extensions, each expressed as hash-partitioned Dataset passes:
+
+- :func:`neighbor_sample` — per-node top-k neighbor sample ranked by a
+  content hash (md5 of the directed pair), two hops. Hop 1 is ONE
+  node-keyed partition pass (a node's distinct neighbor list is
+  partition-complete); hop 2 joins the sampled frontier against the
+  per-node samples with ONE mid-node-keyed exchange. No randomness —
+  the md5 rank makes the sample reproducible at any parallelism and
+  SQL-mirrorable (DuckDB ``md5``).
+- :func:`feature_propagation` — 2-hop feature SpMV. Features are hex
+  digits of ``md5(node)`` (deterministic, derivable from the node name
+  itself, so hop 1 needs NO join); hop 2 attaches the hop-1 partials to
+  edges keyed by the neighbor and re-aggregates keyed by the node. All
+  aggregation is INTEGER sums (path counts and feature sums), so the
+  result is bit-exact at any partition count and against the SQL
+  oracle; the single final division happens per output row.
+- :func:`entity_summary` — per-entity top-k rarest facts: global
+  (pred, obj) fact frequencies via block partials merged on the driver
+  (attribute-vocabulary-bounded), broadcast once, then ONE subject-keyed
+  partition pass ranks each entity's distinct facts by (frequency,
+  pred, obj) and keeps k. Rarity ranking = the IDF heuristic used for
+  entity-card summarization.
+
+At 10^12 turns: every exchange is keyed by node / pair values already
+reduced to the entity-attribute vocabulary; payload text never moves.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions.partitioning import groupby_partition
+
+# rank/feature separator: never occurs in canonical entity strings
+_SEP = "\x1f"
+
+_HEX = "0123456789abcdef"
+
+
+def _md5_rank(a: pd.Series, b: pd.Series) -> list[str]:
+    return [
+        hashlib.md5(f"{x}{_SEP}{y}".encode("utf-8", "surrogatepass")).hexdigest()
+        for x, y in zip(a, b)
+    ]
+
+
+def undirected_edges(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Block-local distinct symmetrized (v, u) rows from (subj, obj).
+
+    Per-block dedup only — exact global dedup happens inside whichever
+    node-keyed partition pass consumes the rows (same key, same
+    partition), so no extra exchange is spent here.
+    """
+
+    def both(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[["subj", "obj"]].drop_duplicates()
+        out = pd.DataFrame(
+            {
+                "v": np.concatenate([e["subj"].to_numpy(), e["obj"].to_numpy()]),
+                "u": np.concatenate([e["obj"].to_numpy(), e["subj"].to_numpy()]),
+            }
+        ).drop_duplicates()
+        return out.astype({"v": str, "u": str})
+
+    return triples.select_columns(["subj", "obj"]).map_batches(
+        both, batch_format="pandas"
+    )
+
+
+def _per_node_samples(
+    edges: "ray.data.Dataset", max_k: int
+) -> "ray.data.Dataset":
+    """(v, u, r) rows: each node's distinct neighbors ranked 1..max_k by
+    md5(v, u). One v-keyed partition pass; global dedup is exact there."""
+    schema = pa.schema(
+        [("v", pa.string()), ("u", pa.string()), ("r", pa.int64())]
+    )
+
+    def sample(part: pd.DataFrame) -> pd.DataFrame:
+        df = part.drop_duplicates(["v", "u"]).copy()
+        if df.empty:
+            return pd.DataFrame(
+                {"v": pd.Series([], dtype=str), "u": pd.Series([], dtype=str),
+                 "r": pd.Series([], dtype="int64")})
+        df["rk"] = _md5_rank(df["v"], df["u"])
+        df = df.sort_values(["v", "rk"], kind="stable")
+        df["r"] = df.groupby("v", sort=False).cumcount() + 1
+        df = df[df["r"] <= max_k]
+        out = df[["v", "u", "r"]].reset_index(drop=True)
+        out["r"] = out["r"].astype("int64")
+        return out
+
+    return groupby_partition(
+        edges, "v", sample, batch_format="pandas", schema=schema
+    )
+
+
+def neighbor_sample(
+    triples: "ray.data.Dataset", k1: int = 3, k2: int = 2
+) -> pd.DataFrame:
+    """Two-hop deterministic fanout sample over the symmetrized KG.
+
+    Returns (seed, hop, src, dst): hop-1 rows are each seed's top-k1
+    neighbors by md5 rank; hop-2 rows expand every sampled frontier node
+    by ITS top-k2 sample (GraphSAGE layer semantics: one sample per node
+    per layer, shared across seeds — the form that keeps the exchange
+    node-keyed instead of (seed x node)-keyed at scale).
+    """
+    samples = _per_node_samples(
+        undirected_edges(triples), max_k=max(k1, k2)
+    ).materialize()
+
+    h1 = samples.filter(expr=f"r <= {k1}")
+    s2 = samples.filter(expr=f"r <= {k2}")
+
+    # hop-2 join keyed on the frontier node: tag hop-1 rows by their mid
+    # node u, per-node samples by their own node v — one exchange.
+    def tag_h1(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["u"].astype(str), "a": df["v"].astype(str),
+             "b": df["u"].astype(str), "tag": np.int8(0)})
+
+    def tag_s2(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["v"].astype(str), "a": df["v"].astype(str),
+             "b": df["u"].astype(str), "tag": np.int8(1)})
+
+    tagged = h1.map_batches(tag_h1, batch_format="pandas").union(
+        s2.map_batches(tag_s2, batch_format="pandas")
+    )
+    schema = pa.schema(
+        [("seed", pa.string()), ("hop", pa.int64()),
+         ("src", pa.string()), ("dst", pa.string())]
+    )
+
+    def expand(part: pd.DataFrame) -> pd.DataFrame:
+        left = part[part["tag"] == 0]
+        right = part[part["tag"] == 1]
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"seed": pd.Series([], dtype=str),
+                 "hop": pd.Series([], dtype="int64"),
+                 "src": pd.Series([], dtype=str),
+                 "dst": pd.Series([], dtype=str)})
+        j = left[["key", "a"]].merge(
+            right[["key", "b"]], on="key", how="inner"
+        )
+        return pd.DataFrame(
+            {"seed": j["a"].astype(str), "hop": np.int64(2),
+             "src": j["key"].astype(str), "dst": j["b"].astype(str)})
+
+    hop2 = groupby_partition(
+        tagged, "key", expand, batch_format="pandas", schema=schema
+    ).to_pandas()
+    hop1 = h1.to_pandas()
+    hop1 = pd.DataFrame(
+        {"seed": hop1["v"].astype(str), "hop": np.int64(1),
+         "src": hop1["v"].astype(str), "dst": hop1["u"].astype(str)})
+    out = pd.concat([hop1, hop2], ignore_index=True)
+    out["hop"] = out["hop"].astype("int64")
+    return out.sort_values(["seed", "hop", "src", "dst"]).reset_index(drop=True)
+
+
+def _hex_features(names: pd.Series, dims: int) -> np.ndarray:
+    """dims integer features per name: hex digits 1..dims of md5(name)."""
+    out = np.empty((len(names), dims), dtype=np.int64)
+    for i, s in enumerate(names):
+        h = hashlib.md5(str(s).encode("utf-8", "surrogatepass")).hexdigest()
+        for j in range(dims):
+            out[i, j] = _HEX.index(h[j])
+    return out
+
+
+def feature_propagation(
+    triples: "ray.data.Dataset", dims: int = 4
+) -> pd.DataFrame:
+    """2-hop random-walk feature expectation over the symmetrized KG.
+
+    Features x_j(v) = j-th hex digit of md5(v) (integers 0..15). Hop 1
+    computes per node the integer sums S1_j(v) = sum_{u in N(v)} x_j(u)
+    and the degree c1(v) = |N(v)| in ONE v-keyed pass (features derive
+    from the neighbor NAME, so no join). Hop 2 attaches (c1, S1) to
+    edges keyed by the neighbor and re-aggregates by the node: c2(v) =
+    sum deg(u) (2-step path count), S2_j(v) = sum S1_j(u). Output
+    f_j = round(S2_j / c2, 6) — the mean feature over all 2-step walks
+    from v. Integer aggregation end-to-end: bit-exact at any partition
+    count and vs the SQL oracle.
+    """
+    edges = undirected_edges(triples)
+    s_cols = [f"s{j + 1}" for j in range(dims)]
+    h1_schema = pa.schema(
+        [("v", pa.string()), ("c1", pa.int64())]
+        + [(c, pa.int64()) for c in s_cols]
+    )
+
+    def hop1(part: pd.DataFrame) -> pd.DataFrame:
+        df = part.drop_duplicates(["v", "u"])
+        if df.empty:
+            return pd.DataFrame(
+                {"v": pd.Series([], dtype=str),
+                 "c1": pd.Series([], dtype="int64"),
+                 **{c: pd.Series([], dtype="int64") for c in s_cols}})
+        feats = _hex_features(df["u"], dims)
+        agg = pd.DataFrame({"v": df["v"].to_numpy()})
+        agg["c1"] = 1
+        for j, c in enumerate(s_cols):
+            agg[c] = feats[:, j]
+        out = agg.groupby("v", as_index=False).sum()
+        for c in ["c1"] + s_cols:
+            out[c] = out[c].astype("int64")
+        return out
+
+    h1 = groupby_partition(
+        edges, "v", hop1, batch_format="pandas", schema=h1_schema
+    ).materialize()
+
+    # hop 2: tagged union keyed on the neighbor u — edge rows carry the
+    # aggregation target v, h1 rows carry the neighbor's partial sums.
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        e = df.drop_duplicates(["v", "u"])
+        out = pd.DataFrame({"key": e["u"].astype(str), "v": e["v"].astype(str)})
+        out["c1"] = np.int64(0)
+        for c in s_cols:
+            out[c] = np.int64(0)
+        out["tag"] = np.int8(0)
+        return out
+
+    def tag_h1(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"key": df["v"].astype(str), "v": ""})
+        out["c1"] = df["c1"].astype("int64").to_numpy()
+        for c in s_cols:
+            out[c] = df[c].astype("int64").to_numpy()
+        out["tag"] = np.int8(1)
+        return out
+
+    tagged = edges.map_batches(tag_edge, batch_format="pandas").union(
+        h1.map_batches(tag_h1, batch_format="pandas")
+    )
+    h2_schema = pa.schema(
+        [("v", pa.string()), ("c2", pa.int64())]
+        + [(c, pa.int64()) for c in s_cols]
+    )
+
+    def hop2(part: pd.DataFrame) -> pd.DataFrame:
+        e = part[part["tag"] == 0].drop_duplicates(["key", "v"])
+        s = part[part["tag"] == 1]
+        if e.empty or s.empty:
+            return pd.DataFrame(
+                {"v": pd.Series([], dtype=str),
+                 "c2": pd.Series([], dtype="int64"),
+                 **{c: pd.Series([], dtype="int64") for c in s_cols}})
+        j = e[["key", "v"]].merge(
+            s[["key", "c1"] + s_cols], on="key", how="inner"
+        )
+        out = j.groupby("v", as_index=False)[["c1"] + s_cols].sum()
+        out = out.rename(columns={"c1": "c2"})
+        for c in ["c2"] + s_cols:
+            out[c] = out[c].astype("int64")
+        return out
+
+    # partials per partition are exact: a node v's edges may span
+    # partitions (keyed by u), so sum the per-partition partials with one
+    # final v-keyed size-aware exchange.
+    partials = groupby_partition(
+        tagged, "key", hop2, batch_format="pandas", schema=h2_schema
+    )
+
+    def final_sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("v", as_index=False)[["c2"] + s_cols].sum()
+        for c in ["c2"] + s_cols:
+            out[c] = out[c].astype("int64")
+        return out
+
+    merged = groupby_partition(
+        partials, "v", final_sum, batch_format="pandas", schema=h2_schema,
+        size_aware=True,
+    ).to_pandas()
+    if merged.empty:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=str),
+             "n_paths": pd.Series([], dtype="int64"),
+             **{f"f{j + 1}": pd.Series([], dtype="float64")
+                for j in range(dims)}})
+    out = pd.DataFrame({"node": merged["v"].astype(str)})
+    out["n_paths"] = merged["c2"].astype("int64")
+    for j, c in enumerate(s_cols):
+        out[f"f{j + 1}"] = np.round(
+            merged[c].to_numpy(dtype="float64")
+            / merged["c2"].to_numpy(dtype="float64"),
+            6,
+        )
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def entity_summary(
+    triples: "ray.data.Dataset", k: int = 5
+) -> pd.DataFrame:
+    """Top-k rarest facts per entity (entity-card summarization).
+
+    Fact frequency = number of DISTINCT subjects holding the same
+    (pred, obj); rarer facts are more informative (IDF heuristic).
+    Frequencies come from per-block distinct partials merged on the
+    driver (attribute-vocabulary x blocks — dimension-bounded), are
+    broadcast once via ``ray.put``, and ONE subject-keyed partition pass
+    ranks each entity's distinct facts by (freq, pred, obj) keeping k.
+    """
+    proj = triples.select_columns(["subj", "pred", "obj"])
+
+    def fact_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        out = (
+            d.groupby(["pred", "obj"], sort=False).size()
+            .rename("n").reset_index()
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    # per-subject dedup must be global before counting subjects per fact:
+    # key by subj so each subject's facts dedup exactly once
+    def subj_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    dd_schema = pa.schema(
+        [("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string())]
+    )
+    distinct_facts = groupby_partition(
+        proj, "subj", subj_dedup, batch_format="pandas", schema=dd_schema
+    ).materialize()
+    partial_schema = pa.schema(
+        [("pred", pa.string()), ("obj", pa.string()), ("n", pa.int64())]
+    )
+    parts = distinct_facts.map_batches(
+        fact_partial, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"subj": pd.Series([], dtype=str), "pred": pd.Series([], dtype=str),
+             "obj": pd.Series([], dtype=str),
+             "fact_freq": pd.Series([], dtype="int64"),
+             "rk": pd.Series([], dtype="int64")})
+    del partial_schema
+    freq = parts.groupby(["pred", "obj"], as_index=False)["n"].sum()
+    freq_ref = ray.put(
+        dict(zip(zip(freq["pred"], freq["obj"]), freq["n"].astype(int)))
+    )
+    out_schema = pa.schema(
+        [("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
+         ("fact_freq", pa.int64()), ("rk", pa.int64())]
+    )
+
+    def topk(part: pd.DataFrame) -> pd.DataFrame:
+        fr = ray.get(freq_ref)
+        df = part.drop_duplicates().copy()
+        if df.empty:
+            return pd.DataFrame(
+                {"subj": pd.Series([], dtype=str),
+                 "pred": pd.Series([], dtype=str),
+                 "obj": pd.Series([], dtype=str),
+                 "fact_freq": pd.Series([], dtype="int64"),
+                 "rk": pd.Series([], dtype="int64")})
+        df["fact_freq"] = [
+            fr[(p, o)] for p, o in zip(df["pred"], df["obj"])
+        ]
+        df = df.sort_values(
+            ["subj", "fact_freq", "pred", "obj"], kind="stable"
+        )
+        df["rk"] = df.groupby("subj", sort=False).cumcount() + 1
+        df = df[df["rk"] <= k]
+        for c in ("fact_freq", "rk"):
+            df[c] = df[c].astype("int64")
+        return df[["subj", "pred", "obj", "fact_freq", "rk"]]
+
+    out = groupby_partition(
+        distinct_facts, "subj", topk, batch_format="pandas", schema=out_schema
+    ).to_pandas()
+    return out.sort_values(["subj", "rk"]).reset_index(drop=True)

@@ -1,0 +1,219 @@
+"""Neighborhood (sampling / feature prop / summaries), share rules and
+KG-store (dictionary / sorted index) operators vs serial pandas
+references, including parallelism invariance and the hot-value path."""
+
+import hashlib
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+
+from ehr_relation_extraction_ray.stages import kgstore, mining
+from ehr_relation_extraction_ray.stages import neighborhood as nb
+
+SEP = "\x1f"
+HEX = "0123456789abcdef"
+
+
+def _triples_df(seed: int = 3, n: int = 2000) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "subj": [f"s{rng.integers(0, 60)}" for _ in range(n)],
+            "pred": [f"p{rng.integers(0, 5)}" for _ in range(n)],
+            "obj": [f"v{rng.integers(0, 30)}" for _ in range(n)],
+        }
+    )
+
+
+def _und(df: pd.DataFrame) -> pd.DataFrame:
+    e = df[["subj", "obj"]].drop_duplicates()
+    return pd.DataFrame(
+        {"v": pd.concat([e.subj, e.obj]), "u": pd.concat([e.obj, e.subj])}
+    ).drop_duplicates()
+
+
+@pytest.fixture(scope="module")
+def trip():
+    df = _triples_df()
+    return df, ray.data.from_pandas(df).repartition(7)
+
+
+def test_neighbor_sample_matches_serial(trip):
+    df, ds = trip
+    und = _und(df).copy()
+    und["rk"] = [
+        hashlib.md5(f"{a}{SEP}{b}".encode()).hexdigest()
+        for a, b in zip(und.v, und.u)
+    ]
+    und = und.sort_values(["v", "rk"])
+    und["r"] = und.groupby("v").cumcount() + 1
+    h1 = und[und.r <= 3][["v", "u"]]
+    s2 = und[und.r <= 2][["v", "u"]].rename(columns={"v": "mid", "u": "w"})
+    hop1 = pd.DataFrame({"seed": h1.v, "hop": 1, "src": h1.v, "dst": h1.u})
+    j = h1.merge(s2, left_on="u", right_on="mid")
+    hop2 = pd.DataFrame({"seed": j.v, "hop": 2, "src": j.u, "dst": j.w})
+    want = (
+        pd.concat([hop1, hop2])
+        .astype({"hop": "int64"})
+        .sort_values(["seed", "hop", "src", "dst"])
+        .reset_index(drop=True)
+    )
+    got = nb.neighbor_sample(ds, k1=3, k2=2)
+    pd.testing.assert_frame_equal(got, want)
+    # fanout bound: every (seed, hop-1) group <= k1, every frontier
+    # expansion <= k2 per mid node
+    assert got[got.hop == 1].groupby("seed").size().max() <= 3
+    assert got[got.hop == 2].groupby(["seed", "src"]).size().max() <= 2
+
+
+def test_neighbor_sample_parallelism_invariance(trip):
+    df, _ = trip
+    a = nb.neighbor_sample(ray.data.from_pandas(df).repartition(2))
+    b = nb.neighbor_sample(ray.data.from_pandas(df).repartition(13))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_feature_propagation_matches_serial(trip):
+    df, ds = trip
+    und = _und(df)
+    dims = 4
+
+    def feats(s):
+        h = hashlib.md5(str(s).encode()).hexdigest()
+        return [HEX.index(h[j]) for j in range(dims)]
+
+    fx = {v: feats(v) for v in set(und.v)}
+    f = pd.DataFrame(
+        [{"u": u, **{f"x{j}": fx[u][j] for j in range(dims)}} for u in fx]
+    )
+    m1 = und.merge(f, on="u")
+    h1 = m1.groupby("v").agg(
+        c1=("u", "size"), **{f"s{j}": (f"x{j}", "sum") for j in range(dims)}
+    ).reset_index()
+    m2 = und.merge(h1.rename(columns={"v": "u"}), on="u")
+    h2 = m2.groupby("v").agg(
+        c2=("c1", "sum"), **{f"t{j}": (f"s{j}", "sum") for j in range(dims)}
+    ).reset_index()
+    want = pd.DataFrame({"node": h2.v, "n_paths": h2.c2.astype("int64")})
+    for j in range(dims):
+        want[f"f{j + 1}"] = np.round(h2[f"t{j}"] / h2.c2, 6)
+    want = want.sort_values("node").reset_index(drop=True)
+    got = nb.feature_propagation(ds, dims=dims)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_entity_summary_matches_serial(trip):
+    df, ds = trip
+    dfacts = df.drop_duplicates()
+    cnt = dfacts.groupby(["pred", "obj"]).size().rename("fact_freq").reset_index()
+    r = dfacts.merge(cnt, on=["pred", "obj"]).sort_values(
+        ["subj", "fact_freq", "pred", "obj"]
+    )
+    r["rk"] = r.groupby("subj").cumcount() + 1
+    want = (
+        r[r.rk <= 5][["subj", "pred", "obj", "fact_freq", "rk"]]
+        .astype({"fact_freq": "int64", "rk": "int64"})
+        .sort_values(["subj", "rk"])
+        .reset_index(drop=True)
+    )
+    got = nb.entity_summary(ds, k=5)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def _share_rules_serial(df, min_support=5, min_confidence=0.1):
+    e = df.drop_duplicates()
+    sh = e.merge(e, on=["pred", "obj"], suffixes=("_a", "_b"))
+    sh = sh[sh.subj_a < sh.subj_b][["pred", "subj_a", "subj_b"]].drop_duplicates()
+    bn = sh.groupby("pred").size()
+    both = sh.merge(sh, on=["subj_a", "subj_b"], suffixes=("_1", "_2"))
+    both = both[both.pred_1 != both.pred_2].groupby(["pred_1", "pred_2"]).size()
+    rows = []
+    for (a, b), n in both.items():
+        conf = n / bn[a]
+        if n >= min_support and conf >= min_confidence:
+            rows.append((a, b, int(bn[a]), int(n), round(conf, 6)))
+    return (
+        pd.DataFrame(
+            rows,
+            columns=["antecedent", "consequent", "n_ant", "n_both", "confidence"],
+        )
+        .astype({"n_ant": "int64", "n_both": "int64"})
+        .sort_values(["antecedent", "consequent"])
+        .reset_index(drop=True)
+    )
+
+
+def test_share_rules_matches_serial(trip):
+    df, ds = trip
+    want = _share_rules_serial(df)
+    assert len(want) > 0
+    got = mining.share_rules(ds)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_share_rules_hot_value_path(trip):
+    """A tiny hot threshold forces the slab/hot branch for every group —
+    identical rules (lineage rows are side-channel, never in the output)."""
+    df, ds = trip
+    want = _share_rules_serial(df)
+    got = mining.share_rules(ds, hot_threshold=3)
+    pd.testing.assert_frame_equal(got, want)
+    # the candidate stream itself carries the hot-group lineage rows
+    cand = mining.share_pairs(ds, hot_threshold=3).to_pandas()
+    assert (cand["kind"] == 1).any()
+
+
+def test_term_dictionary_matches_rank(trip):
+    df, ds = trip
+    got = kgstore.term_dictionary(ds)
+    terms = sorted(set(df.subj) | set(df.pred) | set(df.obj))
+    want = pd.DataFrame({"term": terms, "id": np.arange(len(terms), dtype="int64")})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_sorted_index_zonemaps_and_files(trip, tmp_path):
+    df, ds = trip
+    out_dir = str(tmp_path / "kg_index")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    zones = kgstore.sorted_index(ds, out_dir)
+    e = df.drop_duplicates()
+    frames = []
+    for order, cols in (
+        ("spo", ["subj", "pred", "obj"]),
+        ("osp", ["obj", "subj", "pred"]),
+    ):
+        d = e.copy()
+        d["bucket"] = [hashlib.md5(t.encode()).hexdigest()[0] for t in d[cols[0]]]
+        for b, g in d.groupby("bucket"):
+            key = g[cols[0]] + SEP + g[cols[1]] + SEP + g[cols[2]]
+            frames.append(
+                {"idx_order": order, "bucket": b, "n": len(g),
+                 "key_min": key.min(), "key_max": key.max()}
+            )
+    want = (
+        pd.DataFrame(frames)
+        .astype({"n": "int64"})
+        .sort_values(["idx_order", "bucket"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(zones, want)
+    # every written file is sorted in its permutation's order and the
+    # union of files is exactly the distinct edge set
+    total = 0
+    for order, cols in (
+        ("spo", ["subj", "pred", "obj"]),
+        ("osp", ["obj", "subj", "pred"]),
+    ):
+        for f in os.listdir(os.path.join(out_dir, order)):
+            t = pq.read_table(os.path.join(out_dir, order, f)).to_pandas()
+            assert t.equals(
+                t.sort_values(cols, kind="stable").reset_index(drop=True)
+            )
+            total += len(t)
+    assert total == 2 * len(e)
