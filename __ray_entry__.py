@@ -107,6 +107,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_summary": q.kg_entity_summary,
         "kg_dictionary": q.kg_dictionary,
         "kg_index_zonemaps": q.kg_index_zonemaps,
+        "embeddings_knn_graph": q.embeddings_knn_graph,
+        "kg_index_upsert": q.kg_index_upsert,
+        "kg_index_lookup": q.kg_index_lookup,
         "docs_dsir_select": q.docs_dsir_select,
         "kg_pagerank_dist": q.kg_pagerank_dist,
         "kg_label_prop_dist": q.kg_label_prop_dist,
@@ -1861,6 +1864,37 @@ z AS (
   FROM e GROUP BY 2
 )
 SELECT * FROM z ORDER BY idx_order, bucket
+""",
+        "embeddings_knn_graph": f"""
+SELECT vec_id, "rank", nbr_id, cos
+FROM read_parquet('{_fixture("embeddings_knn_graph")}')
+ORDER BY vec_id, "rank"
+""",
+        "kg_index_upsert": f"""
+WITH e AS (
+  SELECT DISTINCT subj, pred, obj
+  FROM read_parquet('{_fixture("kg_triples")}')
+),
+z AS (
+  SELECT 'spo' AS idx_order, substr(md5(subj), 1, 1) AS bucket,
+         count(*) AS n,
+         min(subj || chr(31) || pred || chr(31) || obj) AS key_min,
+         max(subj || chr(31) || pred || chr(31) || obj) AS key_max
+  FROM e GROUP BY 2
+  UNION ALL
+  SELECT 'osp', substr(md5(obj), 1, 1),
+         count(*),
+         min(obj || chr(31) || subj || chr(31) || pred),
+         max(obj || chr(31) || subj || chr(31) || pred)
+  FROM e GROUP BY 2
+)
+SELECT * FROM z ORDER BY idx_order, bucket
+""",
+        "kg_index_lookup": f"""
+SELECT DISTINCT subj, pred, obj
+FROM read_parquet('{_fixture("kg_triples")}')
+WHERE subj IN ('lisinopril', 'metformin', 'warfarin')
+ORDER BY subj, pred, obj
 """,
         "docs_dsir_select": r"""
 WITH toks AS (

@@ -4107,3 +4107,70 @@ def kg_index_zonemaps(sf_dir: str) -> pd.DataFrame:
     out_dir = os.path.join(tempfile.gettempdir(), f"kg_index_{tag}")
     shutil.rmtree(out_dir, ignore_errors=True)
     return kgstore.sorted_index(_triples(sf_dir), out_dir)
+
+
+def embeddings_knn_graph(sf_dir: str) -> pd.DataFrame:
+    """Approximate kNN-graph construction over the embeddings table
+    (stages/similarity.knn_graph): IVF-blocked — broadcast sample-fit
+    centroids, one fan-out pass (primary cell = candidate home, top-p
+    probe cells = query replicas), one cell-keyed cosine-block pass
+    emitting per-cell top-k partials, one point-keyed merge. Oracle:
+    independent serial fixture at the identical deterministic spec."""
+    from ..stages import similarity
+
+    vecs = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return similarity.knn_graph(vecs, k=5, nlist=8, probes=2)
+
+
+def kg_index_upsert(sf_dir: str) -> pd.DataFrame:
+    """Incremental index maintenance (stages/kgstore.upsert_index): base
+    index built from the docs whose md5(doc_id) starts 0-7, then the
+    remaining docs' triples upserted as a delta — ONE bucket-keyed merge
+    pass per order touching only delta buckets; untouched buckets report
+    zone rows from Parquet footer statistics alone. Oracle: zone maps of
+    the FULL distinct edge set (upsert(base, delta) == build(base ∪
+    delta))."""
+    import shutil
+    import tempfile
+
+    from ..stages import kgstore
+
+    trip = _triples(sf_dir)
+
+    def side_mask(df: pd.DataFrame, side: str) -> pd.DataFrame:
+        m = np.array(
+            [hashlib.md5(str(d).encode()).hexdigest()[0] in "01234567"
+             for d in df["doc_id"]]
+        )
+        return df[m if side == "a" else ~m]
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = os.path.join(tempfile.gettempdir(), f"kg_index_upsert_{tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    base = trip.map_batches(
+        lambda df: side_mask(df, "a"), batch_format="pandas"
+    )
+    delta = trip.map_batches(
+        lambda df: side_mask(df, "b"), batch_format="pandas"
+    )
+    kgstore.sorted_index(base, out_dir)
+    return kgstore.upsert_index(delta, out_dir)
+
+
+def kg_index_lookup(sf_dir: str) -> pd.DataFrame:
+    """Bucket-pruned point lookups (stages/kgstore.lookup_subjects):
+    builds the SPO index, then reads ONLY the bucket files named by the
+    query subjects' md5 prefixes (pruning pinned by tests). Oracle: a
+    plain IN-list select over the triples fixture."""
+    import shutil
+    import tempfile
+
+    from ..stages import kgstore
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = os.path.join(tempfile.gettempdir(), f"kg_index_lookup_{tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    kgstore.sorted_index(_triples(sf_dir), out_dir, orders=("spo",))
+    return kgstore.lookup_subjects(
+        out_dir, ["lisinopril", "metformin", "warfarin"]
+    )

@@ -1131,6 +1131,11 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
         emb = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()])
         return serial_pca_df(emb)
+    if name == "embeddings_knn_graph":
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        vec_ids = np.asarray(t["vec_id"])
+        emb = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()])
+        return serial_knn_graph_df(vec_ids, emb)
     if name == "embeddings_semdedup":
         t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
         vec_ids = np.asarray(t["vec_id"])
@@ -1146,6 +1151,74 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         emb = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()])
         return serial_pq_topk_df(vec_ids, emb, [0, 1, 2])
     raise KeyError(name)
+
+
+def serial_knn_graph_df(
+    vec_ids: np.ndarray,
+    embeddings: np.ndarray,
+    k: int = 5,
+    nlist: int = 8,
+    probes: int = 2,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 13,
+) -> pd.DataFrame:
+    """kNN-graph fixture: the identical deterministic spec as
+    stages/similarity.knn_graph — sample-fit float32 k-means
+    (train_centroids spec), float64-normalized points, stable-argsort
+    probe cells, per-cell (queries x members) float64 cosine with
+    (-cos, nbr_id) selection — computed serially and independently of
+    the distributed cell/point exchanges."""
+
+    def norm(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    m32 = norm(embeddings.astype(np.float32))
+    sample = m32[:sample_size]
+    rng = np.random.default_rng(seed)
+    cent = sample[
+        rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)
+    ]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = norm(cent)
+
+    m64 = norm(embeddings.astype(np.float64))
+    scores = m64 @ cent.T
+    order = np.argsort(-scores, axis=1, kind="stable")[:, :probes]
+    primary = order[:, 0]
+    ids = np.asarray(vec_ids, dtype=np.int64)
+    rows = []
+    for i in range(len(ids)):
+        cand_cos, cand_ids = [], []
+        for cell in order[i]:
+            mem = np.nonzero(primary == cell)[0]
+            mem = mem[ids[mem] != ids[i]]
+            if not len(mem):
+                continue
+            sims = m64[i] @ m64[mem].T
+            sel = np.lexsort((ids[mem], -sims))[: min(k, len(mem))]
+            cand_cos.append(sims[sel])
+            cand_ids.append(ids[mem[sel]])
+        if not cand_cos:
+            continue
+        cc = np.concatenate(cand_cos)
+        ci = np.concatenate(cand_ids)
+        sel = np.lexsort((ci, -cc))[: min(k, len(cc))]
+        for r, s in enumerate(sel):
+            rows.append(
+                {"vec_id": int(ids[i]), "rank": r + 1,
+                 "nbr_id": int(ci[s]), "cos": round(float(cc[s]), 6)}
+            )
+    out = pd.DataFrame(rows, columns=["vec_id", "rank", "nbr_id", "cos"])
+    out = out.astype({"vec_id": "int64", "rank": "int64", "nbr_id": "int64"})
+    return out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
 
 
 def fixture_path(name: str, sf_dir: str) -> str:

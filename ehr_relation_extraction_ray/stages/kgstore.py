@@ -48,6 +48,48 @@ _SEP = "\x1f"
 _ORDERS = {"spo": ["subj", "pred", "obj"], "osp": ["obj", "subj", "pred"]}
 
 
+def _composite_key(g: pd.DataFrame, cols) -> pd.Series:
+    return (
+        g[cols[0]].astype(str) + _SEP
+        + g[cols[1]].astype(str) + _SEP
+        + g[cols[2]].astype(str)
+    )
+
+
+def _write_bucket_file(
+    g: pd.DataFrame, cols, odir: str, order: str, bucket: str
+) -> dict:
+    """Write one sorted bucket file (columns = permutation order + the
+    composite key ``k``, so Parquet column statistics double as the zone
+    map) and return its zone row. ``g`` must already be distinct and
+    sorted by ``cols``."""
+    key = _composite_key(g, cols)
+    t = pa.Table.from_pandas(g[cols], preserve_index=False)
+    t = t.append_column("k", pa.array(key.to_numpy(), pa.string()))
+    pq.write_table(t, os.path.join(odir, f"{bucket}.parquet"))
+    return {
+        "idx_order": order, "bucket": bucket, "n": len(g),
+        "key_min": key.min(), "key_max": key.max(),
+    }
+
+
+def _zone_from_footer(path: str, order: str, bucket: str) -> dict:
+    """Zone row from Parquet FOOTER statistics only — no data pages read.
+    Valid because the ``k`` column is written sorted (row-group stats of
+    a sorted column give the exact global min/max)."""
+    md = pq.read_metadata(path)
+    kidx = md.schema.names.index("k")
+    mins, maxs = [], []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(kidx).statistics
+        mins.append(st.min)
+        maxs.append(st.max)
+    return {
+        "idx_order": order, "bucket": bucket, "n": md.num_rows,
+        "key_min": min(mins), "key_max": max(maxs),
+    }
+
+
 def term_dictionary(triples: "ray.data.Dataset") -> pd.DataFrame:
     """(term, id) rows: every distinct subj/pred/obj term, id = rank in
     term sort order (0-based). Per-block distinct partials -> term-keyed
@@ -130,18 +172,8 @@ def sorted_index(
             for b, g in part.groupby("bucket", sort=False):
                 g = g[["subj", "pred", "obj"]].drop_duplicates()
                 g = g.sort_values(cols, kind="stable").reset_index(drop=True)
-                pq.write_table(
-                    pa.Table.from_pandas(g[cols], preserve_index=False),
-                    os.path.join(odir, f"{b}.parquet"),
-                )
-                key = (
-                    g[cols[0]].astype(str) + _SEP
-                    + g[cols[1]].astype(str) + _SEP
-                    + g[cols[2]].astype(str)
-                )
                 rows.append(
-                    {"idx_order": order, "bucket": str(b), "n": len(g),
-                     "key_min": key.min(), "key_max": key.max()})
+                    _write_bucket_file(g, cols, odir, order, str(b)))
             if not rows:
                 return pd.DataFrame(
                     {"idx_order": pd.Series([], dtype=str),
@@ -164,3 +196,124 @@ def sorted_index(
     out = pd.concat(frames, ignore_index=True)
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["idx_order", "bucket"]).reset_index(drop=True)
+
+
+def upsert_index(
+    triples: "ray.data.Dataset",
+    out_dir: str,
+    orders: tuple = ("spo", "osp"),
+) -> pd.DataFrame:
+    """Incrementally merge a triple DELTA into an existing sorted index.
+
+    The maintenance half of :func:`sorted_index`: a nightly re-extraction
+    must not rebuild the whole store. Delta rows hash to the same
+    md5-prefix buckets as the base build, so ONE bucket-keyed partition
+    pass per order reads ONLY the touched bucket files (sorted merge +
+    distinct + rewrite, `use_threads=False` inside tasks); untouched
+    buckets are never opened — their zone rows come from Parquet FOOTER
+    statistics alone (the sorted ``k`` column makes row-group min/max
+    exact). Returns the complete post-upsert zone-map table.
+    """
+    schema = pa.schema(
+        [("idx_order", pa.string()), ("bucket", pa.string()),
+         ("n", pa.int64()), ("key_min", pa.string()),
+         ("key_max", pa.string())]
+    )
+    frames = []
+    for order in orders:
+        cols = _ORDERS[order]
+        odir = os.path.join(out_dir, order)
+        os.makedirs(odir, exist_ok=True)
+
+        def tag(df: pd.DataFrame, cols=cols) -> pd.DataFrame:
+            d = df[["subj", "pred", "obj"]].drop_duplicates().copy()
+            d["bucket"] = [
+                hashlib.md5(str(t).encode("utf-8", "surrogatepass"))
+                .hexdigest()[0]
+                for t in d[cols[0]]
+            ]
+            return d
+
+        def merge_bucket(part: pd.DataFrame, cols=cols, odir=odir,
+                         order=order) -> pd.DataFrame:
+            rows = []
+            for b, g in part.groupby("bucket", sort=False):
+                path = os.path.join(odir, f"{b}.parquet")
+                g = g[["subj", "pred", "obj"]]
+                if os.path.exists(path):
+                    base = pq.read_table(
+                        path, columns=["subj", "pred", "obj"],
+                        use_threads=False,
+                    ).to_pandas()
+                    g = pd.concat([base, g], ignore_index=True)
+                g = g.drop_duplicates().sort_values(
+                    cols, kind="stable"
+                ).reset_index(drop=True)
+                rows.append(_write_bucket_file(g, cols, odir, order, str(b)))
+            if not rows:
+                return pd.DataFrame(
+                    {"idx_order": pd.Series([], dtype=str),
+                     "bucket": pd.Series([], dtype=str),
+                     "n": pd.Series([], dtype="int64"),
+                     "key_min": pd.Series([], dtype=str),
+                     "key_max": pd.Series([], dtype=str)})
+            out = pd.DataFrame(rows)
+            out["n"] = out["n"].astype("int64")
+            return out
+
+        tagged = triples.select_columns(["subj", "pred", "obj"]).map_batches(
+            tag, batch_format="pandas"
+        )
+        touched = groupby_partition(
+            tagged, "bucket", merge_bucket,
+            batch_format="pandas", schema=schema,
+        ).to_pandas()
+        seen = set(touched["bucket"])
+        untouched = [
+            _zone_from_footer(os.path.join(odir, f), order, f.split(".")[0])
+            for f in sorted(os.listdir(odir))
+            if f.endswith(".parquet") and f.split(".")[0] not in seen
+        ]
+        frames.append(touched)
+        if untouched:
+            frames.append(pd.DataFrame(untouched))
+    out = pd.concat(frames, ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["idx_order", "bucket"]).reset_index(drop=True)
+
+
+def lookup_subjects(
+    out_dir: str, subjects: list, order: str = "spo"
+) -> pd.DataFrame:
+    """Bucket-pruned point lookups against a built index: only the
+    bucket files named by the query subjects' md5 prefixes are opened
+    (at scale: a distributed read over exactly those files), then a
+    vectorized isin filter. Returns distinct (subj, pred, obj) sorted.
+    The pruning itself is pinned by tests (untouched buckets stay
+    unopened)."""
+    cols = _ORDERS[order]
+    odir = os.path.join(out_dir, order)
+    buckets = sorted(
+        {
+            hashlib.md5(str(s).encode("utf-8", "surrogatepass")).hexdigest()[0]
+            for s in subjects
+        }
+    )
+    paths = [
+        os.path.join(odir, f"{b}.parquet")
+        for b in buckets
+        if os.path.exists(os.path.join(odir, f"{b}.parquet"))
+    ]
+    if not paths:
+        return pd.DataFrame(
+            {"subj": pd.Series([], dtype=str), "pred": pd.Series([], dtype=str),
+             "obj": pd.Series([], dtype=str)})
+    ds = ray.data.read_parquet(paths, columns=["subj", "pred", "obj"])
+    want = set(map(str, subjects))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["subj"].isin(want)]
+
+    out = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    out = out.drop_duplicates()
+    return out.sort_values(cols).reset_index(drop=True)

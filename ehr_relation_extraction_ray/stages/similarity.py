@@ -939,3 +939,135 @@ def logreg_full_batch(
         gsum = np.sum(np.stack([np.asarray(x) for x in p["g"]]), axis=0)
         w = w - lr * gsum / max(total_n, 1)
     return w
+
+
+def knn_graph(
+    vectors: "ray.data.Dataset",
+    k: int = 5,
+    nlist: int = 8,
+    probes: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Approximate kNN GRAPH construction (every point's top-k neighbors)
+    — the all-points companion of :func:`ivf_topk` and the input artifact
+    for kNN-graph dedup / graph-based ANN indexes (HNSW ground layer) /
+    label propagation over embeddings.
+
+    IVF-blocked, never all-pairs: centroids are sample-fit once and
+    broadcast; ONE map_batches pass assigns every point its primary cell
+    (candidate home) and its ``probes`` nearest cells (query fan-out,
+    stable argsort so ties are deterministic); ONE cell-keyed partition
+    pass computes the (queries x members) cosine block per cell in
+    float64 and emits per-cell top-k partials; ONE point-keyed size-aware
+    exchange merges each point's partials to the global top-k, ranked by
+    (-cos, nbr_id). A point's candidates live in exactly one cell, so
+    partials never duplicate a neighbor. At scale nlist grows with the
+    corpus (cells stay worker-sized) and the exchanges stay keyed by
+    cell/point ids — payload vectors move once, to their probed cells.
+
+    Returns (vec_id, rank, nbr_id, cos): up to k rows per point (self
+    excluded), cos rounded to 6 AFTER selection.
+    """
+    from ..functions.partitioning import groupby_partition
+
+    cent = train_centroids(vectors, nlist=nlist, vec_col=vec_col)
+    c_ref = ray.put(np.asarray(cent, dtype=np.float32))
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        scores = m @ c.T
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :probes]
+        n, p = order.shape
+        rep_ids = np.repeat(ids, p)
+        rep_m = np.repeat(m, p, axis=0)
+        cells = order.reshape(-1).astype(np.int32)
+        is_member = np.zeros(n * p, dtype=bool)
+        is_member[::p] = True  # primary cell = candidate home
+        return pa.table(
+            {
+                "vec_id": rep_ids,
+                "cell": cells,
+                "is_member": is_member,
+                "vec": pa.array(list(rep_m), pa.list_(pa.float64())),
+            }
+        )
+
+    fanned = vectors.select_columns([id_col, vec_col]).map_batches(
+        fan_out, batch_format="pyarrow"
+    )
+    part_schema = pa.schema(
+        [("vec_id", pa.int64()), ("nbr_id", pa.int64()), ("cos", pa.float64())]
+    )
+
+    def cell_topk(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        out_q, out_n, out_c = [], [], []
+        for _, g in df.groupby("cell", sort=False):
+            mem = g[g["is_member"]]
+            if mem.empty:
+                continue
+            qm = np.stack(g["vec"].to_numpy())
+            mm = np.stack(mem["vec"].to_numpy())
+            qids = g["vec_id"].to_numpy()
+            mids = mem["vec_id"].to_numpy()
+            sims = qm @ mm.T
+            sims[qids[:, None] == mids[None, :]] = -np.inf  # self
+            kk = min(k, sims.shape[1])
+            # per-query top-k by (-cos, nbr_id): lexsort on each row
+            idx = np.lexsort((mids[None, :].repeat(len(qids), 0), -sims), axis=1)[
+                :, :kk
+            ]
+            rows = np.repeat(np.arange(len(qids)), kk)
+            cols = idx.reshape(-1)
+            keep = np.isfinite(sims[rows, cols])
+            out_q.append(qids[rows[keep]])
+            out_n.append(mids[cols[keep]])
+            out_c.append(sims[rows[keep], cols[keep]])
+        if not out_q:
+            return part_schema.empty_table()
+        return pa.table(
+            {
+                "vec_id": np.concatenate(out_q).astype(np.int64),
+                "nbr_id": np.concatenate(out_n).astype(np.int64),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    partials = groupby_partition(fanned, "cell", cell_topk, schema=part_schema)
+    out_schema = pa.schema(
+        [("vec_id", pa.int64()), ("rank", pa.int64()),
+         ("nbr_id", pa.int64()), ("cos", pa.float64())]
+    )
+
+    def merge_topk(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        if df.empty:
+            return out_schema.empty_table()
+        df = df.sort_values(
+            ["vec_id", "cos", "nbr_id"], ascending=[True, False, True],
+            kind="stable",
+        )
+        df["rank"] = df.groupby("vec_id", sort=False).cumcount() + 1
+        df = df[df["rank"] <= k]
+        return pa.table(
+            {
+                "vec_id": df["vec_id"].to_numpy(dtype=np.int64),
+                "rank": df["rank"].to_numpy(dtype=np.int64),
+                "nbr_id": df["nbr_id"].to_numpy(dtype=np.int64),
+                "cos": np.round(df["cos"].to_numpy(dtype=np.float64), 6),
+            }
+        )
+
+    out = groupby_partition(
+        partials, "vec_id", merge_topk, schema=out_schema, size_aware=True
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="int64"),
+             "nbr_id": pd.Series([], dtype="int64"),
+             "cos": pd.Series([], dtype="float64")})
+    return out.sort_values(["vec_id", "rank"]).reset_index(drop=True)

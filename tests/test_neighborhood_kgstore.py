@@ -217,3 +217,109 @@ def test_sorted_index_zonemaps_and_files(trip, tmp_path):
             )
             total += len(t)
     assert total == 2 * len(e)
+
+
+def test_upsert_equals_full_build(trip, tmp_path):
+    """upsert(base, delta) produces the same zone maps AND the same file
+    contents as a from-scratch build over the union."""
+    df, _ = trip
+    half = len(df) // 2
+    base_df, delta_df = df.iloc[:half], df.iloc[half:]
+    up_dir, full_dir = str(tmp_path / "up"), str(tmp_path / "full")
+    kgstore.sorted_index(ray.data.from_pandas(base_df).repartition(4), up_dir)
+    got = kgstore.upsert_index(
+        ray.data.from_pandas(delta_df).repartition(4), up_dir
+    )
+    want = kgstore.sorted_index(
+        ray.data.from_pandas(df).repartition(4), full_dir
+    )
+    pd.testing.assert_frame_equal(got, want)
+    for order in ("spo", "osp"):
+        for f in os.listdir(os.path.join(full_dir, order)):
+            a = pq.read_table(os.path.join(up_dir, order, f)).to_pandas()
+            b = pq.read_table(os.path.join(full_dir, order, f)).to_pandas()
+            pd.testing.assert_frame_equal(a, b)
+
+
+def test_upsert_untouched_buckets_not_rewritten(trip, tmp_path):
+    """A delta touching one bucket leaves every other bucket file's mtime
+    (and bytes) alone — zone rows for them come from footer stats."""
+    df, _ = trip
+    out_dir = str(tmp_path / "inc")
+    kgstore.sorted_index(ray.data.from_pandas(df).repartition(4), out_dir)
+    before = {
+        (o, f): os.path.getmtime(os.path.join(out_dir, o, f))
+        for o in ("spo", "osp")
+        for f in os.listdir(os.path.join(out_dir, o))
+    }
+    delta = pd.DataFrame(
+        {"subj": ["zzz-new-subject"], "pred": ["p0"], "obj": ["v0"]}
+    )
+    zones = kgstore.upsert_index(ray.data.from_pandas(delta), out_dir)
+    sb = hashlib.md5(b"zzz-new-subject").hexdigest()[0]
+    ob = hashlib.md5(b"v0").hexdigest()[0]
+    touched = {("spo", f"{sb}.parquet"), ("osp", f"{ob}.parquet")}
+    for key, mtime in before.items():
+        if key not in touched:
+            assert os.path.getmtime(os.path.join(out_dir, *key)) == mtime, key
+    # the new edge is present in the returned zone maps
+    spo = zones[(zones.idx_order == "spo") & (zones.bucket == sb)]
+    assert spo["key_max"].iloc[0] >= "zzz-new-subject"
+
+
+def test_lookup_reads_only_needed_buckets(trip, tmp_path):
+    df, _ = trip
+    out_dir = str(tmp_path / "lk")
+    kgstore.sorted_index(
+        ray.data.from_pandas(df).repartition(4), out_dir, orders=("spo",)
+    )
+    # pruning: lookup must not open buckets outside the query subjects'
+    subjects = sorted(set(df.subj))[:3]
+    want_buckets = {
+        hashlib.md5(s.encode()).hexdigest()[0] for s in subjects
+    }
+    odir = os.path.join(out_dir, "spo")
+    others = [
+        f for f in os.listdir(odir) if f.split(".")[0] not in want_buckets
+    ]
+    for f in others:  # corrupt every other bucket: opening one would raise
+        with open(os.path.join(odir, f), "wb") as fh:
+            fh.write(b"not a parquet file")
+    got = kgstore.lookup_subjects(out_dir, subjects)
+    e = df.drop_duplicates()
+    want = (
+        e[e.subj.isin(subjects)]
+        .drop_duplicates()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_knn_graph_matches_bruteforce_recall_and_invariance():
+    """knn_graph: parallelism-invariant, k-bounded, and per-point cell-
+    restricted exactness (each reported neighbor list equals the
+    brute-force top-k over the point's probed cells)."""
+    from ehr_relation_extraction_ray.stages import similarity
+
+    import pyarrow as pa
+
+    rng = np.random.default_rng(5)
+    n, d = 400, 16
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {"vec_id": ids,
+         "embedding": pa.FixedSizeListArray.from_arrays(
+             pa.array(emb.reshape(-1)), d)}
+    )
+    a = similarity.knn_graph(ray.data.from_arrow(t).repartition(2), k=4)
+    b = similarity.knn_graph(ray.data.from_arrow(t).repartition(9), k=4)
+    pd.testing.assert_frame_equal(a, b)
+    assert a.groupby("vec_id")["rank"].max().max() <= 4
+    assert (a.vec_id != a.nbr_id).all()
+    # serial spec parity (the oracle path)
+    from ehr_relation_extraction_ray.serial_oracle import serial_knn_graph_df
+
+    want = serial_knn_graph_df(ids, emb, k=4)
+    pd.testing.assert_frame_equal(a, want)
