@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_knn_graph": q.embeddings_knn_graph,
         "kg_index_upsert": q.kg_index_upsert,
         "kg_index_lookup": q.kg_index_lookup,
+        "docs_bpe_encode": q.docs_bpe_encode,
         "docs_dsir_select": q.docs_dsir_select,
         "kg_pagerank_dist": q.kg_pagerank_dist,
         "kg_label_prop_dist": q.kg_label_prop_dist,
@@ -1895,6 +1896,11 @@ SELECT DISTINCT subj, pred, obj
 FROM read_parquet('{_fixture("kg_triples")}')
 WHERE subj IN ('lisinopril', 'metformin', 'warfarin')
 ORDER BY subj, pred, obj
+""",
+        "docs_bpe_encode": f"""
+SELECT doc_id, n_words, n_tokens
+FROM read_parquet('{_fixture("docs_bpe_encode")}')
+ORDER BY doc_id
 """,
         "docs_dsir_select": r"""
 WITH toks AS (

@@ -4174,3 +4174,21 @@ def kg_index_lookup(sf_dir: str) -> pd.DataFrame:
     return kgstore.lookup_subjects(
         out_dir, ["lisinopril", "metformin", "warfarin"]
     )
+
+
+def docs_bpe_encode(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer APPLICATION: corpus-trained BPE merges (the
+    docs_bpe_merges trainer) broadcast once and applied per document in
+    one zero-shuffle pass with per-block distinct-word memoization
+    (stages/text_analysis.bpe_encode). Oracle: independent serial
+    trainer + independent greedy encoder fixture."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    merges = text_analysis.bpe_merges(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        ),
+        n_merges=12,
+    )
+    return text_analysis.bpe_encode(docs, merges)

@@ -1086,6 +1086,8 @@ def _compute_fixture(name: str, sf_dir: str) -> pd.DataFrame:
         return serial_lang_centroid_df(sf_dir)
     if name == "docs_hash_embed":
         return serial_hash_embed_df(*_documents(sf_dir))
+    if name == "docs_bpe_encode":
+        return serial_bpe_encode_df(*_documents(sf_dir))
     if name == "docs_bpe_merges":
         return serial_bpe_merges_df(*_documents(sf_dir))
     if name == "docs_distinct_tokens":
@@ -1219,6 +1221,58 @@ def serial_knn_graph_df(
     out = pd.DataFrame(rows, columns=["vec_id", "rank", "nbr_id", "cos"])
     out = out.astype({"vec_id": "int64", "rank": "int64", "nbr_id": "int64"})
     return out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+
+
+def serial_bpe_encode_df(
+    doc_ids: List, texts: List[str], n_merges: int = 12
+) -> pd.DataFrame:
+    """Naive single-process BPE ENCODE fixture: train merges with
+    serial_bpe_merges_df (independent trainer), then apply them to every
+    word with an independent greedy lowest-rank loop — no caching, no
+    shared kernel with stages/text_analysis.bpe_encode."""
+    import re as _re
+
+    merges = serial_bpe_merges_df(doc_ids, texts, n_merges=n_merges)
+    rank = {
+        (str(l), str(r)): int(k)
+        for k, l, r in zip(merges["rank"], merges["left"], merges["right"])
+    }
+    rows = []
+    for d, t in zip(doc_ids, texts):
+        nw = ntok = 0
+        for w in _re.split(r"\s+", (t or "").lower(), flags=_re.ASCII):
+            if not w:
+                continue
+            nw += 1
+            syms = list(w) + ["</w>"]
+            while True:
+                cand = [
+                    (rank[(syms[i], syms[i + 1])], i)
+                    for i in range(len(syms) - 1)
+                    if (syms[i], syms[i + 1]) in rank
+                ]
+                if not cand:
+                    break
+                r0 = min(c[0] for c in cand)
+                a, b = None, None
+                for rr, i in cand:
+                    if rr == r0:
+                        a, b = syms[i], syms[i + 1]
+                        break
+                res, j = [], 0
+                while j < len(syms):
+                    if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                        res.append(a + b)
+                        j += 2
+                    else:
+                        res.append(syms[j])
+                        j += 1
+                syms = res
+            ntok += len(syms)
+        rows.append({"doc_id": d, "n_words": nw, "n_tokens": ntok})
+    out = pd.DataFrame(rows, columns=["doc_id", "n_words", "n_tokens"])
+    out = out.astype({"n_words": "int64", "n_tokens": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def fixture_path(name: str, sf_dir: str) -> str:

@@ -864,3 +864,96 @@ def bm25_topk(
         )
     order = np.lexsort((parts[id_col].to_numpy(), -parts["score"].to_numpy()))[:k]
     return parts.iloc[order].reset_index(drop=True)
+
+
+def bpe_apply_word(word: str, rank: dict) -> int:
+    """GPT-2-style greedy BPE encode of ONE word (chars + '</w>'): merge
+    the lowest-rank adjacent pair until none applies; returns the final
+    symbol count. Shared by the distributed encoder and the serial
+    oracle so both sides apply the identical deterministic spec."""
+    syms = [*word, "</w>"]
+    while len(syms) > 1:
+        best, best_r = None, None
+        for p in zip(syms, syms[1:]):
+            r = rank.get(p)
+            if r is not None and (best_r is None or r < best_r):
+                best, best_r = p, r
+        if best is None:
+            break
+        la, lb = best
+        ns, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == la and syms[i + 1] == lb:
+                ns.append(la + lb)
+                i += 2
+            else:
+                ns.append(syms[i])
+                i += 1
+        syms = ns
+    return len(syms)
+
+
+def bpe_encode(
+    docs: "ray.data.Dataset",
+    merges: "pd.DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "pd.DataFrame":
+    """Apply a trained BPE merge table to the corpus — the tokenizer-
+    APPLICATION step of a training-data pipeline (token counting for
+    budget/packing decisions runs this over every document).
+
+    Scale shape: the merge table (rank, left, right) is tokenizer-sized
+    and broadcast ONCE via ``ray.put``; one zero-shuffle ``map_batches``
+    pass encodes each block, memoizing per DISTINCT word within the
+    batch (vocabulary-bounded work per block — a hot word is encoded
+    once per block, not per occurrence). Returns per-doc
+    (doc_id, n_words, n_tokens), n_tokens = total BPE symbols including
+    the end-of-word markers.
+    """
+    import pandas as pd
+
+    rank = {
+        (str(l), str(r)): int(k)
+        for k, l, r in zip(merges["rank"], merges["left"], merges["right"])
+    }
+    rank_ref = ray.put(rank)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        rk = ray.get(rank_ref)
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        words = pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
+        cache: dict = {}
+        n_words = np.zeros(len(batch), dtype=np.int64)
+        n_tokens = np.zeros(len(batch), dtype=np.int64)
+        for i, wl in enumerate(words.to_pylist()):
+            tot = 0
+            nw = 0
+            for w in wl:
+                if not w:
+                    continue
+                nw += 1
+                t = cache.get(w)
+                if t is None:
+                    t = bpe_apply_word(w, rk)
+                    cache[w] = t
+                tot += t
+            n_words[i] = nw
+            n_tokens[i] = tot
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_words": pa.array(n_words),
+                "n_tokens": pa.array(n_tokens),
+            }
+        )
+
+    out = docs.map_batches(encode, batch_format="pyarrow").to_pandas()
+    out["n_words"] = out["n_words"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out.sort_values(id_col).reset_index(drop=True)

@@ -323,3 +323,28 @@ def test_knn_graph_matches_bruteforce_recall_and_invariance():
 
     want = serial_knn_graph_df(ids, emb, k=4)
     pd.testing.assert_frame_equal(a, want)
+
+
+def test_bpe_encode_manual_and_invariance():
+    from ehr_relation_extraction_ray.stages import text_analysis as ta
+
+    docs = pd.DataFrame(
+        {"doc_id": [0, 1, 2],
+         "text": ["aa ab aa", "b aa  b", "  "]}
+    )
+    merges = pd.DataFrame(
+        {"rank": [0, 1], "left": ["a", "a"], "right": ["a", "</w>"],
+         "pair_count": [9, 9]}
+    )
+    # 'aa' -> [aa,</w>] (2); 'ab' -> [a, b, </w>] (3); 'b' -> [b, </w>] (2)
+    got = ta.bpe_encode(ray.data.from_pandas(docs).repartition(2), merges)
+    want = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "n_words": [3, 3, 0],
+         "n_tokens": [2 + 3 + 2, 2 + 2 + 2, 0]}
+    ).astype({"n_words": "int64", "n_tokens": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+    got2 = ta.bpe_encode(ray.data.from_pandas(docs).repartition(3), merges)
+    pd.testing.assert_frame_equal(got2, want)
+    # merge ranks apply lowest-first: 'a'+'</w>' fires only when 'a' is
+    # terminal after the 'aa' merge consumed the pair
+    assert ta.bpe_apply_word("aaa", {("a", "a"): 0, ("a", "</w>"): 1}) == 2
