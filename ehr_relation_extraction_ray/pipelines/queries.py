@@ -4103,10 +4103,13 @@ def kg_index_zonemaps(sf_dir: str) -> pd.DataFrame:
 
     from ..stages import kgstore
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    out_dir = os.path.join(tempfile.gettempdir(), f"kg_index_{tag}")
-    shutil.rmtree(out_dir, ignore_errors=True)
-    return kgstore.sorted_index(_triples(sf_dir), out_dir)
+    # per-invocation scratch dir: two concurrent runs at the same sf must
+    # not race on a shared path (round-3 ADVICE)
+    out_dir = tempfile.mkdtemp(prefix="kg_index_")
+    try:
+        return kgstore.sorted_index(_triples(sf_dir), out_dir)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def embeddings_knn_graph(sf_dir: str) -> pd.DataFrame:
@@ -4138,23 +4141,28 @@ def kg_index_upsert(sf_dir: str) -> pd.DataFrame:
     trip = _triples(sf_dir)
 
     def side_mask(df: pd.DataFrame, side: str) -> pd.DataFrame:
+        # dtype=bool: np.array([]) of an empty batch is float64, and a
+        # float mask turns df[m] into column-label indexing (round-3
+        # ADVICE — schema-divergent empty block)
         m = np.array(
             [hashlib.md5(str(d).encode()).hexdigest()[0] in "01234567"
-             for d in df["doc_id"]]
+             for d in df["doc_id"]],
+            dtype=bool,
         )
         return df[m if side == "a" else ~m]
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    out_dir = os.path.join(tempfile.gettempdir(), f"kg_index_upsert_{tag}")
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = tempfile.mkdtemp(prefix="kg_index_upsert_")
     base = trip.map_batches(
         lambda df: side_mask(df, "a"), batch_format="pandas"
     )
     delta = trip.map_batches(
         lambda df: side_mask(df, "b"), batch_format="pandas"
     )
-    kgstore.sorted_index(base, out_dir)
-    return kgstore.upsert_index(delta, out_dir)
+    try:
+        kgstore.sorted_index(base, out_dir)
+        return kgstore.upsert_index(delta, out_dir)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def kg_index_lookup(sf_dir: str) -> pd.DataFrame:
@@ -4167,13 +4175,14 @@ def kg_index_lookup(sf_dir: str) -> pd.DataFrame:
 
     from ..stages import kgstore
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    out_dir = os.path.join(tempfile.gettempdir(), f"kg_index_lookup_{tag}")
-    shutil.rmtree(out_dir, ignore_errors=True)
-    kgstore.sorted_index(_triples(sf_dir), out_dir, orders=("spo",))
-    return kgstore.lookup_subjects(
-        out_dir, ["lisinopril", "metformin", "warfarin"]
-    )
+    out_dir = tempfile.mkdtemp(prefix="kg_index_lookup_")
+    try:
+        kgstore.sorted_index(_triples(sf_dir), out_dir, orders=("spo",))
+        return kgstore.lookup_subjects(
+            out_dir, ["lisinopril", "metformin", "warfarin"]
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def docs_bpe_encode(sf_dir: str) -> pd.DataFrame:

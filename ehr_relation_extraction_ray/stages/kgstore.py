@@ -82,6 +82,16 @@ def _zone_from_footer(path: str, order: str, bucket: str) -> dict:
     mins, maxs = [], []
     for rg in range(md.num_row_groups):
         st = md.row_group(rg).column(kidx).statistics
+        if st is None or not st.has_min_max:
+            # bucket file written by another tool / with stats disabled /
+            # values too large for stats: fall back to reading the k
+            # column (still only one small bucket file, not the store)
+            k = pq.read_table(path, columns=["k"], use_threads=False)["k"]
+            ks = k.to_pylist()
+            return {
+                "idx_order": order, "bucket": bucket, "n": md.num_rows,
+                "key_min": min(ks), "key_max": max(ks),
+            }
         mins.append(st.min)
         maxs.append(st.max)
     return {
@@ -213,7 +223,23 @@ def upsert_index(
     buckets are never opened — their zone rows come from Parquet FOOTER
     statistics alone (the sorted ``k`` column makes row-group min/max
     exact). Returns the complete post-upsert zone-map table.
+
+    REQUIRES a SHARED filesystem: ``out_dir`` must be visible under the
+    same path from every worker node (NFS / FUSE-mounted object store /
+    single node). On a multi-node cluster with node-local disks,
+    ``os.path.exists`` inside a task would miss base buckets written
+    elsewhere and the merge would silently rewrite a bucket with
+    delta-only rows (base data LOSS). Each merge task therefore verifies
+    a driver-written run marker before touching any bucket and raises
+    loudly if ``out_dir`` is not shared.
     """
+    import uuid
+
+    marker = os.path.join(out_dir, "_SHARED_FS_MARKER")
+    token = uuid.uuid4().hex
+    os.makedirs(out_dir, exist_ok=True)
+    with open(marker, "w") as f:
+        f.write(token)
     schema = pa.schema(
         [("idx_order", pa.string()), ("bucket", pa.string()),
          ("n", pa.int64()), ("key_min", pa.string()),
@@ -236,6 +262,19 @@ def upsert_index(
 
         def merge_bucket(part: pd.DataFrame, cols=cols, odir=odir,
                          order=order) -> pd.DataFrame:
+            try:
+                with open(marker) as f:
+                    seen_token = f.read()
+            except OSError:
+                seen_token = None
+            if seen_token != token:
+                raise RuntimeError(
+                    "kgstore.upsert_index: out_dir is not visible from "
+                    "this worker (shared-filesystem marker missing or "
+                    "stale). Upserting against a node-local path would "
+                    "silently drop base bucket data; mount out_dir on a "
+                    "shared filesystem or run single-node."
+                )
             rows = []
             for b, g in part.groupby("bucket", sort=False):
                 path = os.path.join(odir, f"{b}.parquet")

@@ -343,8 +343,12 @@ def share_rules(
     those that also share a p2-value.
     """
     cand = share_pairs(triples, hot_threshold=hot_threshold)
+    # partial kind is an explicit int8 flag (0 = directed pair count,
+    # 1 = antecedent body count), NOT an in-band b == '' sentinel — a
+    # predicate that IS the empty string must not fold into body rows
     schema = pa.schema(
-        [("a", pa.string()), ("b", pa.string()), ("n", pa.int64())]
+        [("a", pa.string()), ("b", pa.string()), ("n", pa.int64()),
+         ("pkind", pa.int8())]
     )
 
     def rule_partials(part: pd.DataFrame) -> pd.DataFrame:
@@ -352,10 +356,12 @@ def share_rules(
         if df.empty:
             return pd.DataFrame(
                 {"a": pd.Series([], dtype=str), "b": pd.Series([], dtype=str),
-                 "n": pd.Series([], dtype="int64")})
+                 "n": pd.Series([], dtype="int64"),
+                 "pkind": pd.Series([], dtype="int8")})
         body = df.groupby("p", sort=False).size().rename("n").reset_index()
         body = body.rename(columns={"p": "a"})
         body["b"] = ""
+        body["pkind"] = np.int8(1)
         joined = df.merge(df, on=["x", "z"], suffixes=("_1", "_2"))
         joined = joined[joined["p_1"] != joined["p_2"]]
         both = (
@@ -363,10 +369,13 @@ def share_rules(
             .rename("n").reset_index()
             .rename(columns={"p_1": "a", "p_2": "b"})
         )
+        both["pkind"] = np.int8(0)
         out = pd.concat(
-            [body[["a", "b", "n"]], both[["a", "b", "n"]]], ignore_index=True
+            [body[["a", "b", "n", "pkind"]], both[["a", "b", "n", "pkind"]]],
+            ignore_index=True,
         )
         out["n"] = out["n"].astype("int64")
+        out["pkind"] = out["pkind"].astype("int8")
         return out
 
     parts = groupby_partition(
@@ -385,14 +394,14 @@ def share_rules(
             "n_ant": pd.Series([], dtype="int64"),
             "n_both": pd.Series([], dtype="int64"),
             "confidence": pd.Series([], dtype="float64")})
-    merged = parts.groupby(["a", "b"], as_index=False)["n"].sum()
+    merged = parts.groupby(["a", "b", "pkind"], as_index=False)["n"].sum()
     n_ant = dict(zip(
-        merged.loc[merged["b"] == "", "a"],
-        merged.loc[merged["b"] == "", "n"].astype(int),
+        merged.loc[merged["pkind"] == 1, "a"],
+        merged.loc[merged["pkind"] == 1, "n"].astype(int),
     ))
-    both = merged[merged["b"] != ""]
+    both = merged[merged["pkind"] == 0]
     rows = []
-    for a, b, n in both.itertuples(index=False):
+    for a, b, n in both[["a", "b", "n"]].itertuples(index=False):
         conf = n / n_ant[a]
         if n >= min_support and conf >= min_confidence:
             rows.append({"antecedent": a, "consequent": b,
