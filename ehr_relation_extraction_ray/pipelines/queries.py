@@ -3870,44 +3870,15 @@ def kg_pred_cooccurrence(sf_dir: str) -> pd.DataFrame:
     of predicates, how many subjects carry BOTH, with the PMI-style lift
     over the subject universe — which attribute slots travel together in
     the induced schema. Scale shape: one block-combiner pass reduces the
-    triple stream to distinct (subj, pred) partials (vocabulary-bounded
-    here; an open KB would finish with a groupby over the same
-    partials); pair enumeration is driver math over the pred-vocab
-    square. Oracle: distinct self-join + count SQL over the triples
-    fixture."""
-    trip = _triples(sf_dir)
+    triple stream to distinct (subj, pred) partials, then ONE subj-keyed
+    partition pass enumerates each subject's predicate pairs and emits
+    kind-flagged count partials (pairs / per-pred subjects / distinct
+    subjects); the driver merge is P^2-bounded (predicate vocabulary
+    squared), never entity-count-shaped — safe on an open KB. Oracle:
+    distinct self-join + count SQL over the triples fixture."""
+    from ..stages import mining
 
-    def partial(t: pa.Table) -> pa.Table:
-        g = t.select(["subj", "pred"]).group_by(
-            ["subj", "pred"], use_threads=False
-        ).aggregate([])
-        return g
-
-    sp = (
-        trip.map_batches(partial, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()
-    )
-    if sp.empty:
-        return pd.DataFrame(
-            {"pred_a": pd.Series([], dtype=str),
-             "pred_b": pd.Series([], dtype=str),
-             "n_ab": pd.Series([], dtype="int64"),
-             "lift": pd.Series([], dtype="float64")}
-        )
-    n_subj = sp["subj"].nunique()
-    ca = sp.groupby("pred").size()
-    pairs = sp.merge(sp, on="subj", suffixes=("_a", "_b"))
-    pairs = pairs[pairs["pred_a"] < pairs["pred_b"]]
-    g = pairs.groupby(["pred_a", "pred_b"]).size().reset_index(name="n_ab")
-    lift = np.log(
-        float(n_subj) * g["n_ab"].to_numpy(dtype=np.float64)
-        / (ca[g["pred_a"]].to_numpy(dtype=np.float64)
-           * ca[g["pred_b"]].to_numpy(dtype=np.float64))
-    )
-    g["n_ab"] = g["n_ab"].astype("int64")
-    g["lift"] = np.round(lift, 6)
-    return g.sort_values(["pred_a", "pred_b"]).reset_index(drop=True)
+    return mining.pred_cooccurrence(_triples(sf_dir))
 
 
 def docs_dsir_select(

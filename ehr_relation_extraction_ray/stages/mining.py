@@ -412,3 +412,100 @@ def share_rules(
     out["n_both"] = out["n_both"].astype("int64")
     out["confidence"] = out["confidence"].astype("float64")
     return out.sort_values(["antecedent", "consequent"]).reset_index(drop=True)
+
+
+def pred_cooccurrence(
+    triples: "ray.data.Dataset", num_partitions: int = 64
+) -> pd.DataFrame:
+    """Predicate co-occurrence with PMI-style lift over the subject
+    universe (schema-discovery signal: which attribute slots travel
+    together).
+
+    Scale shape: one block combiner reduces the triple stream to
+    distinct (subj, pred) partials, then ONE subj-keyed partition pass
+    (groupby_partition — every row of a subject in exactly one
+    partition, so the per-partition self-join is per-subject-EXACT)
+    emits kind-flagged count partials: predicate-pair counts (kind 0),
+    per-predicate subject counts (kind 1), distinct-subject counts
+    (kind 2). Partials SUM exactly across partitions; the driver merge
+    is P^2-bounded (predicate vocabulary squared), never
+    entity-count-shaped — same pattern as :func:`share_rules`.
+    Result is invariant to ``num_partitions`` (pinned by
+    tests/test_mining.py).
+    """
+    from ..functions.partitioning import groupby_partition
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.select(["subj", "pred"]).group_by(
+            ["subj", "pred"], use_threads=False
+        ).aggregate([])
+
+    schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()),
+         ("n", pa.int64()), ("kind", pa.int8())]
+    )
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["subj", "pred"])
+        if df.empty:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=str), "b": pd.Series([], dtype=str),
+                 "n": pd.Series([], dtype="int64"),
+                 "kind": pd.Series([], dtype="int8")})
+        ns = pd.DataFrame(
+            {"a": [""], "b": [""],
+             "n": np.int64(df["subj"].nunique()), "kind": np.int8(2)})
+        ca = (
+            df.groupby("pred", sort=False).size().rename("n").reset_index()
+            .rename(columns={"pred": "a"})
+        )
+        ca["b"] = ""
+        ca["kind"] = np.int8(1)
+        j = df.merge(df, on="subj", suffixes=("_a", "_b"))
+        j = j[j["pred_a"] < j["pred_b"]]
+        pairs = (
+            j.groupby(["pred_a", "pred_b"], sort=False).size()
+            .rename("n").reset_index()
+            .rename(columns={"pred_a": "a", "pred_b": "b"})
+        )
+        pairs["kind"] = np.int8(0)
+        out = pd.concat(
+            [pairs[["a", "b", "n", "kind"]], ca[["a", "b", "n", "kind"]], ns],
+            ignore_index=True,
+        )
+        out["n"] = out["n"].astype("int64")
+        out["kind"] = out["kind"].astype("int8")
+        return out
+
+    parts = groupby_partition(
+        triples.select_columns(["subj", "pred"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["subj"], emit, batch_format="pandas", schema=schema,
+        num_partitions=num_partitions, size_aware=True,
+    ).to_pandas()
+    empty = pd.DataFrame(
+        {"pred_a": pd.Series([], dtype=str),
+         "pred_b": pd.Series([], dtype=str),
+         "n_ab": pd.Series([], dtype="int64"),
+         "lift": pd.Series([], dtype="float64")}
+    )
+    if parts.empty or not (parts["kind"] == 0).any():
+        return empty
+    merged = parts.groupby(["a", "b", "kind"], as_index=False)["n"].sum()
+    n_subj = int(merged.loc[merged["kind"] == 2, "n"].sum())
+    ca = merged[merged["kind"] == 1].set_index("a")["n"]
+    g = (
+        merged[merged["kind"] == 0]
+        .rename(columns={"a": "pred_a", "b": "pred_b", "n": "n_ab"})
+        [["pred_a", "pred_b", "n_ab"]]
+        .reset_index(drop=True)
+    )
+    lift = np.log(
+        float(n_subj) * g["n_ab"].to_numpy(dtype=np.float64)
+        / (ca[g["pred_a"]].to_numpy(dtype=np.float64)
+           * ca[g["pred_b"]].to_numpy(dtype=np.float64))
+    )
+    g["n_ab"] = g["n_ab"].astype("int64")
+    g["lift"] = np.round(lift, 6)
+    return g.sort_values(["pred_a", "pred_b"]).reset_index(drop=True)

@@ -100,3 +100,41 @@ def test_assoc_rules_empty():
     assert list(out.columns) == [
         "antecedent", "consequent", "n_both", "support", "confidence", "lift"]
     assert len(out) == 0
+
+
+def _pred_cooc_serial(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
+    sp = df[["subj", "pred"]].drop_duplicates()
+    n_subj = sp["subj"].nunique()
+    ca = sp.groupby("pred").size()
+    pairs = sp.merge(sp, on="subj", suffixes=("_a", "_b"))
+    pairs = pairs[pairs["pred_a"] < pairs["pred_b"]]
+    g = pairs.groupby(["pred_a", "pred_b"]).size().reset_index(name="n_ab")
+    g["lift"] = np.round(np.log(
+        float(n_subj) * g["n_ab"].to_numpy(dtype=float)
+        / (ca[g["pred_a"]].to_numpy(dtype=float)
+           * ca[g["pred_b"]].to_numpy(dtype=float))), 6)
+    g["n_ab"] = g["n_ab"].astype("int64")
+    return g.sort_values(["pred_a", "pred_b"]).reset_index(drop=True)
+
+
+def test_pred_cooccurrence_matches_serial_and_reshard_invariant(ray_session):
+    rng = __import__("numpy").random.default_rng(7)
+    rows = []
+    for i in range(400):
+        subj = f"e{rng.integers(0, 60)}"
+        pred = f"p{rng.integers(0, 9)}"
+        rows.append({"doc_id": f"d{i % 37}", "subj": subj, "pred": pred,
+                     "obj": f"v{rng.integers(0, 20)}"})
+    df = pd.DataFrame(rows)
+    want = _pred_cooc_serial(df)
+    assert len(want) > 0
+    got = {}
+    # reshard-invariance: same result at 1 / 5 / 64 partitions and at
+    # different input block counts (round-3 VERDICT item 3)
+    for blocks, parts in ((1, 1), (4, 5), (8, 64)):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        got[parts] = mining.pred_cooccurrence(ds, num_partitions=parts)
+    for parts, res in got.items():
+        pd.testing.assert_frame_equal(res, want, check_exact=False, atol=1e-9)
