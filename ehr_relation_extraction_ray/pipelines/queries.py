@@ -2764,8 +2764,10 @@ def embeddings_int8_quant(sf_dir: str) -> pd.DataFrame:
 def kg_random_walks(sf_dir: str) -> pd.DataFrame:
     """DeepWalk-style deterministic walk corpus over the co-occurrence
     graph (edges with >= 2 co-docs): the graph-embedding training-data
-    prep stage. Oracle: serial recomputation fixture (same md5 hop rule,
-    single process, plain dicts)."""
+    prep stage — via the frontier-join distributed path (adjacency never
+    leaves the object store; graph.random_walks_distributed). Oracle:
+    serial recomputation fixture (same md5 hop rule, single process,
+    plain dicts)."""
     counts = _cooccurrence(sf_dir)
     pairs = counts[counts["is_pair"] & (counts["n"] >= 2)][["ent_a", "ent_b"]]
     if pairs.empty:
@@ -2774,7 +2776,9 @@ def kg_random_walks(sf_dir: str) -> pd.DataFrame:
              "walk_idx": pd.Series([], dtype="int64"),
              "path": pd.Series([], dtype=str)}
         )
-    out = graph.random_walks(pairs).to_pandas()
+    out = graph.random_walks_distributed(
+        ray.data.from_pandas(pairs.reset_index(drop=True))
+    ).to_pandas()
     out["walk_idx"] = out["walk_idx"].astype("int64")
     return out.sort_values(["start", "walk_idx"]).reset_index(drop=True)
 

@@ -210,3 +210,53 @@ def test_betweenness_distributed_open_graph(ray_session):
         local.sort_values("node").reset_index(drop=True),
         dist.sort_values("node").reset_index(drop=True),
     )
+
+
+def test_random_walks_distributed_matches_broadcast(ray_session):
+    rng = np.random.default_rng(11)
+    pairs = pd.DataFrame(
+        {"ent_a": [f"v{x}" for x in rng.integers(0, 40, 300)],
+         "ent_b": [f"v{x}" for x in rng.integers(0, 40, 300)]}
+    )
+    pairs = pairs[pairs["ent_a"] != pairs["ent_b"]].drop_duplicates()
+    want = (
+        graph.random_walks(pairs, walk_len=4, walks_per_node=2)
+        .to_pandas()
+        .sort_values(["start", "walk_idx"]).reset_index(drop=True)
+    )
+    got = (
+        graph.random_walks_distributed(
+            ray.data.from_pandas(
+                pairs.reset_index(drop=True), override_num_blocks=4
+            ),
+            walk_len=4, walks_per_node=2, num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values(["start", "walk_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_random_walks_distributed_open_graph(ray_session):
+    # >1e5-node open node space: the frontier-join path must complete
+    # without ever materializing a driver/broadcast adjacency
+    pairs = _open_graph(120_000)
+    got = (
+        graph.random_walks_distributed(
+            ray.data.from_pandas(pairs, override_num_blocks=16),
+            walk_len=3, walks_per_node=1, num_partitions=16,
+        )
+        .to_pandas()
+    )
+    assert len(got) == 120_000
+    # every walk fully extended (ring+chords: every node has neighbors)
+    assert (got["path"].str.count(r"\|") == 3).all()
+    # spot-check the md5 hop rule against the broadcast variant on the
+    # walks starting at 50 sampled nodes
+    sample = got.sort_values(["start", "walk_idx"]).head(50)
+    want = (
+        graph.random_walks(pairs, walk_len=3, walks_per_node=1)
+        .to_pandas()
+        .sort_values(["start", "walk_idx"]).head(50).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(sample.reset_index(drop=True), want)
