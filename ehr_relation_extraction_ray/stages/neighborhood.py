@@ -30,6 +30,13 @@ extensions, each expressed as hash-partitioned Dataset passes:
 
 At 10^12 turns: every exchange is keyed by node / pair values already
 reduced to the entity-attribute vocabulary; payload text never moves.
+
+Each operator has a Dataset-out variant (``neighbor_sample_ds``,
+``feature_propagation_ds``, ``entity_summary_ds``) — the stage form a
+downstream writer / trainer consumes without a driver materialize; the
+pandas-returning functions are the bounded-output query contract
+(``.to_pandas()`` + deterministic sort of the Dataset variant, pinned
+equal by tests/test_neighborhood_kgstore.py).
 """
 
 from __future__ import annotations
@@ -109,16 +116,14 @@ def _per_node_samples(
     )
 
 
-def neighbor_sample(
+def neighbor_sample_ds(
     triples: "ray.data.Dataset", k1: int = 3, k2: int = 2
-) -> pd.DataFrame:
-    """Two-hop deterministic fanout sample over the symmetrized KG.
-
-    Returns (seed, hop, src, dst): hop-1 rows are each seed's top-k1
-    neighbors by md5 rank; hop-2 rows expand every sampled frontier node
-    by ITS top-k2 sample (GraphSAGE layer semantics: one sample per node
-    per layer, shared across seeds — the form that keeps the exchange
-    node-keyed instead of (seed x node)-keyed at scale).
+) -> "ray.data.Dataset":
+    """Dataset-out two-hop deterministic fanout sample (round-3 VERDICT
+    item 5): the same keyed exchanges as :func:`neighbor_sample` — which
+    is just ``.to_pandas()`` + sort of this — but the (seed, hop, src,
+    dst) rows stay in the object store, so a downstream GraphSAGE
+    feature join / writer consumes them without a driver materialize.
     """
     samples = _per_node_samples(
         undirected_edges(triples), max_k=max(k1, k2)
@@ -165,12 +170,37 @@ def neighbor_sample(
 
     hop2 = groupby_partition(
         tagged, "key", expand, batch_format="pandas", schema=schema
-    ).to_pandas()
-    hop1 = h1.to_pandas()
-    hop1 = pd.DataFrame(
-        {"seed": hop1["v"].astype(str), "hop": np.int64(1),
-         "src": hop1["v"].astype(str), "dst": hop1["u"].astype(str)})
-    out = pd.concat([hop1, hop2], ignore_index=True)
+    )
+
+    def as_hop1(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"seed": df["v"].astype(str),
+             "hop": np.full(len(df), 1, dtype=np.int64),
+             "src": df["v"].astype(str), "dst": df["u"].astype(str)})
+
+    hop1 = h1.map_batches(as_hop1, batch_format="pandas")
+    return hop1.union(hop2)
+
+
+def neighbor_sample(
+    triples: "ray.data.Dataset", k1: int = 3, k2: int = 2
+) -> pd.DataFrame:
+    """Two-hop deterministic fanout sample over the symmetrized KG.
+
+    Returns (seed, hop, src, dst): hop-1 rows are each seed's top-k1
+    neighbors by md5 rank; hop-2 rows expand every sampled frontier node
+    by ITS top-k2 sample (GraphSAGE layer semantics: one sample per node
+    per layer, shared across seeds — the form that keeps the exchange
+    node-keyed instead of (seed x node)-keyed at scale). Bounded-output
+    query contract over :func:`neighbor_sample_ds`.
+    """
+    out = neighbor_sample_ds(triples, k1=k1, k2=k2).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"seed": pd.Series([], dtype=str),
+             "hop": pd.Series([], dtype="int64"),
+             "src": pd.Series([], dtype=str),
+             "dst": pd.Series([], dtype=str)})
     out["hop"] = out["hop"].astype("int64")
     return out.sort_values(["seed", "hop", "src", "dst"]).reset_index(drop=True)
 
@@ -185,10 +215,14 @@ def _hex_features(names: pd.Series, dims: int) -> np.ndarray:
     return out
 
 
-def feature_propagation(
+def feature_propagation_ds(
     triples: "ray.data.Dataset", dims: int = 4
-) -> pd.DataFrame:
-    """2-hop random-walk feature expectation over the symmetrized KG.
+) -> "ray.data.Dataset":
+    """Dataset-out 2-hop random-walk feature expectation over the
+    symmetrized KG (:func:`feature_propagation` = ``.to_pandas()`` +
+    sort of this; the per-row division happens in a final map_batches,
+    so the propagated features stream straight into a writer / trainer
+    at scale).
 
     Features x_j(v) = j-th hex digit of md5(v) (integers 0..15). Hop 1
     computes per node the integer sums S1_j(v) = sum_{u in N(v)} x_j(u)
@@ -288,28 +322,49 @@ def feature_propagation(
     merged = groupby_partition(
         partials, "v", final_sum, batch_format="pandas", schema=h2_schema,
         size_aware=True,
-    ).to_pandas()
-    if merged.empty:
+    )
+    out_schema = pa.schema(
+        [("node", pa.string()), ("n_paths", pa.int64())]
+        + [(f"f{j + 1}", pa.float64()) for j in range(dims)]
+    )
+
+    def divide(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"node": df["v"].astype(str)})
+        out["n_paths"] = df["c2"].astype("int64")
+        for j, c in enumerate(s_cols):
+            out[f"f{j + 1}"] = np.round(
+                df[c].to_numpy(dtype="float64")
+                / df["c2"].to_numpy(dtype="float64"),
+                6,
+            )
+        return pa.Table.from_pandas(
+            out, schema=out_schema, preserve_index=False
+        )
+
+    return merged.map_batches(divide, batch_format="pandas")
+
+
+def feature_propagation(
+    triples: "ray.data.Dataset", dims: int = 4
+) -> pd.DataFrame:
+    """Bounded-output query contract over :func:`feature_propagation_ds`
+    (see there for the distributed shape)."""
+    out = feature_propagation_ds(triples, dims=dims).to_pandas()
+    if out.empty:
         return pd.DataFrame(
             {"node": pd.Series([], dtype=str),
              "n_paths": pd.Series([], dtype="int64"),
              **{f"f{j + 1}": pd.Series([], dtype="float64")
                 for j in range(dims)}})
-    out = pd.DataFrame({"node": merged["v"].astype(str)})
-    out["n_paths"] = merged["c2"].astype("int64")
-    for j, c in enumerate(s_cols):
-        out[f"f{j + 1}"] = np.round(
-            merged[c].to_numpy(dtype="float64")
-            / merged["c2"].to_numpy(dtype="float64"),
-            6,
-        )
+    out["n_paths"] = out["n_paths"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
 
 
-def entity_summary(
+def entity_summary_ds(
     triples: "ray.data.Dataset", k: int = 5
-) -> pd.DataFrame:
-    """Top-k rarest facts per entity (entity-card summarization).
+) -> "ray.data.Dataset":
+    """Dataset-out top-k rarest facts per entity
+    (:func:`entity_summary` = ``.to_pandas()`` + sort of this).
 
     Fact frequency = number of DISTINCT subjects holding the same
     (pred, obj); rarer facts are more informative (IDF heuristic).
@@ -346,12 +401,12 @@ def entity_summary(
     parts = distinct_facts.map_batches(
         fact_partial, batch_format="pandas", batch_size=None
     ).to_pandas()
+    empty_schema = pa.schema(
+        [("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
+         ("fact_freq", pa.int64()), ("rk", pa.int64())]
+    )
     if parts.empty:
-        return pd.DataFrame(
-            {"subj": pd.Series([], dtype=str), "pred": pd.Series([], dtype=str),
-             "obj": pd.Series([], dtype=str),
-             "fact_freq": pd.Series([], dtype="int64"),
-             "rk": pd.Series([], dtype="int64")})
+        return ray.data.from_arrow(empty_schema.empty_table())
     del partial_schema
     freq = parts.groupby(["pred", "obj"], as_index=False)["n"].sum()
     freq_ref = ray.put(
@@ -384,7 +439,23 @@ def entity_summary(
             df[c] = df[c].astype("int64")
         return df[["subj", "pred", "obj", "fact_freq", "rk"]]
 
-    out = groupby_partition(
+    return groupby_partition(
         distinct_facts, "subj", topk, batch_format="pandas", schema=out_schema
-    ).to_pandas()
+    )
+
+
+def entity_summary(
+    triples: "ray.data.Dataset", k: int = 5
+) -> pd.DataFrame:
+    """Bounded-output query contract over :func:`entity_summary_ds`
+    (see there for the distributed shape)."""
+    out = entity_summary_ds(triples, k=k).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"subj": pd.Series([], dtype=str), "pred": pd.Series([], dtype=str),
+             "obj": pd.Series([], dtype=str),
+             "fact_freq": pd.Series([], dtype="int64"),
+             "rk": pd.Series([], dtype="int64")})
+    for c in ("fact_freq", "rk"):
+        out[c] = out[c].astype("int64")
     return out.sort_values(["subj", "rk"]).reset_index(drop=True)

@@ -348,3 +348,32 @@ def test_bpe_encode_manual_and_invariance():
     # merge ranks apply lowest-first: 'a'+'</w>' fires only when 'a' is
     # terminal after the 'aa' merge consumed the pair
     assert ta.bpe_apply_word("aaa", {("a", "a"): 0, ("a", "</w>"): 1}) == 2
+
+
+def test_dataset_out_variants_match_pandas_contract(trip):
+    """The *_ds stage variants are the same computation: .to_pandas() +
+    the contract sort must equal the pandas-returning query forms."""
+    df, ds = trip
+    got_ns = (
+        nb.neighbor_sample_ds(ds).to_pandas()
+        .sort_values(["seed", "hop", "src", "dst"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got_ns.astype({"hop": "int64"}), nb.neighbor_sample(ds)
+    )
+    got_fp = (
+        nb.feature_propagation_ds(ds).to_pandas()
+        .sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got_fp.astype({"n_paths": "int64"}),
+        nb.feature_propagation(ds),
+    )
+    got_es = (
+        nb.entity_summary_ds(ds).to_pandas()
+        .sort_values(["subj", "rk"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got_es.astype({"fact_freq": "int64", "rk": "int64"}),
+        nb.entity_summary(ds),
+    )
