@@ -9,15 +9,30 @@ slice of the assembled text at each recorded offset equals the turn's
 original text).
 
 Shuffle shape: one ``groupby(conv_id)`` hash shuffle; there is no global
-sort. A pathological conversation is bounded by the generator/driver (turn
-counts), and everything downstream is per-document rows, so hot keys cost
-one oversized group here only; the shuffle-heavy canonicalization stage
+sort. Everything downstream is per-document rows, so a hot key costs one
+oversized group here only; the shuffle-heavy canonicalization stage
 salts separately (stages/canonicalize.py).
+
+MONSTER-CONVERSATION SEGMENTATION (SURVEY §4 hot-key salting, round-3
+VERDICT item 6): a 10^6-turn conversation must not become one group ->
+one task -> one multi-GB text row. Conversations whose ``turn_idx``
+exceeds ``max_turns_per_doc`` (default ``MAX_TURNS_PER_DOC``, env
+``GRAFT_MAX_TURNS_PER_DOC``) are split into turn-range SUB-DOCUMENTS at
+bucket boundaries ``seg = turn_idx // cap``: the salt is part of the
+sort key, so each segment is its own group/task/row. Naming is local
+and deterministic — segment 0 keeps ``doc_id = conv_id`` (under-cap
+conversations are BIT-IDENTICAL to the unsegmented output), segment
+b > 0 becomes ``conv_id + "#" + b`` — and the suffix itself is the
+recoverable lineage; optionally each task also writes
+(conv_id, seg, doc_id, n_turns) records for oversized conversations to
+a ``lineage_dir`` side output (one shard per task, quarantine pattern).
 """
 
 from __future__ import annotations
 
-from typing import Union
+import os
+import uuid
+from typing import Optional, Union
 
 import numpy as np
 import pyarrow as pa
@@ -29,9 +44,37 @@ from ..schemas import DOCUMENTS
 
 TURN_SEP = "\n\n"
 
+# turn-count cap per assembled document row; conversations longer than
+# this are segmented into `conv_id#<seg>` sub-documents
+MAX_TURNS_PER_DOC = int(os.environ.get("GRAFT_MAX_TURNS_PER_DOC", "4096"))
+SEG_SEP = "#"
 
-def assemble_group(group: pa.Table) -> pa.Table:
-    """One conversation -> one document row (sort-within-group + join)."""
+SEG_LINEAGE = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("seg", pa.int64()),
+        ("doc_id", pa.string()),
+        ("n_turns", pa.int64()),
+    ]
+)
+
+
+def _flush_seg_lineage(rows: list, lineage_dir: Optional[str]) -> None:
+    if not rows or lineage_dir is None:
+        return
+    import pyarrow.parquet as pq
+
+    os.makedirs(lineage_dir, exist_ok=True)
+    t = pa.Table.from_pylist(rows, schema=SEG_LINEAGE)
+    pq.write_table(
+        t, os.path.join(lineage_dir, f"seg-{uuid.uuid4().hex}.parquet")
+    )
+
+
+def assemble_group(group: pa.Table, doc_id: Optional[str] = None) -> pa.Table:
+    """One conversation (or segment) -> one document row
+    (sort-within-group + join). ``doc_id`` overrides the emitted id for
+    segmented sub-documents."""
     group = group.sort_by("turn_idx")
     texts = group["text"].to_pylist()
     texts = ["" if t is None else t for t in texts]
@@ -40,9 +83,11 @@ def assemble_group(group: pa.Table) -> pa.Table:
     offsets = np.zeros(len(texts), dtype=np.int64)
     if len(texts) > 1:
         offsets[1:] = np.cumsum(lens[:-1] + len(TURN_SEP))
+    if doc_id is None:
+        doc_id = group["conv_id"][0].as_py()
     return pa.table(
         {
-            "doc_id": pa.array([group["conv_id"][0].as_py()], pa.string()),
+            "doc_id": pa.array([doc_id], pa.string()),
             "text": pa.array([doc_text], pa.large_string()),
             "n_turns": pa.array([len(texts)], pa.int32()),
             "turn_offsets": pa.array([offsets.tolist()], pa.list_(pa.int64())),
@@ -50,41 +95,66 @@ def assemble_group(group: pa.Table) -> pa.Table:
     )
 
 
-def assemble_partition(part: pa.Table) -> pa.Table:
+def assemble_partition(
+    part: pa.Table, lineage_dir: Optional[str] = None
+) -> pa.Table:
     """All conversations of one hash partition -> document rows.
 
     One Arrow sort + one run-walk per PARTITION (128 Python calls per
     job), not one ``map_groups`` call per conversation (corpus-sized
     micro-groups at scale — the same fix as the dedup/LSH stages).
-    Per-conversation output is identical to :func:`assemble_group`."""
+    Per-conversation output is identical to :func:`assemble_group`.
+
+    If a ``_seg`` column is present (added by :func:`assemble` when a
+    turn cap is active), the run key is (conv_id, _seg) and segment
+    b > 0 emits ``conv_id#b`` sub-documents (see module docstring)."""
     if part.num_rows == 0:
         return pa.Table.from_arrays(
             [pa.array([], f.type) for f in DOCUMENTS], schema=DOCUMENTS
         )
     if "_part" in part.column_names:
         part = part.drop_columns(["_part"])
-    part = part.sort_by(
-        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    has_seg = "_seg" in part.column_names
+    sort_keys = (
+        [("conv_id", "ascending"), ("_seg", "ascending"),
+         ("turn_idx", "ascending")]
+        if has_seg
+        else [("conv_id", "ascending"), ("turn_idx", "ascending")]
     )
+    part = part.sort_by(sort_keys)
     conv = part["conv_id"].to_pylist()
+    segs = part["_seg"].to_pylist() if has_seg else None
     texts = part["text"].to_pylist()
     n = len(conv)
     doc_ids, doc_texts, n_turns, turn_offsets = [], [], [], []
+    lineage_rows: list = []
     i = 0
     while i < n:
         j = i
-        while j < n and conv[j] == conv[i]:
+        while (
+            j < n
+            and conv[j] == conv[i]
+            and (segs is None or segs[j] == segs[i])
+        ):
             j += 1
         ts = ["" if t is None else t for t in texts[i:j]]
         lens = np.fromiter((len(t) for t in ts), dtype=np.int64, count=j - i)
         offs = np.zeros(j - i, dtype=np.int64)
         if j - i > 1:
             offs[1:] = np.cumsum(lens[:-1] + len(TURN_SEP))
-        doc_ids.append(conv[i])
+        seg = segs[i] if segs is not None else 0
+        did = conv[i] if not seg else f"{conv[i]}{SEG_SEP}{seg}"
+        if seg:
+            lineage_rows.append(
+                {"conv_id": conv[i], "seg": int(seg), "doc_id": did,
+                 "n_turns": j - i}
+            )
+        doc_ids.append(did)
         doc_texts.append(TURN_SEP.join(ts))
         n_turns.append(j - i)
         turn_offsets.append(offs.tolist())
         i = j
+    _flush_seg_lineage(lineage_rows, lineage_dir)
     return pa.table(
         {
             "doc_id": pa.array(doc_ids, pa.string()),
@@ -95,18 +165,47 @@ def assemble_partition(part: pa.Table) -> pa.Table:
     )
 
 
-def assemble(transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+def assemble(
+    transcripts: "ray.data.Dataset",
+    max_turns_per_doc: Optional[int] = None,
+    lineage_dir: Optional[str] = None,
+) -> "ray.data.Dataset":
     """transcripts Dataset -> documents Dataset (DOCUMENTS schema).
 
-    ONE ``sort(conv_id)`` range exchange (the pipeline's single required
-    shuffle) followed by a whole-block run-walk. ``batch_size=None`` hands
-    each sort partition to :func:`assemble_partition` intact, and Ray's
-    sort guarantees equal keys are never split across blocks (the same
-    invariant ``groupby().map_groups`` is built on — see
+    ONE ``sort(conv_id, _seg)`` range exchange (the pipeline's single
+    required shuffle) followed by a whole-block run-walk.
+    ``batch_size=None`` hands each sort partition to
+    :func:`assemble_partition` intact, and Ray's sort guarantees equal
+    keys are never split across blocks (the same invariant
+    ``groupby().map_groups`` is built on — see
     ray.data.grouped_data.GroupedData.map_groups) — so every output block
-    holds only COMPLETE conversations, the doc-complete-per-task property
-    the shuffle-free downstream distinct relies on
-    (stages/relations.distinct_triples)."""
+    holds only COMPLETE (conversation, segment) groups, the
+    doc-complete-per-task property the shuffle-free downstream distinct
+    relies on (stages/relations.distinct_triples).
+
+    ``max_turns_per_doc`` (default :data:`MAX_TURNS_PER_DOC`) caps the
+    turns per output row: the segment bucket ``turn_idx // cap`` joins
+    the SORT KEY, so a monster conversation fans out across sort ranges
+    and tasks instead of funnelling through one. Segment 0 keeps
+    ``doc_id = conv_id`` — all under-cap conversations produce
+    bit-identical output. Pass ``max_turns_per_doc=0`` to disable."""
+    cap = MAX_TURNS_PER_DOC if max_turns_per_doc is None else max_turns_per_doc
+    if cap and cap > 0:
+        def tag(t: pa.Table) -> pa.Table:
+            seg = (
+                np.asarray(t["turn_idx"].combine_chunks()).astype(np.int64)
+                // cap
+            )
+            return t.append_column("_seg", pa.array(seg, pa.int64()))
+
+        def run(t: pa.Table) -> pa.Table:
+            return assemble_partition(t, lineage_dir=lineage_dir)
+
+        return (
+            transcripts.map_batches(tag, batch_format="pyarrow")
+            .sort(["conv_id", "_seg"])
+            .map_batches(run, batch_format="pyarrow", batch_size=None)
+        )
     return transcripts.sort("conv_id").map_batches(
         assemble_partition, batch_format="pyarrow", batch_size=None
     )
@@ -157,11 +256,19 @@ def check_turn_equality(documents: pa.Table, transcripts: pa.Table) -> bool:
     return True
 
 
-def _assemble_file_batch(batch: pa.Table, columns=("conv_id", "turn_idx", "text")) -> pa.Table:
+def _assemble_file_batch(
+    batch: pa.Table,
+    columns=("conv_id", "turn_idx", "text"),
+    max_turns_per_doc: Optional[int] = None,
+) -> pa.Table:
     """One batch of file paths -> assembled documents for every conversation
-    in those files (shuffle-free assembly for conv-partitioned input)."""
+    in those files (shuffle-free assembly for conv-partitioned input).
+    The same ``turn_idx // cap`` segmentation as :func:`assemble` applies
+    (caps the output ROW size; task granularity on this path is the file —
+    size shards upstream)."""
     import pyarrow.parquet as pq
 
+    cap = MAX_TURNS_PER_DOC if max_turns_per_doc is None else max_turns_per_doc
     out = []
     for path in batch["path"].to_pylist():
         # use_threads=False: each concurrent Ray task would otherwise spin
@@ -169,11 +276,26 @@ def _assemble_file_batch(batch: pa.Table, columns=("conv_id", "turn_idx", "text"
         t = pq.read_table(path, columns=list(columns), use_threads=False)
         t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
         conv = np.asarray(t["conv_id"].to_pylist(), dtype=object)
-        # run boundaries of the sorted conv column
-        change = np.nonzero(conv[1:] != conv[:-1])[0] + 1
+        if len(conv) == 0:
+            continue
+        # run boundaries of the sorted (conv, seg) columns
+        if cap and cap > 0:
+            seg = (
+                np.asarray(t["turn_idx"].combine_chunks()).astype(np.int64)
+                // cap
+            )
+            brk = (conv[1:] != conv[:-1]) | (seg[1:] != seg[:-1])
+        else:
+            seg = np.zeros(len(conv), dtype=np.int64)
+            brk = conv[1:] != conv[:-1]
+        change = np.nonzero(brk)[0] + 1
         bounds = np.concatenate(([0], change, [len(conv)]))
         for lo, hi in zip(bounds[:-1], bounds[1:]):
-            out.append(assemble_group(t.slice(lo, hi - lo)))
+            did = (
+                conv[lo] if not seg[lo]
+                else f"{conv[lo]}{SEG_SEP}{seg[lo]}"
+            )
+            out.append(assemble_group(t.slice(lo, hi - lo), doc_id=did))
     if not out:
         return DOCUMENTS.empty_table()
     return pa.concat_tables(out)

@@ -37,3 +37,89 @@ def test_synth_deterministic():
     a = synth.generate_table(n_convs=5, seed=42)
     b = synth.generate_table(n_convs=5, seed=42)
     assert a.equals(b)
+
+
+def _monster_table(n_turns: int, extra_convs: int = 5) -> pa.Table:
+    rows = []
+    for i in range(n_turns):
+        rows.append({"conv_id": "monster", "turn_idx": i,
+                     "role": "user", "text": f"turn {i} text",
+                     "tool": "", "ts": None})
+    for c in range(extra_convs):
+        for i in range(3):
+            rows.append({"conv_id": f"small{c}", "turn_idx": i,
+                         "role": "user", "text": f"s{c} t{i}",
+                         "tool": "", "ts": None})
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows)[["conv_id", "turn_idx", "text"]],
+        preserve_index=False,
+    )
+
+
+def test_monster_conversation_segments(tmp_path):
+    """A 100k-turn conversation fans out into turn-range sub-documents
+    (cap joins the sort key -> separate groups/tasks) instead of one
+    multi-GB row; under-cap conversations are bit-identical; the seg
+    lineage side output records every oversized segment."""
+    table = _monster_table(100_000)
+    lineage_dir = str(tmp_path / "seg_lineage")
+    docs = assembly.assemble(
+        ray.data.from_arrow(table).repartition(8),
+        max_turns_per_doc=4096,
+        lineage_dir=lineage_dir,
+    ).to_pandas()
+
+    mon = docs[docs["doc_id"].str.startswith("monster")]
+    small = docs[~docs["doc_id"].str.startswith("monster")]
+    # ceil(100000 / 4096) = 25 segments; every one capped
+    assert len(mon) == 25
+    assert mon["n_turns"].max() <= 4096
+    assert set(mon["doc_id"]) == {"monster"} | {
+        f"monster#{b}" for b in range(1, 25)
+    }
+    # reconcatenating the segments in order == the unsegmented join
+    mon = mon.assign(
+        seg=mon["doc_id"].map(
+            lambda d: 0 if "#" not in d else int(d.split("#")[1])
+        )
+    ).sort_values("seg")
+    joined = "\n\n".join(mon["text"])
+    uncapped = assembly.assemble(
+        ray.data.from_arrow(table), max_turns_per_doc=0
+    ).to_pandas()
+    want = uncapped[uncapped["doc_id"] == "monster"]["text"].iloc[0]
+    assert joined == want
+    # under-cap conversations: identical to the uncapped path
+    small_uncapped = uncapped[uncapped["doc_id"] != "monster"]
+    assert (
+        small.sort_values("doc_id")["text"].tolist()
+        == small_uncapped.sort_values("doc_id")["text"].tolist()
+    )
+    # lineage records cover exactly the oversized segments (seg > 0)
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    lin = pa.concat_tables(
+        [pq.read_table(p) for p in _glob.glob(lineage_dir + "/*.parquet")]
+    ).to_pandas()
+    assert set(lin["doc_id"]) == {f"monster#{b}" for b in range(1, 25)}
+    assert (lin["conv_id"] == "monster").all()
+
+
+def test_partitioned_file_path_segments(tmp_path):
+    """The shuffle-free conv-partitioned path applies the same cap."""
+    import pyarrow.parquet as pq
+
+    table = _monster_table(10_000, extra_convs=2)
+    d = tmp_path / "shards"
+    d.mkdir()
+    pq.write_table(table, str(d / "part-0.parquet"))
+    docs = assembly._assemble_file_batch(
+        pa.table({"path": [str(d / "part-0.parquet")]}),
+        max_turns_per_doc=4096,
+    ).to_pandas()
+    mon = docs[docs["doc_id"].str.startswith("monster")]
+    assert set(mon["doc_id"]) == {"monster", "monster#1", "monster#2"}
+    assert mon["n_turns"].max() <= 4096
