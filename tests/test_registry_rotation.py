@@ -76,3 +76,20 @@ def test_window_covers_new_queries_each_round():
         rounds += 1
     assert len(green) == len(reg)
     assert rounds <= (len(reg) - 5 + 44) // 45 + 1
+
+
+def test_no_oracle_entries_never_front_fill(monkeypatch):
+    """Rows-only entries (no oracle_sql) must not consume front-of-window
+    slots they can never convert to a hash-green row (round-3 VERDICT)."""
+    names = entrymod._CANARIES + ["q_new", "q_rows_only", "q_green"]
+    reg = _fake_reg(names)
+    monkeypatch.setattr(entrymod, "_NO_ORACLE", {"q_rows_only"})
+    out = list(entrymod._rotate_for_coverage(reg, green={"q_green"}))
+    # never-green hash-checkable first, then green, then no-oracle last
+    assert out == entrymod._CANARIES + ["q_new", "q_green", "q_rows_only"]
+    # a no-oracle entry that somehow went green is ordered as green
+    # (registry order among green entries: q_rows_only precedes q_green)
+    out2 = list(
+        entrymod._rotate_for_coverage(reg, green={"q_green", "q_rows_only"})
+    )
+    assert out2 == entrymod._CANARIES + ["q_new", "q_rows_only", "q_green"]
