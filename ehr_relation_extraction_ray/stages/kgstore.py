@@ -73,6 +73,28 @@ def _write_bucket_file(
     }
 
 
+def _verify_shared_marker(marker_path: str, token: str) -> None:
+    """Run inside every upsert merge task: the driver wrote ``token`` to
+    ``marker_path`` at job start; a worker that cannot read that exact
+    token is looking at a DIFFERENT filesystem (node-local out_dir on a
+    multi-node cluster) and must fail loudly — merging against a
+    node-local view would silently rewrite buckets with delta-only rows
+    (base data loss)."""
+    try:
+        with open(marker_path) as f:
+            seen = f.read()
+    except OSError:
+        seen = None
+    if seen != token:
+        raise RuntimeError(
+            "kgstore.upsert_index: out_dir is not visible from this "
+            "worker (shared-filesystem marker missing or stale). "
+            "Upserting against a node-local path would silently drop "
+            "base bucket data; mount out_dir on a shared filesystem or "
+            "run single-node."
+        )
+
+
 def _zone_from_footer(path: str, order: str, bucket: str) -> dict:
     """Zone row from Parquet FOOTER statistics only — no data pages read.
     Valid because the ``k`` column is written sorted (row-group stats of
@@ -262,19 +284,7 @@ def upsert_index(
 
         def merge_bucket(part: pd.DataFrame, cols=cols, odir=odir,
                          order=order) -> pd.DataFrame:
-            try:
-                with open(marker) as f:
-                    seen_token = f.read()
-            except OSError:
-                seen_token = None
-            if seen_token != token:
-                raise RuntimeError(
-                    "kgstore.upsert_index: out_dir is not visible from "
-                    "this worker (shared-filesystem marker missing or "
-                    "stale). Upserting against a node-local path would "
-                    "silently drop base bucket data; mount out_dir on a "
-                    "shared filesystem or run single-node."
-                )
+            _verify_shared_marker(marker, token)
             rows = []
             for b, g in part.groupby("bucket", sort=False):
                 path = os.path.join(odir, f"{b}.parquet")

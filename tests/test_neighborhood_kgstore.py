@@ -377,3 +377,22 @@ def test_dataset_out_variants_match_pandas_contract(trip):
         got_es.astype({"fact_freq": "int64", "rk": "int64"}),
         nb.entity_summary(ds),
     )
+
+
+def test_upsert_shared_fs_guard(tmp_path):
+    """The per-task marker check: a worker that cannot read the driver's
+    run token (missing or stale marker = node-local out_dir) must raise
+    instead of silently merging delta-only rows over lost base data."""
+    marker = str(tmp_path / "_SHARED_FS_MARKER")
+    # missing marker -> raise
+    with pytest.raises(RuntimeError, match="not visible"):
+        kgstore._verify_shared_marker(marker, "tok-a")
+    # stale marker from a previous run -> raise
+    with open(marker, "w") as f:
+        f.write("tok-previous-run")
+    with pytest.raises(RuntimeError, match="not visible"):
+        kgstore._verify_shared_marker(marker, "tok-a")
+    # matching token -> pass
+    with open(marker, "w") as f:
+        f.write("tok-a")
+    kgstore._verify_shared_marker(marker, "tok-a")
