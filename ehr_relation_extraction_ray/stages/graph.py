@@ -874,25 +874,27 @@ def random_walks_distributed(
 ) -> "ray.data.Dataset":
     """Frontier-join random walks — same deterministic md5 hop rule (and
     identical output set) as :func:`random_walks`, but the adjacency is
-    NEVER collected or broadcast: it stays a Dataset, and each step is
-    ONE current-node-keyed partition co-group of (walk frontier x
-    adjacency). The open-node-space scale path the broadcast variant's
-    docstring promises (round-3 VERDICT item 4), matching what
-    :func:`pagerank_distributed` is to :func:`pagerank`.
+    NEVER collected, broadcast, or re-shuffled: the node-hash-partitioned
+    adjacency blocks pin ONCE as object refs (functions/rounds — the
+    same shape as :func:`pagerank_distributed`), and each step moves
+    ONLY the walk frontier: one raw task per adjacency block extends its
+    partition's walkers and scatters the survivors to their next node's
+    home block. The open-node-space scale path the broadcast variant's
+    docstring promises (round-3 VERDICT item 4).
 
-    Shape: symmetrize + block-distinct the edge rows once and
-    materialize; seed the frontier from the adjacency itself with one
-    node-keyed pass (a node's rows are partition-complete, so the
-    global node distinct is exact there — no separate distinct
-    exchange); then ``walk_len`` rounds of groupby_partition over
-    frontier UNION adjacency keyed on the walker's current node. Driver
-    state is zero throughout; per-round exchange volume is E + W rows
-    (W = V x walks_per_node), each row a few strings — payload text
-    never moves.
+    Exchange volume: the adjacency moves once (the pinning groupby);
+    each of the ``walk_len`` steps then moves W = V x walks_per_node
+    frontier rows through the object store, task-to-task, never via the
+    driver. Per-row strings only; payload text never moves.
 
     Returns a Dataset (start, walk_idx, path) with '|'-joined paths.
     """
     import hashlib
+
+    from ..functions import rounds
+    from ..functions.partitioning import add_hash_partition
+
+    P = num_partitions
 
     def both(df: pd.DataFrame) -> pd.DataFrame:
         e = df[[a_col, b_col]].drop_duplicates()
@@ -907,94 +909,157 @@ def random_walks_distributed(
                 ),
             }
         ).drop_duplicates()
-        out = out.astype({"key": str, "path": str})
-        out["start"] = ""
-        out["walk_idx"] = np.int64(-1)
-        out["kind"] = np.int8(1)
-        return out[["key", "start", "walk_idx", "path", "kind"]]
+        return out.astype({"key": str, "path": str})
 
-    schema = pa.schema(
+    fr_schema = pa.schema(
         [("key", pa.string()), ("start", pa.string()),
-         ("walk_idx", pa.int64()), ("path", pa.string()),
-         ("kind", pa.int8())]
+         ("walk_idx", pa.int64()), ("path", pa.string())]
     )
-    adj = (
+
+    def tag(t: pa.Table) -> pa.Table:
+        return add_hash_partition(t, ["key"], P)
+
+    # pin the partitioned adjacency ONCE: one groupby exchange, then the
+    # blocks live in plasma for every step (locality-aware task placement)
+    adj_blocks = (
         edges.select_columns([a_col, b_col])
         .map_batches(both, batch_format="pandas")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(lambda t: t, batch_format="pyarrow")
         .materialize()
     )
-
-    def seed(part: pd.DataFrame) -> pd.DataFrame:
-        nodes = part["key"].drop_duplicates().to_numpy()
-        if len(nodes) == 0:
-            return pd.DataFrame(
-                {"key": pd.Series([], dtype=str),
-                 "start": pd.Series([], dtype=str),
-                 "walk_idx": pd.Series([], dtype="int64"),
-                 "path": pd.Series([], dtype=str),
-                 "kind": pd.Series([], dtype="int8")})
-        rep = np.repeat(nodes, walks_per_node)
-        widx = np.tile(np.arange(walks_per_node, dtype=np.int64), len(nodes))
-        out = pd.DataFrame(
-            {"key": rep, "start": rep, "walk_idx": widx, "path": rep})
-        out["kind"] = np.int8(0)
-        return out
-
-    frontier = groupby_partition(
-        adj, "key", seed, batch_format="pandas", schema=schema,
-        num_partitions=num_partitions,
-    )
-
-    def make_hop(step: int):
-        def hop(part: pd.DataFrame) -> pd.DataFrame:
-            fr = part[part["kind"] == 0]
-            if fr.empty:
-                return pd.DataFrame(
-                    {"key": pd.Series([], dtype=str),
-                     "start": pd.Series([], dtype=str),
-                     "walk_idx": pd.Series([], dtype="int64"),
-                     "path": pd.Series([], dtype=str),
-                     "kind": pd.Series([], dtype="int8")})
-            ad = part[part["kind"] == 1]
-            neigh = {
-                k: sorted(set(g))
-                for k, g in ad.groupby("key", sort=False)["path"]
-            }
-            keys, paths = [], []
-            for cur, s, w, path in zip(
-                fr["key"], fr["start"], fr["walk_idx"], fr["path"]
-            ):
-                ns = neigh.get(cur)
-                if not ns:
-                    keys.append(cur)
-                    paths.append(path)
-                    continue
-                hkey = f"{s}\x00{w}\x00{step}\x00{cur}".encode("utf-8")
-                pick = int.from_bytes(
-                    hashlib.md5(hkey).digest()[:8], "big"
-                ) % len(ns)
-                nxt = ns[pick]
-                keys.append(nxt)
-                paths.append(path + "|" + nxt)
-            out = pd.DataFrame(
-                {"key": keys, "start": fr["start"].to_numpy(),
-                 "walk_idx": fr["walk_idx"].to_numpy(dtype=np.int64),
-                 "path": paths})
-            out["kind"] = np.int8(0)
-            return out.astype(
-                {"key": str, "start": str, "walk_idx": "int64",
-                 "path": str, "kind": "int8"})
-
-        return hop
-
-    for step in range(walk_len):
-        frontier = groupby_partition(
-            frontier.union(adj), "key", make_hop(step),
-            batch_format="pandas", schema=schema,
-            num_partitions=num_partitions,
+    arefs = rounds.block_refs(adj_blocks)
+    nb = len(arefs)
+    if nb == 0:
+        return ray.data.from_arrow(
+            pa.schema(
+                [("start", pa.string()), ("walk_idx", pa.int64()),
+                 ("path", pa.string())]
+            ).empty_table()
         )
 
-    return frontier.select_columns(["start", "walk_idx", "path"])
+    # which hash partitions live in which pinned block (a block may hold
+    # several complete partitions; a partition is never split)
+    @ray.remote
+    def _parts_of(t: pa.Table) -> list:
+        return sorted(set(np.asarray(t["_part"]).tolist()))
+
+    parts_per_block = ray.get([_parts_of.remote(r) for r in arefs])
+    part2block = {
+        p: i for i, ps in enumerate(parts_per_block) for p in ps
+    }
+
+    def _route(tbl: pa.Table) -> list:
+        """Split frontier rows by their key's home block; returns a list
+        of nb tables (empty ones carry the frontier schema)."""
+        if tbl.num_rows == 0:
+            return [fr_schema.empty_table()] * nb
+        part = np.asarray(
+            add_hash_partition(tbl.select(["key"]), ["key"], P)["_part"]
+        )
+        p2b = part2block  # captured by value via cloudpickle
+        dest = np.array([p2b.get(int(p), 0) for p in part], dtype=np.int64)
+        out = []
+        order = np.argsort(dest, kind="stable")
+        sorted_dest = dest[order]
+        tbl = tbl.take(pa.array(order))
+        bounds = np.searchsorted(sorted_dest, np.arange(nb + 1))
+        for i in range(nb):
+            lo, hi = bounds[i], bounds[i + 1]
+            out.append(
+                tbl.slice(lo, hi - lo) if hi > lo
+                else fr_schema.empty_table()
+            )
+        return out
+
+    @ray.remote
+    def _seed(adj_t: pa.Table) -> pa.Table:
+        """Frontier seeds for this block's own nodes (their home block
+        by construction — no routing needed)."""
+        nodes = pa.Table.from_arrays(
+            [adj_t["key"].combine_chunks()], names=["key"]
+        )
+        uniq = nodes.group_by("key", use_threads=False).aggregate([])
+        ks = np.asarray(uniq["key"]).astype(object)
+        rep = np.repeat(ks, walks_per_node)
+        widx = np.tile(np.arange(walks_per_node, dtype=np.int64), len(ks))
+        return pa.table(
+            {"key": pa.array(rep, pa.string()),
+             "start": pa.array(rep, pa.string()),
+             "walk_idx": pa.array(widx, pa.int64()),
+             "path": pa.array(rep, pa.string())}
+        )
+
+    def _hop(adj_t: pa.Table, step: int, *frs: pa.Table) -> list:
+        """Extend this block's frontier one md5 hop; scatter to home
+        blocks of the new current nodes. Frontier tables arrive as
+        TOP-LEVEL variadic args: Ray resolves top-level ObjectRefs via
+        the scheduler's native dependency path; the same refs nested
+        inside a list would go through the borrowed-reference protocol,
+        which measured ~15 s/round of pure ownership-resolution latency
+        on this box (0.5 s total with variadic args)."""
+        frames = [t for t in frs if t.num_rows]
+        if not frames:
+            return [fr_schema.empty_table()] * nb
+        fr = pa.concat_tables(frames)
+        ad = adj_t.to_pandas()
+        neigh = {
+            k: sorted(set(g))
+            for k, g in ad.groupby("key", sort=False)["path"]
+        }
+        keys, paths = [], []
+        starts = fr["start"].to_pylist()
+        widx = fr["walk_idx"].to_pylist()
+        for cur, s, w, path in zip(
+            fr["key"].to_pylist(), starts, widx, fr["path"].to_pylist()
+        ):
+            ns = neigh.get(cur)
+            if not ns:
+                keys.append(cur)
+                paths.append(path)
+                continue
+            hkey = f"{s}\x00{w}\x00{step}\x00{cur}".encode("utf-8")
+            pick = int.from_bytes(
+                hashlib.md5(hkey).digest()[:8], "big"
+            ) % len(ns)
+            nxt = ns[pick]
+            keys.append(nxt)
+            paths.append(path + "|" + nxt)
+        out = pa.table(
+            {"key": pa.array(keys, pa.string()),
+             "start": pa.array(starts, pa.string()),
+             "walk_idx": pa.array(widx, pa.int64()),
+             "path": pa.array(paths, pa.string())}
+        )
+        return _route(out)
+
+    if nb > 1:
+        hop_task = ray.remote(num_returns=nb)(_hop)
+    else:
+        def _hop_single(adj_t, step, *frs):
+            return _hop(adj_t, step, *frs)[0]
+
+        hop_single = ray.remote(_hop_single)
+
+    # per-block frontier ref lists; seeds start at their home block
+    frontier: list = [[_seed.remote(arefs[i])] for i in range(nb)]
+    for step in range(walk_len):
+        if nb == 1:
+            frontier = [[
+                hop_single.remote(arefs[0], step, *frontier[0])
+            ]]
+            continue
+        outs = [
+            hop_task.remote(arefs[i], step, *frontier[i])
+            for i in range(nb)
+        ]
+        frontier = [[outs[j][i] for j in range(nb)] for i in range(nb)]
+
+    flat = [r for lst in frontier for r in lst]
+    return ray.data.from_arrow_refs(flat).select_columns(
+        ["start", "walk_idx", "path"]
+    )
 
 
 def label_propagation(edges: pd.DataFrame, iters: int = 10) -> pd.DataFrame:
