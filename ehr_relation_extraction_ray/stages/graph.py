@@ -958,8 +958,12 @@ def random_walks_distributed(
         part = np.asarray(
             add_hash_partition(tbl.select(["key"]), ["key"], P)["_part"]
         )
-        p2b = part2block  # captured by value via cloudpickle
-        dest = np.array([p2b.get(int(p), 0) for p in part], dtype=np.int64)
+        # LUT instead of a per-row dict lookup; partitions with no
+        # adjacency rows route to block 0 (pass-through there)
+        lut = np.zeros(P, dtype=np.int64)
+        for p_, b_ in part2block.items():  # P-bounded, captured by value
+            lut[p_] = b_
+        dest = lut[part]
         out = []
         order = np.argsort(dest, kind="stable")
         sorted_dest = dest[order]
