@@ -2941,8 +2941,8 @@ FROM j
 WHERE ha IS NULL OR hb IS NULL OR ha <> hb
 ORDER BY doc_id
 """,
-        # still rows-only (no oracle): kg_eval_invariance (P/R/F1
-        # invariance harness — the checked property is that two pipeline
-        # configurations agree with EACH OTHER; there is no external
-        # value a SQL oracle could recompute) — covered by unit tests.
+        # every registry entry has an oracle_sql entry (kg_eval_invariance
+        # got its constant-VALUES oracle in round 4 — the invariance claim
+        # IS the constant); keep _NO_ORACLE empty unless a future entry is
+        # genuinely rows-only.
     }

@@ -45,9 +45,37 @@ from ..schemas import DOCUMENTS
 TURN_SEP = "\n\n"
 
 # turn-count cap per assembled document row; conversations longer than
-# this are segmented into `conv_id#<seg>` sub-documents
+# this are segmented into `conv_id#<seg>` sub-documents.
+# PRECONDITION (input_hint contract, produced by synth and any sane log
+# writer): turn_idx is 0-based per conversation, so value buckets equal
+# ordinal-rank buckets and every under-cap conversation sits wholly in
+# segment 0 (doc_id = conv_id, bit-identical output). A corpus with
+# offset turn indices must renumber first or set the cap to 0.
 MAX_TURNS_PER_DOC = int(os.environ.get("GRAFT_MAX_TURNS_PER_DOC", "4096"))
-SEG_SEP = "#"
+# separator for segment suffixes; overridable when conversation ids may
+# legitimately end in `#<digits>` (the tag pass guards against that
+# collision loudly instead of silently merging two documents)
+SEG_SEP = os.environ.get("GRAFT_SEG_SEP", "#")
+
+
+def _guard_seg_collision(conv_col) -> None:
+    """Raise if any conv_id already ends with the segment suffix pattern
+    — segment b of conversation X would otherwise collide with a REAL
+    conversation named ``X<sep>b`` and silently merge two documents."""
+    import re
+
+    import pyarrow.compute as _pc
+
+    pat = re.escape(SEG_SEP) + r"[0-9]+$"
+    hit = _pc.any(_pc.match_substring_regex(conv_col, pat)).as_py()
+    if hit:
+        raise ValueError(
+            "assembly segmentation: a conv_id ends with "
+            f"'{SEG_SEP}<digits>', which collides with segment naming. "
+            "Set GRAFT_SEG_SEP to a separator that cannot appear in "
+            "your ids (e.g. '\\x1f') or disable the cap "
+            "(max_turns_per_doc=0)."
+        )
 
 SEG_LINEAGE = pa.schema(
     [
@@ -60,6 +88,12 @@ SEG_LINEAGE = pa.schema(
 
 
 def _flush_seg_lineage(rows: list, lineage_dir: Optional[str]) -> None:
+    """Best-effort side output (quarantine pattern): one uuid-named shard
+    per task execution. A retried/recomputed task writes a SECOND shard
+    with the same rows — the records are content-keyed (conv_id, seg), so
+    consumers read through :func:`read_seg_lineage`, which dedups; and
+    on a multi-node cluster ``lineage_dir`` must be a shared filesystem
+    (else shards land on node-local disks)."""
     if not rows or lineage_dir is None:
         return
     import pyarrow.parquet as pq
@@ -68,6 +102,25 @@ def _flush_seg_lineage(rows: list, lineage_dir: Optional[str]) -> None:
     t = pa.Table.from_pylist(rows, schema=SEG_LINEAGE)
     pq.write_table(
         t, os.path.join(lineage_dir, f"seg-{uuid.uuid4().hex}.parquet")
+    )
+
+
+def read_seg_lineage(lineage_dir: str) -> "pa.Table":
+    """Deduplicated segmentation-lineage records (task retries may write
+    duplicate shards — exactly-once is restored here by the natural key
+    (conv_id, seg))."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    paths = sorted(glob.glob(os.path.join(lineage_dir, "*.parquet")))
+    if not paths:
+        return SEG_LINEAGE.empty_table()
+    t = pa.concat_tables([pq.read_table(p, use_threads=False) for p in paths])
+    return t.group_by(
+        ["conv_id", "seg"], use_threads=False
+    ).aggregate([("doc_id", "min"), ("n_turns", "min")]).rename_columns(
+        ["conv_id", "seg", "doc_id", "n_turns"]
     )
 
 
@@ -192,6 +245,7 @@ def assemble(
     cap = MAX_TURNS_PER_DOC if max_turns_per_doc is None else max_turns_per_doc
     if cap and cap > 0:
         def tag(t: pa.Table) -> pa.Table:
+            _guard_seg_collision(t["conv_id"])
             seg = (
                 np.asarray(t["turn_idx"].combine_chunks()).astype(np.int64)
                 // cap
@@ -278,6 +332,8 @@ def _assemble_file_batch(
         conv = np.asarray(t["conv_id"].to_pylist(), dtype=object)
         if len(conv) == 0:
             continue
+        if cap and cap > 0:
+            _guard_seg_collision(t["conv_id"])
         # run boundaries of the sorted (conv, seg) columns
         if cap and cap > 0:
             seg = (

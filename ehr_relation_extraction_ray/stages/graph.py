@@ -939,16 +939,76 @@ def random_walks_distributed(
             ).empty_table()
         )
 
-    # which hash partitions live in which pinned block (a block may hold
-    # several complete partitions; a partition is never split)
+    # which hash partitions live in which pinned block. A block may hold
+    # several partitions; a partition USUALLY lives in one block, but
+    # Ray's dynamic block splitting can break one oversized map_groups
+    # output across blocks — routing a frontier to just one piece would
+    # silently walk against a partial neighbor list. Repair: union-find
+    # blocks that share a partition and concat each group into one
+    # pinned block (rare — only blocks past the target block size).
     @ray.remote
     def _parts_of(t: pa.Table) -> list:
         return sorted(set(np.asarray(t["_part"]).tolist()))
 
     parts_per_block = ray.get([_parts_of.remote(r) for r in arefs])
+    parent = list(range(nb))
+
+    def _find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    owner: dict = {}
+    for i, ps in enumerate(parts_per_block):
+        for p_ in ps:
+            if p_ in owner:
+                ra, rb = _find(owner[p_]), _find(i)
+                if ra != rb:
+                    parent[rb] = ra
+            else:
+                owner[p_] = i
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for i in range(nb):
+        groups[_find(i)].append(i)
+    if len(groups) < nb:
+        @ray.remote
+        def _concat(*ts: pa.Table) -> pa.Table:
+            return pa.concat_tables(list(ts))
+
+        new_refs, new_parts = [], []
+        for _, members in sorted(groups.items()):
+            if len(members) == 1:
+                new_refs.append(arefs[members[0]])
+                new_parts.append(parts_per_block[members[0]])
+            else:
+                new_refs.append(
+                    _concat.remote(*[arefs[m] for m in members])
+                )
+                new_parts.append(sorted(
+                    set().union(*[set(parts_per_block[m]) for m in members])
+                ))
+        arefs, parts_per_block = new_refs, new_parts
+        nb = len(arefs)
     part2block = {
         p: i for i, ps in enumerate(parts_per_block) for p in ps
     }
+
+    # pre-build each block's {node: sorted neighbor list} ONCE — the
+    # adjacency is immutable across steps, so rebuilding the dict every
+    # hop would be walk_len-fold redundant CPU; the dicts stay in the
+    # object store as one pinned ref per block
+    @ray.remote
+    def _prep(adj_t: pa.Table) -> dict:
+        ad = adj_t.to_pandas()
+        return {
+            k: sorted(set(g))
+            for k, g in ad.groupby("key", sort=False)["path"]
+        }
+
+    nrefs = [_prep.remote(r) for r in arefs]
 
     def _route(tbl: pa.Table) -> list:
         """Split frontier rows by their key's home block; returns a list
@@ -995,23 +1055,19 @@ def random_walks_distributed(
              "path": pa.array(rep, pa.string())}
         )
 
-    def _hop(adj_t: pa.Table, step: int, *frs: pa.Table) -> list:
+    def _hop(neigh: dict, step: int, *frs: pa.Table) -> list:
         """Extend this block's frontier one md5 hop; scatter to home
-        blocks of the new current nodes. Frontier tables arrive as
-        TOP-LEVEL variadic args: Ray resolves top-level ObjectRefs via
-        the scheduler's native dependency path; the same refs nested
-        inside a list would go through the borrowed-reference protocol,
-        which measured ~15 s/round of pure ownership-resolution latency
-        on this box (0.5 s total with variadic args)."""
+        blocks of the new current nodes. Frontier tables (and the
+        block's prebuilt neighbor dict) arrive as TOP-LEVEL args: Ray
+        resolves top-level ObjectRefs via the scheduler's native
+        dependency path; the same refs nested inside a list would go
+        through the borrowed-reference protocol, which measured
+        ~15 s/round of pure ownership-resolution latency on this box
+        (0.5 s total with variadic args)."""
         frames = [t for t in frs if t.num_rows]
         if not frames:
             return [fr_schema.empty_table()] * nb
         fr = pa.concat_tables(frames)
-        ad = adj_t.to_pandas()
-        neigh = {
-            k: sorted(set(g))
-            for k, g in ad.groupby("key", sort=False)["path"]
-        }
         keys, paths = [], []
         starts = fr["start"].to_pylist()
         widx = fr["walk_idx"].to_pylist()
@@ -1041,8 +1097,8 @@ def random_walks_distributed(
     if nb > 1:
         hop_task = ray.remote(num_returns=nb)(_hop)
     else:
-        def _hop_single(adj_t, step, *frs):
-            return _hop(adj_t, step, *frs)[0]
+        def _hop_single(neigh, step, *frs):
+            return _hop(neigh, step, *frs)[0]
 
         hop_single = ray.remote(_hop_single)
 
@@ -1051,11 +1107,11 @@ def random_walks_distributed(
     for step in range(walk_len):
         if nb == 1:
             frontier = [[
-                hop_single.remote(arefs[0], step, *frontier[0])
+                hop_single.remote(nrefs[0], step, *frontier[0])
             ]]
             continue
         outs = [
-            hop_task.remote(arefs[i], step, *frontier[i])
+            hop_task.remote(nrefs[i], step, *frontier[i])
             for i in range(nb)
         ]
         frontier = [[outs[j][i] for j in range(nb)] for i in range(nb)]

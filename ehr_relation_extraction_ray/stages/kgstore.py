@@ -95,6 +95,48 @@ def _verify_shared_marker(marker_path: str, token: str) -> None:
         )
 
 
+ZONES_FILE = "_ZONES.parquet"
+
+
+def _write_zones(out_dir: str, zones: pd.DataFrame) -> None:
+    """Persist the zone map next to the buckets: the build-time manifest
+    that upsert uses to verify the base index is COMPLETE from where it
+    runs (node-local base buckets would otherwise be silently missing)."""
+    pq.write_table(
+        pa.Table.from_pandas(zones, preserve_index=False),
+        os.path.join(out_dir, ZONES_FILE),
+    )
+
+
+def _verify_base_complete(out_dir: str, orders: tuple) -> None:
+    """Driver-side completeness check before an upsert: every bucket the
+    build-time zone manifest recorded must be a visible file. A missing
+    bucket means out_dir is not the filesystem the base build wrote to
+    (node-local disks on a multi-node cluster) — merging would rewrite
+    those buckets with delta-only rows, losing base data."""
+    zpath = os.path.join(out_dir, ZONES_FILE)
+    if not os.path.exists(zpath):
+        return  # pre-manifest index (older build); marker check still runs
+    zones = pq.read_table(zpath, use_threads=False).to_pandas()
+    missing = []
+    for order in orders:
+        want = set(zones.loc[zones["idx_order"] == order, "bucket"])
+        odir = os.path.join(out_dir, order)
+        have = {
+            f.split(".")[0]
+            for f in (os.listdir(odir) if os.path.isdir(odir) else [])
+            if f.endswith(".parquet")
+        }
+        missing.extend(f"{order}/{b}" for b in sorted(want - have))
+    if missing:
+        raise RuntimeError(
+            "kgstore.upsert_index: base index is incomplete from this "
+            f"node — zone manifest lists buckets with no visible file: "
+            f"{missing[:8]}{'...' if len(missing) > 8 else ''}. out_dir "
+            "must be the shared filesystem the base build wrote to."
+        )
+
+
 def _zone_from_footer(path: str, order: str, bucket: str) -> dict:
     """Zone row from Parquet FOOTER statistics only — no data pages read.
     Valid because the ``k`` column is written sorted (row-group stats of
@@ -227,7 +269,9 @@ def sorted_index(
         frames.append(zones)
     out = pd.concat(frames, ignore_index=True)
     out["n"] = out["n"].astype("int64")
-    return out.sort_values(["idx_order", "bucket"]).reset_index(drop=True)
+    out = out.sort_values(["idx_order", "bucket"]).reset_index(drop=True)
+    _write_zones(out_dir, out)
+    return out
 
 
 def upsert_index(
@@ -257,6 +301,12 @@ def upsert_index(
     """
     import uuid
 
+    # two-layer shared-fs defense: (a) the driver verifies the BASE build
+    # is complete from here (zone manifest vs visible files — catches
+    # buckets written to other nodes' local disks), (b) every merge task
+    # verifies it can read the driver's fresh run marker (catches workers
+    # on a different filesystem than the driver)
+    _verify_base_complete(out_dir, orders)
     marker = os.path.join(out_dir, "_SHARED_FS_MARKER")
     token = uuid.uuid4().hex
     os.makedirs(out_dir, exist_ok=True)
@@ -328,7 +378,9 @@ def upsert_index(
             frames.append(pd.DataFrame(untouched))
     out = pd.concat(frames, ignore_index=True)
     out["n"] = out["n"].astype("int64")
-    return out.sort_values(["idx_order", "bucket"]).reset_index(drop=True)
+    out = out.sort_values(["idx_order", "bucket"]).reset_index(drop=True)
+    _write_zones(out_dir, out)
+    return out
 
 
 def lookup_subjects(

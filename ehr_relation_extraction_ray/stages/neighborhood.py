@@ -128,6 +128,15 @@ def neighbor_sample_ds(
     samples = _per_node_samples(
         undirected_edges(triples), max_k=max(k1, k2)
     ).materialize()
+    out_schema = pa.schema(
+        [("seed", pa.string()), ("hop", pa.int64()),
+         ("src", pa.string()), ("dst", pa.string())]
+    )
+    # empty corpus: map_batches skips the UDF on empty blocks, so the
+    # stale (v, u, r) schema would survive into the union (the
+    # divergent-schema poison groupby_partition's docstring warns about)
+    if samples.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
 
     h1 = samples.filter(expr=f"r <= {k1}")
     s2 = samples.filter(expr=f"r <= {k2}")
@@ -261,6 +270,15 @@ def feature_propagation_ds(
     h1 = groupby_partition(
         edges, "v", hop1, batch_format="pandas", schema=h1_schema
     ).materialize()
+    # empty corpus: short-circuit with the OUTPUT schema (the divide
+    # map_batches would be skipped on empty blocks, leaking h2's schema)
+    if h1.count() == 0:
+        return ray.data.from_arrow(
+            pa.schema(
+                [("node", pa.string()), ("n_paths", pa.int64())]
+                + [(f"f{j + 1}", pa.float64()) for j in range(dims)]
+            ).empty_table()
+        )
 
     # hop 2: tagged union keyed on the neighbor u — edge rows carry the
     # aggregation target v, h1 rows carry the neighbor's partial sums.

@@ -123,3 +123,26 @@ def test_partitioned_file_path_segments(tmp_path):
     mon = docs[docs["doc_id"].str.startswith("monster")]
     assert set(mon["doc_id"]) == {"monster", "monster#1", "monster#2"}
     assert mon["n_turns"].max() <= 4096
+
+
+def test_seg_collision_guard():
+    """conv_ids ending in '#<digits>' collide with segment naming — the
+    tag pass must raise loudly instead of silently merging documents."""
+    import pytest
+
+    rows = [{"conv_id": "c", "turn_idx": i, "text": f"t{i}"} for i in range(5)]
+    rows += [{"conv_id": "c#1", "turn_idx": 0, "text": "other"}]
+    table = pa.table({
+        "conv_id": [r["conv_id"] for r in rows],
+        "turn_idx": pa.array([r["turn_idx"] for r in rows], pa.int32()),
+        "text": [r["text"] for r in rows],
+    })
+    with pytest.raises(Exception, match="GRAFT_SEG_SEP|collides"):
+        assembly.assemble(
+            ray.data.from_arrow(table), max_turns_per_doc=2
+        ).to_pandas()
+    # cap disabled: same input assembles fine (no segment naming at all)
+    out = assembly.assemble(
+        ray.data.from_arrow(table), max_turns_per_doc=0
+    ).to_pandas()
+    assert set(out["doc_id"]) == {"c", "c#1"}

@@ -396,3 +396,22 @@ def test_upsert_shared_fs_guard(tmp_path):
     with open(marker, "w") as f:
         f.write("tok-a")
     kgstore._verify_shared_marker(marker, "tok-a")
+
+
+def test_upsert_base_incomplete_raises(trip, tmp_path):
+    """A base bucket file missing from the driver's view (node-local base
+    build) must abort the upsert — the zone manifest is the witness."""
+    df, _ = trip
+    out_dir = str(tmp_path / "incomplete")
+    kgstore.sorted_index(
+        ray.data.from_pandas(df.iloc[:200]).repartition(2), out_dir
+    )
+    victims = [
+        f for f in os.listdir(os.path.join(out_dir, "spo"))
+        if f.endswith(".parquet")
+    ]
+    os.remove(os.path.join(out_dir, "spo", victims[0]))
+    with pytest.raises(RuntimeError, match="incomplete"):
+        kgstore.upsert_index(
+            ray.data.from_pandas(df.iloc[200:260]).repartition(1), out_dir
+        )
