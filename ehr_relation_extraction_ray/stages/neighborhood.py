@@ -378,18 +378,27 @@ def feature_propagation(
     return out.sort_values("node").reset_index(drop=True)
 
 
+ENTITY_SUMMARY_BROADCAST_LIMIT = 2_000_000
+
+
 def entity_summary_ds(
-    triples: "ray.data.Dataset", k: int = 5
+    triples: "ray.data.Dataset", k: int = 5,
+    broadcast_limit: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Dataset-out top-k rarest facts per entity
     (:func:`entity_summary` = ``.to_pandas()`` + sort of this).
 
     Fact frequency = number of DISTINCT subjects holding the same
     (pred, obj); rarer facts are more informative (IDF heuristic).
-    Frequencies come from per-block distinct partials merged on the
-    driver (attribute-vocabulary x blocks — dimension-bounded), are
-    broadcast once via ``ray.put``, and ONE subject-keyed partition pass
-    ranks each entity's distinct facts by (freq, pred, obj) keeping k.
+    SIZE-SWITCHED like dedupe.verify_jaccard: when the distinct fact
+    table is small (<= ``broadcast_limit`` rows, the closed-ontology
+    case) frequencies come from per-block partials merged on the driver
+    and ``ray.put`` once; above the limit (open KB — the fact vocabulary
+    is corpus-shaped, a driver merge/broadcast would not fit) the whole
+    computation stays keyed: one (pred, obj) exchange sums the
+    frequencies, one (pred, obj) co-group attaches them to the facts,
+    and the final subject-keyed pass ranks — zero driver state. Both
+    paths are pinned equal by tests.
     """
     proj = triples.select_columns(["subj", "pred", "obj"])
 
@@ -413,41 +422,20 @@ def entity_summary_ds(
     distinct_facts = groupby_partition(
         proj, "subj", subj_dedup, batch_format="pandas", schema=dd_schema
     ).materialize()
-    partial_schema = pa.schema(
-        [("pred", pa.string()), ("obj", pa.string()), ("n", pa.int64())]
-    )
-    parts = distinct_facts.map_batches(
-        fact_partial, batch_format="pandas", batch_size=None
-    ).to_pandas()
     empty_schema = pa.schema(
         [("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
          ("fact_freq", pa.int64()), ("rk", pa.int64())]
     )
-    if parts.empty:
+    out_schema = empty_schema
+    n_facts = distinct_facts.count()
+    if n_facts == 0:
         return ray.data.from_arrow(empty_schema.empty_table())
-    del partial_schema
-    freq = parts.groupby(["pred", "obj"], as_index=False)["n"].sum()
-    freq_ref = ray.put(
-        dict(zip(zip(freq["pred"], freq["obj"]), freq["n"].astype(int)))
-    )
-    out_schema = pa.schema(
-        [("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
-         ("fact_freq", pa.int64()), ("rk", pa.int64())]
+    limit = (
+        ENTITY_SUMMARY_BROADCAST_LIMIT
+        if broadcast_limit is None else broadcast_limit
     )
 
-    def topk(part: pd.DataFrame) -> pd.DataFrame:
-        fr = ray.get(freq_ref)
-        df = part.drop_duplicates().copy()
-        if df.empty:
-            return pd.DataFrame(
-                {"subj": pd.Series([], dtype=str),
-                 "pred": pd.Series([], dtype=str),
-                 "obj": pd.Series([], dtype=str),
-                 "fact_freq": pd.Series([], dtype="int64"),
-                 "rk": pd.Series([], dtype="int64")})
-        df["fact_freq"] = [
-            fr[(p, o)] for p, o in zip(df["pred"], df["obj"])
-        ]
+    def _rank(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(
             ["subj", "fact_freq", "pred", "obj"], kind="stable"
         )
@@ -457,8 +445,108 @@ def entity_summary_ds(
             df[c] = df[c].astype("int64")
         return df[["subj", "pred", "obj", "fact_freq", "rk"]]
 
+    if n_facts <= limit:
+        # broadcast path: driver merge is fact-vocabulary-bounded here
+        parts = distinct_facts.map_batches(
+            fact_partial, batch_format="pandas", batch_size=None
+        ).to_pandas()
+        freq = parts.groupby(["pred", "obj"], as_index=False)["n"].sum()
+        freq_ref = ray.put(
+            dict(zip(zip(freq["pred"], freq["obj"]), freq["n"].astype(int)))
+        )
+
+        def topk(part: pd.DataFrame) -> pd.DataFrame:
+            fr = ray.get(freq_ref)
+            df = part.drop_duplicates().copy()
+            if df.empty:
+                return pd.DataFrame(
+                    {"subj": pd.Series([], dtype=str),
+                     "pred": pd.Series([], dtype=str),
+                     "obj": pd.Series([], dtype=str),
+                     "fact_freq": pd.Series([], dtype="int64"),
+                     "rk": pd.Series([], dtype="int64")})
+            df["fact_freq"] = [
+                fr[(p, o)] for p, o in zip(df["pred"], df["obj"])
+            ]
+            return _rank(df)
+
+        return groupby_partition(
+            distinct_facts, "subj", topk,
+            batch_format="pandas", schema=out_schema,
+        )
+
+    # co-group path: frequencies and their attachment both stay keyed by
+    # (pred, obj); no driver state at any size
+    freq_schema = pa.schema(
+        [("pred", pa.string()), ("obj", pa.string()), ("n", pa.int64())]
+    )
+    freq_ds = groupby_partition(
+        distinct_facts.map_batches(fact_partial, batch_format="pandas"),
+        ["pred", "obj"],
+        lambda df: df.groupby(["pred", "obj"], as_index=False)["n"]
+        .sum().astype({"n": "int64"}),
+        batch_format="pandas", schema=freq_schema,
+    )
+    tag_schema = pa.schema(
+        [("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
+         ("n", pa.int64()), ("fkind", pa.int8())]
+    )
+
+    def tag_fact(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["subj", "pred", "obj"]].copy()
+        out["n"] = np.int64(0)
+        out["fkind"] = np.int8(0)
+        return out
+
+    def tag_freq(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"subj": "", "pred": df["pred"].astype(str),
+             "obj": df["obj"].astype(str),
+             "n": df["n"].astype("int64").to_numpy()})
+        out["fkind"] = np.int8(1)
+        return out[["subj", "pred", "obj", "n", "fkind"]]
+
+    tagged = distinct_facts.map_batches(
+        tag_fact, batch_format="pandas"
+    ).union(freq_ds.map_batches(tag_freq, batch_format="pandas"))
+    attach_schema = pa.schema(
+        [("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
+         ("fact_freq", pa.int64())]
+    )
+
+    def attach(part: pd.DataFrame) -> pd.DataFrame:
+        fa = part[part["fkind"] == 0]
+        fr = part[part["fkind"] == 1]
+        if fa.empty or fr.empty:
+            return pd.DataFrame(
+                {"subj": pd.Series([], dtype=str),
+                 "pred": pd.Series([], dtype=str),
+                 "obj": pd.Series([], dtype=str),
+                 "fact_freq": pd.Series([], dtype="int64")})
+        j = fa[["subj", "pred", "obj"]].merge(
+            fr[["pred", "obj", "n"]], on=["pred", "obj"], how="inner"
+        ).rename(columns={"n": "fact_freq"})
+        j["fact_freq"] = j["fact_freq"].astype("int64")
+        return j
+
+    attached = groupby_partition(
+        tagged, ["pred", "obj"], attach,
+        batch_format="pandas", schema=attach_schema,
+    )
+
+    def topk_cg(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return pd.DataFrame(
+                {"subj": pd.Series([], dtype=str),
+                 "pred": pd.Series([], dtype=str),
+                 "obj": pd.Series([], dtype=str),
+                 "fact_freq": pd.Series([], dtype="int64"),
+                 "rk": pd.Series([], dtype="int64")})
+        return _rank(part.drop_duplicates().copy())
+
     return groupby_partition(
-        distinct_facts, "subj", topk, batch_format="pandas", schema=out_schema
+        attached, "subj", topk_cg,
+        batch_format="pandas", schema=out_schema,
     )
 
 

@@ -415,3 +415,16 @@ def test_upsert_base_incomplete_raises(trip, tmp_path):
         kgstore.upsert_index(
             ray.data.from_pandas(df.iloc[200:260]).repartition(1), out_dir
         )
+
+
+def test_entity_summary_cogroup_path_equals_broadcast(trip):
+    """Above the broadcast limit the (pred, obj)-keyed co-group path must
+    produce exactly what the broadcast path produces."""
+    df, ds = trip
+    want = nb.entity_summary(ds)
+    got = (
+        nb.entity_summary_ds(ds, broadcast_limit=0).to_pandas()
+        .sort_values(["subj", "rk"]).reset_index(drop=True)
+        .astype({"fact_freq": "int64", "rk": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, want)
