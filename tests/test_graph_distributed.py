@@ -260,3 +260,40 @@ def test_random_walks_distributed_open_graph(ray_session):
         .sort_values(["start", "walk_idx"]).head(50).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(sample.reset_index(drop=True), want)
+
+
+def test_random_walks_distributed_split_partition_repair(ray_session):
+    """Force Ray's dynamic block splitting to break one hash partition
+    across pinned blocks (tiny target_max_block_size): the union-find
+    repair must merge the pieces so walkers never see a partial
+    neighbor list — output stays identical to the broadcast spec."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 4 * 1024  # ~4 KB: guarantees splits
+        rng = np.random.default_rng(3)
+        pairs = pd.DataFrame(
+            {"ent_a": [f"node_{x:05d}" for x in rng.integers(0, 400, 3000)],
+             "ent_b": [f"node_{x:05d}" for x in rng.integers(0, 400, 3000)]}
+        )
+        pairs = pairs[pairs["ent_a"] != pairs["ent_b"]].drop_duplicates()
+        got = (
+            graph.random_walks_distributed(
+                ray.data.from_pandas(
+                    pairs.reset_index(drop=True), override_num_blocks=4
+                ),
+                walk_len=3, walks_per_node=1, num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["start", "walk_idx"]).reset_index(drop=True)
+        )
+    finally:
+        ctx.target_max_block_size = old
+    want = (
+        graph.random_walks(pairs, walk_len=3, walks_per_node=1)
+        .to_pandas()
+        .sort_values(["start", "walk_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
