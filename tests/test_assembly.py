@@ -146,3 +146,40 @@ def test_seg_collision_guard():
         ray.data.from_arrow(table), max_turns_per_doc=0
     ).to_pandas()
     assert set(out["doc_id"]) == {"c", "c#1"}
+
+
+def test_segmentation_reconcat_property():
+    """Property (pure, no Ray): for any turn count and cap, the
+    '\\n\\n'-join of a conversation's segment texts in segment order
+    equals the unsegmented text, per-segment turns never exceed the cap,
+    and segment 0 keeps the bare conv_id."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    for trial in range(25):
+        n_turns = int(rng.integers(1, 60))
+        cap = int(rng.integers(1, 12))
+        texts = [
+            "".join(rng.choice(list("abc \n"), size=rng.integers(0, 8)))
+            for _ in range(n_turns)
+        ]
+        idx = np.arange(n_turns, dtype=np.int32)
+        seg = (idx // cap).astype(np.int64)
+        part = pa.table({
+            "conv_id": pa.array(["c"] * n_turns),
+            "turn_idx": pa.array(idx, pa.int32()),
+            "text": pa.array(texts),
+            "_seg": pa.array(seg, pa.int64()),
+        })
+        out = assembly.assemble_partition(part).to_pandas()
+        plain = assembly.assemble_partition(
+            part.drop_columns(["_seg"])
+        ).to_pandas()
+        assert out["n_turns"].max() <= cap
+        first = out[out["doc_id"] == "c"]
+        assert len(first) == 1, "segment 0 must keep the bare conv_id"
+        out = out.assign(
+            s=out["doc_id"].map(
+                lambda d: 0 if "#" not in d else int(d.split("#")[1]))
+        ).sort_values("s")
+        assert "\n\n".join(out["text"]) == plain["text"].iloc[0]
