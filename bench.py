@@ -131,6 +131,10 @@ def _run_bench() -> dict:
             "kg_transe_eval": lambda: q.kg_transe_eval(sf_dir),
             "kg_distant_supervision": lambda: q.kg_distant_supervision(sf_dir),
             "docs_dsir_select": lambda: q.docs_dsir_select(sf_dir),
+            # round-4 distributed variants: frontier-walks over pinned
+            # adjacency blocks and the subj-keyed pred-pair partial pass
+            "kg_random_walks": lambda: q.kg_random_walks(sf_dir),
+            "kg_pred_cooccurrence": lambda: q.kg_pred_cooccurrence(sf_dir),
         }.items():
             # three timed runs, report the min (this VM shows intermittent
             # multi-second host-noise stalls; raw runs kept for honesty)
