@@ -22,8 +22,10 @@ bucket boundaries ``seg = turn_idx // cap``: the salt is part of the
 sort key, so each segment is its own group/task/row. Naming is local
 and deterministic — segment 0 keeps ``doc_id = conv_id`` (under-cap
 conversations are BIT-IDENTICAL to the unsegmented output), segment
-b > 0 becomes ``conv_id + "#" + b`` — and the suffix itself is the
-recoverable lineage; optionally each task also writes
+b > 0 becomes ``conv_id + SEG_SEP + b`` (SEG_SEP defaults to the
+unit-separator control char so real ids cannot collide; override via
+GRAFT_SEG_SEP / seg_sep for readable suffixes) — and the suffix itself
+is the recoverable lineage; optionally each task also writes
 (conv_id, seg, doc_id, n_turns) records for oversized conversations to
 a ``lineage_dir`` side output (one shard per task, quarantine pattern).
 """
@@ -45,35 +47,40 @@ from ..schemas import DOCUMENTS
 TURN_SEP = "\n\n"
 
 # turn-count cap per assembled document row; conversations longer than
-# this are segmented into `conv_id#<seg>` sub-documents.
+# this are segmented into `conv_id + SEG_SEP + <seg>` sub-documents.
 # PRECONDITION (input_hint contract, produced by synth and any sane log
 # writer): turn_idx is 0-based per conversation, so value buckets equal
 # ordinal-rank buckets and every under-cap conversation sits wholly in
 # segment 0 (doc_id = conv_id, bit-identical output). A corpus with
 # offset turn indices must renumber first or set the cap to 0.
 MAX_TURNS_PER_DOC = int(os.environ.get("GRAFT_MAX_TURNS_PER_DOC", "4096"))
-# separator for segment suffixes; overridable when conversation ids may
-# legitimately end in `#<digits>` (the tag pass guards against that
-# collision loudly instead of silently merging two documents)
-SEG_SEP = os.environ.get("GRAFT_SEG_SEP", "#")
+# separator for segment suffixes. Default is the UNIT SEPARATOR control
+# char (the repo-wide "never occurs in real ids" separator — see
+# neighborhood._SEP, kgstore._SEP), so corpora whose conversation ids
+# legitimately end in '#<digits>' etc. assemble untouched; override via
+# GRAFT_SEG_SEP / the seg_sep parameter for human-readable suffixes.
+# The tag pass still guards loudly against the (now pathological) case
+# of an id that ends with the ACTIVE separator + digits.
+SEG_SEP = os.environ.get("GRAFT_SEG_SEP", "\x1f")
 
 
-def _guard_seg_collision(conv_col) -> None:
+def _guard_seg_collision(conv_col, seg_sep: str) -> None:
     """Raise if any conv_id already ends with the segment suffix pattern
     — segment b of conversation X would otherwise collide with a REAL
-    conversation named ``X<sep>b`` and silently merge two documents."""
+    conversation named ``X<sep>b`` and silently merge two documents.
+    With the default unit-separator sep this never fires on real ids."""
     import re
 
     import pyarrow.compute as _pc
 
-    pat = re.escape(SEG_SEP) + r"[0-9]+$"
+    pat = re.escape(seg_sep) + r"[0-9]+$"
     hit = _pc.any(_pc.match_substring_regex(conv_col, pat)).as_py()
     if hit:
         raise ValueError(
             "assembly segmentation: a conv_id ends with "
-            f"'{SEG_SEP}<digits>', which collides with segment naming. "
-            "Set GRAFT_SEG_SEP to a separator that cannot appear in "
-            "your ids (e.g. '\\x1f') or disable the cap "
+            f"{seg_sep!r}<digits>, which collides with segment naming. "
+            "Set GRAFT_SEG_SEP / seg_sep to a separator that cannot "
+            "appear in your ids (default '\\x1f') or disable the cap "
             "(max_turns_per_doc=0)."
         )
 
@@ -149,7 +156,8 @@ def assemble_group(group: pa.Table, doc_id: Optional[str] = None) -> pa.Table:
 
 
 def assemble_partition(
-    part: pa.Table, lineage_dir: Optional[str] = None
+    part: pa.Table, lineage_dir: Optional[str] = None,
+    seg_sep: Optional[str] = None,
 ) -> pa.Table:
     """All conversations of one hash partition -> document rows.
 
@@ -160,7 +168,9 @@ def assemble_partition(
 
     If a ``_seg`` column is present (added by :func:`assemble` when a
     turn cap is active), the run key is (conv_id, _seg) and segment
-    b > 0 emits ``conv_id#b`` sub-documents (see module docstring)."""
+    b > 0 emits ``conv_id + seg_sep + b`` sub-documents (see module
+    docstring)."""
+    sep = SEG_SEP if seg_sep is None else seg_sep
     if part.num_rows == 0:
         return pa.Table.from_arrays(
             [pa.array([], f.type) for f in DOCUMENTS], schema=DOCUMENTS
@@ -196,7 +206,7 @@ def assemble_partition(
         if j - i > 1:
             offs[1:] = np.cumsum(lens[:-1] + len(TURN_SEP))
         seg = segs[i] if segs is not None else 0
-        did = conv[i] if not seg else f"{conv[i]}{SEG_SEP}{seg}"
+        did = conv[i] if not seg else f"{conv[i]}{sep}{seg}"
         if seg:
             lineage_rows.append(
                 {"conv_id": conv[i], "seg": int(seg), "doc_id": did,
@@ -222,6 +232,7 @@ def assemble(
     transcripts: "ray.data.Dataset",
     max_turns_per_doc: Optional[int] = None,
     lineage_dir: Optional[str] = None,
+    seg_sep: Optional[str] = None,
 ) -> "ray.data.Dataset":
     """transcripts Dataset -> documents Dataset (DOCUMENTS schema).
 
@@ -243,9 +254,10 @@ def assemble(
     ``doc_id = conv_id`` — all under-cap conversations produce
     bit-identical output. Pass ``max_turns_per_doc=0`` to disable."""
     cap = MAX_TURNS_PER_DOC if max_turns_per_doc is None else max_turns_per_doc
+    sep = SEG_SEP if seg_sep is None else seg_sep
     if cap and cap > 0:
         def tag(t: pa.Table) -> pa.Table:
-            _guard_seg_collision(t["conv_id"])
+            _guard_seg_collision(t["conv_id"], sep)
             seg = (
                 np.asarray(t["turn_idx"].combine_chunks()).astype(np.int64)
                 // cap
@@ -253,7 +265,7 @@ def assemble(
             return t.append_column("_seg", pa.array(seg, pa.int64()))
 
         def run(t: pa.Table) -> pa.Table:
-            return assemble_partition(t, lineage_dir=lineage_dir)
+            return assemble_partition(t, lineage_dir=lineage_dir, seg_sep=sep)
 
         return (
             transcripts.map_batches(tag, batch_format="pyarrow")
@@ -314,6 +326,7 @@ def _assemble_file_batch(
     batch: pa.Table,
     columns=("conv_id", "turn_idx", "text"),
     max_turns_per_doc: Optional[int] = None,
+    seg_sep: Optional[str] = None,
 ) -> pa.Table:
     """One batch of file paths -> assembled documents for every conversation
     in those files (shuffle-free assembly for conv-partitioned input).
@@ -323,6 +336,7 @@ def _assemble_file_batch(
     import pyarrow.parquet as pq
 
     cap = MAX_TURNS_PER_DOC if max_turns_per_doc is None else max_turns_per_doc
+    sep = SEG_SEP if seg_sep is None else seg_sep
     out = []
     for path in batch["path"].to_pylist():
         # use_threads=False: each concurrent Ray task would otherwise spin
@@ -333,7 +347,7 @@ def _assemble_file_batch(
         if len(conv) == 0:
             continue
         if cap and cap > 0:
-            _guard_seg_collision(t["conv_id"])
+            _guard_seg_collision(t["conv_id"], sep)
         # run boundaries of the sorted (conv, seg) columns
         if cap and cap > 0:
             seg = (
@@ -349,7 +363,7 @@ def _assemble_file_batch(
         for lo, hi in zip(bounds[:-1], bounds[1:]):
             did = (
                 conv[lo] if not seg[lo]
-                else f"{conv[lo]}{SEG_SEP}{seg[lo]}"
+                else f"{conv[lo]}{sep}{seg[lo]}"
             )
             out.append(assemble_group(t.slice(lo, hi - lo), doc_id=did))
     if not out:
@@ -380,6 +394,13 @@ def assemble_partitioned(path_dir: str) -> "ray.data.Dataset":
     files = ray.data.from_items(
         [{"path": p} for p in paths], override_num_blocks=max(len(paths), 1)
     )
+    # capture cap/sep BY VALUE at the driver so workers honor the
+    # driver's env/config even if their own env differs
+    cap = MAX_TURNS_PER_DOC
+    sep = SEG_SEP
     return files.map_batches(
-        _assemble_file_batch, batch_format="pyarrow", batch_size=1
+        lambda b: _assemble_file_batch(
+            b, max_turns_per_doc=cap, seg_sep=sep
+        ),
+        batch_format="pyarrow", batch_size=1,
     )

@@ -101,11 +101,32 @@ ZONES_FILE = "_ZONES.parquet"
 def _write_zones(out_dir: str, zones: pd.DataFrame) -> None:
     """Persist the zone map next to the buckets: the build-time manifest
     that upsert uses to verify the base index is COMPLETE from where it
-    runs (node-local base buckets would otherwise be silently missing)."""
-    pq.write_table(
-        pa.Table.from_pandas(zones, preserve_index=False),
-        os.path.join(out_dir, ZONES_FILE),
-    )
+    runs (node-local base buckets would otherwise be silently missing).
+
+    MERGES with any existing manifest: a run over a SUBSET of orders
+    (e.g. upsert of spo only) must not delete the other orders' rows —
+    that would disable the completeness defense for exactly the buckets
+    it protects. Rows for the orders in ``zones`` are replaced; all
+    other orders' rows are preserved. The write is ATOMIC (temp file +
+    os.replace) so a crash mid-write cannot leave a corrupt manifest
+    that wedges every future upsert."""
+    zpath = os.path.join(out_dir, ZONES_FILE)
+    if os.path.exists(zpath):
+        try:
+            old = pq.read_table(zpath, use_threads=False).to_pandas()
+        except Exception:  # noqa: BLE001 - corrupt manifest: rebuild ours
+            old = None
+        if old is not None and len(old):
+            keep = old[~old["idx_order"].isin(set(zones["idx_order"]))]
+            if len(keep):
+                zones = (
+                    pd.concat([keep, zones], ignore_index=True)
+                    .sort_values(["idx_order", "bucket"])
+                    .reset_index(drop=True)
+                )
+    tmp = zpath + ".tmp"
+    pq.write_table(pa.Table.from_pandas(zones, preserve_index=False), tmp)
+    os.replace(tmp, zpath)
 
 
 def _verify_base_complete(out_dir: str, orders: tuple) -> None:
@@ -117,7 +138,14 @@ def _verify_base_complete(out_dir: str, orders: tuple) -> None:
     zpath = os.path.join(out_dir, ZONES_FILE)
     if not os.path.exists(zpath):
         return  # pre-manifest index (older build); marker check still runs
-    zones = pq.read_table(zpath, use_threads=False).to_pandas()
+    try:
+        zones = pq.read_table(zpath, use_threads=False).to_pandas()
+    except Exception as exc:  # noqa: BLE001 - foreign/corrupt manifest
+        raise RuntimeError(
+            f"kgstore.upsert_index: zone manifest {zpath} is unreadable "
+            f"({exc}). Rebuild the index (sorted_index) or delete the "
+            "manifest if the bucket files are known-good."
+        ) from exc
     missing = []
     for order in orders:
         want = set(zones.loc[zones["idx_order"] == order, "bucket"])

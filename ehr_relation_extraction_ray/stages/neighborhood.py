@@ -391,14 +391,19 @@ def entity_summary_ds(
     Fact frequency = number of DISTINCT subjects holding the same
     (pred, obj); rarer facts are more informative (IDF heuristic).
     SIZE-SWITCHED like dedupe.verify_jaccard: when the distinct fact
-    table is small (<= ``broadcast_limit`` rows, the closed-ontology
-    case) frequencies come from per-block partials merged on the driver
-    and ``ray.put`` once; above the limit (open KB — the fact vocabulary
-    is corpus-shaped, a driver merge/broadcast would not fit) the whole
-    computation stays keyed: one (pred, obj) exchange sums the
-    frequencies, one (pred, obj) co-group attaches them to the facts,
-    and the final subject-keyed pass ranks — zero driver state. Both
-    paths are pinned equal by tests.
+    table is small (<= ``broadcast_limit`` rows) frequencies come from
+    per-block partials merged on the driver and ``ray.put`` once; above
+    the limit the whole computation stays keyed: one (pred, obj)
+    exchange sums the frequencies, one SALTED (pred, obj, subj-hash)
+    co-group attaches them to the facts (hot facts spread over the salt
+    shards instead of funnelling one partition), and the final
+    subject-keyed pass ranks — zero driver state. The switch compares
+    the distinct (subj, pred, obj) ROW count, deliberately a safe upper
+    bound of the (pred, obj) vocabulary: rows <= limit PROVES the
+    broadcast dict fits, and any corpus it misroutes to the co-group
+    path is still handled exactly (just without the broadcast
+    shortcut) because the salted attach has no skew funnel. Both paths
+    are pinned equal by tests.
     """
     proj = triples.select_columns(["subj", "pred", "obj"])
 
@@ -475,8 +480,14 @@ def entity_summary_ds(
             batch_format="pandas", schema=out_schema,
         )
 
-    # co-group path: frequencies and their attachment both stay keyed by
-    # (pred, obj); no driver state at any size
+    # co-group path: frequencies and their attachment both stay keyed;
+    # no driver state at any size. The frequency pass is SEPARATE from
+    # the attach (not a transform('size') inside one (pred, obj)
+    # partition) precisely so the attach can be SALTED: fact rows key on
+    # (pred, obj, hash(subj) % salts) and the vocabulary-sized freq rows
+    # replicate to every salt — a hot fact held by millions of subjects
+    # spreads over ``salts`` partitions instead of funnelling one.
+    n_salts = 16
     freq_schema = pa.schema(
         [("pred", pa.string()), ("obj", pa.string()), ("n", pa.int64())]
     )
@@ -489,22 +500,32 @@ def entity_summary_ds(
     )
     tag_schema = pa.schema(
         [("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
-         ("n", pa.int64()), ("fkind", pa.int8())]
+         ("n", pa.int64()), ("salt", pa.int32()), ("fkind", pa.int8())]
     )
+    del tag_schema
 
     def tag_fact(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.textstats import content_hash_64
+
         out = df[["subj", "pred", "obj"]].copy()
         out["n"] = np.int64(0)
+        h = content_hash_64([str(x) for x in out["subj"]])
+        out["salt"] = (h % np.uint64(n_salts)).astype(np.int32)
         out["fkind"] = np.int8(0)
         return out
 
     def tag_freq(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
+        base = pd.DataFrame(
             {"subj": "", "pred": df["pred"].astype(str),
              "obj": df["obj"].astype(str),
              "n": df["n"].astype("int64").to_numpy()})
-        out["fkind"] = np.int8(1)
-        return out[["subj", "pred", "obj", "n", "fkind"]]
+        # replicate each vocab-sized freq row to every salt shard
+        rep = base.loc[base.index.repeat(n_salts)].reset_index(drop=True)
+        rep["salt"] = np.tile(
+            np.arange(n_salts, dtype=np.int32), len(base)
+        )
+        rep["fkind"] = np.int8(1)
+        return rep[["subj", "pred", "obj", "n", "salt", "fkind"]]
 
     tagged = distinct_facts.map_batches(
         tag_fact, batch_format="pandas"
@@ -516,7 +537,7 @@ def entity_summary_ds(
 
     def attach(part: pd.DataFrame) -> pd.DataFrame:
         fa = part[part["fkind"] == 0]
-        fr = part[part["fkind"] == 1]
+        fr = part[part["fkind"] == 1].drop_duplicates(["pred", "obj"])
         if fa.empty or fr.empty:
             return pd.DataFrame(
                 {"subj": pd.Series([], dtype=str),
@@ -530,7 +551,7 @@ def entity_summary_ds(
         return j
 
     attached = groupby_partition(
-        tagged, ["pred", "obj"], attach,
+        tagged, ["pred", "obj", "salt"], attach,
         batch_format="pandas", schema=attach_schema,
     )
 

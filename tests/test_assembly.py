@@ -69,6 +69,7 @@ def test_monster_conversation_segments(tmp_path):
         ray.data.from_arrow(table).repartition(8),
         max_turns_per_doc=4096,
         lineage_dir=lineage_dir,
+        seg_sep="#",
     ).to_pandas()
 
     mon = docs[docs["doc_id"].str.startswith("monster")]
@@ -119,6 +120,7 @@ def test_partitioned_file_path_segments(tmp_path):
     docs = assembly._assemble_file_batch(
         pa.table({"path": [str(d / "part-0.parquet")]}),
         max_turns_per_doc=4096,
+        seg_sep="#",
     ).to_pandas()
     mon = docs[docs["doc_id"].str.startswith("monster")]
     assert set(mon["doc_id"]) == {"monster", "monster#1", "monster#2"}
@@ -126,8 +128,10 @@ def test_partitioned_file_path_segments(tmp_path):
 
 
 def test_seg_collision_guard():
-    """conv_ids ending in '#<digits>' collide with segment naming — the
-    tag pass must raise loudly instead of silently merging documents."""
+    """With the default unit-separator, corpora whose ids end in
+    '#<digits>' assemble untouched even with the cap active; only an id
+    ending with the ACTIVE separator + digits raises (loud abort
+    instead of silently merging two documents)."""
     import pytest
 
     rows = [{"conv_id": "c", "turn_idx": i, "text": f"t{i}"} for i in range(5)]
@@ -137,15 +141,23 @@ def test_seg_collision_guard():
         "turn_idx": pa.array([r["turn_idx"] for r in rows], pa.int32()),
         "text": [r["text"] for r in rows],
     })
+    # default sep (unit separator): '#'-suffixed ids are NOT a collision;
+    # the oversized 'c' segments with '\x1f' suffixes, 'c#1' untouched
+    out = assembly.assemble(
+        ray.data.from_arrow(table), max_turns_per_doc=2
+    ).to_pandas()
+    assert "c#1" in set(out["doc_id"])
+    assert {"c", "c\x1f1", "c\x1f2"} <= set(out["doc_id"])
+    # explicitly choosing '#' as the separator with such ids raises
     with pytest.raises(Exception, match="GRAFT_SEG_SEP|collides"):
         assembly.assemble(
-            ray.data.from_arrow(table), max_turns_per_doc=2
+            ray.data.from_arrow(table), max_turns_per_doc=2, seg_sep="#"
         ).to_pandas()
-    # cap disabled: same input assembles fine (no segment naming at all)
-    out = assembly.assemble(
+    # cap disabled: no segment naming at all
+    out0 = assembly.assemble(
         ray.data.from_arrow(table), max_turns_per_doc=0
     ).to_pandas()
-    assert set(out["doc_id"]) == {"c", "c#1"}
+    assert set(out0["doc_id"]) == {"c", "c#1"}
 
 
 def test_segmentation_reconcat_property():
@@ -178,8 +190,37 @@ def test_segmentation_reconcat_property():
         assert out["n_turns"].max() <= cap
         first = out[out["doc_id"] == "c"]
         assert len(first) == 1, "segment 0 must keep the bare conv_id"
+        n_segs = -(-n_turns // cap)
+        assert len(out) == n_segs
+        sep = assembly.SEG_SEP
         out = out.assign(
             s=out["doc_id"].map(
-                lambda d: 0 if "#" not in d else int(d.split("#")[1]))
+                lambda d: 0 if sep not in d else int(d.split(sep)[1]))
         ).sort_values("s")
         assert "\n\n".join(out["text"]) == plain["text"].iloc[0]
+
+
+def test_read_seg_lineage_dedups_retry_shards(tmp_path):
+    """A retried task writes a second identical shard; the reader must
+    restore exactly-once by the (conv_id, seg) natural key, with the
+    documented column order."""
+    d = str(tmp_path / "lin")
+    rows = [
+        {"conv_id": "m", "seg": 1, "doc_id": f"m{assembly.SEG_SEP}1",
+         "n_turns": 4096},
+        {"conv_id": "m", "seg": 2, "doc_id": f"m{assembly.SEG_SEP}2",
+         "n_turns": 17},
+    ]
+    assembly._flush_seg_lineage(rows, d)
+    assembly._flush_seg_lineage(rows, d)  # simulated task retry
+    assembly._flush_seg_lineage(rows[:1], d)  # partial re-execution
+    got = assembly.read_seg_lineage(d).to_pandas().sort_values("seg")
+    assert list(got.columns) == ["conv_id", "seg", "doc_id", "n_turns"]
+    assert len(got) == 2
+    assert got["doc_id"].tolist() == [
+        f"m{assembly.SEG_SEP}1", f"m{assembly.SEG_SEP}2"
+    ]
+    assert got["n_turns"].tolist() == [4096, 17]
+    # empty dir: typed empty table
+    empty = assembly.read_seg_lineage(str(tmp_path / "nope"))
+    assert empty.schema.equals(assembly.SEG_LINEAGE)

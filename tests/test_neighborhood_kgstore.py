@@ -428,3 +428,34 @@ def test_entity_summary_cogroup_path_equals_broadcast(trip):
         .astype({"fact_freq": "int64", "rk": "int64"})
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_zone_manifest_survives_subset_order_upsert(trip, tmp_path):
+    """An upsert over a SUBSET of orders must not delete the other
+    orders' manifest rows — that would disable the base-completeness
+    defense for exactly the buckets it protects."""
+    import pyarrow.parquet as _pq
+
+    df, _ = trip
+    out_dir = str(tmp_path / "subset")
+    kgstore.sorted_index(
+        ray.data.from_pandas(df.iloc[:200]).repartition(2), out_dir,
+        orders=("spo", "osp"),
+    )
+    kgstore.upsert_index(
+        ray.data.from_pandas(df.iloc[200:260]).repartition(1), out_dir,
+        orders=("spo",),
+    )
+    man = _pq.read_table(
+        os.path.join(out_dir, kgstore.ZONES_FILE)
+    ).to_pandas()
+    assert set(man["idx_order"]) == {"spo", "osp"}
+    # osp base bucket goes missing -> the defense still fires
+    osp = [f for f in os.listdir(os.path.join(out_dir, "osp"))
+           if f.endswith(".parquet")]
+    os.remove(os.path.join(out_dir, "osp", osp[0]))
+    with pytest.raises(RuntimeError, match="incomplete"):
+        kgstore.upsert_index(
+            ray.data.from_pandas(df.iloc[260:300]).repartition(1), out_dir,
+            orders=("spo", "osp"),
+        )
