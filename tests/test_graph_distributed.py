@@ -297,3 +297,22 @@ def test_random_walks_distributed_split_partition_repair(ray_session):
         .sort_values(["start", "walk_idx"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_random_walks_distributed_single_partition(ray_session):
+    """num_partitions=1 exercises the single-block hop path."""
+    pairs = pd.DataFrame(
+        {"ent_a": ["a", "b", "c", "a"], "ent_b": ["b", "c", "a", "c"]}
+    )
+    want = (
+        graph.random_walks(pairs, walk_len=2, walks_per_node=2)
+        .to_pandas().sort_values(["start", "walk_idx"]).reset_index(drop=True)
+    )
+    got = (
+        graph.random_walks_distributed(
+            ray.data.from_pandas(pairs), walk_len=2, walks_per_node=2,
+            num_partitions=1,
+        )
+        .to_pandas().sort_values(["start", "walk_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
