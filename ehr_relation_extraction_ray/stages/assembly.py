@@ -23,7 +23,8 @@ sort key, so each segment is its own group/task/row. Naming is local
 and deterministic — segment 0 keeps ``doc_id = conv_id`` (under-cap
 conversations are BIT-IDENTICAL to the unsegmented output), segment
 b > 0 becomes ``conv_id + SEG_SEP + b`` (SEG_SEP defaults to the
-unit-separator control char so real ids cannot collide; override via
+record-separator control char \x1e so real ids cannot collide and no
+in-band \x1f parser ever splits inside a doc id; override via
 GRAFT_SEG_SEP / seg_sep for readable suffixes) — and the suffix itself
 is the recoverable lineage; optionally each task also writes
 (conv_id, seg, doc_id, n_turns) records for oversized conversations to
@@ -54,21 +55,25 @@ TURN_SEP = "\n\n"
 # segment 0 (doc_id = conv_id, bit-identical output). A corpus with
 # offset turn indices must renumber first or set the cap to 0.
 MAX_TURNS_PER_DOC = int(os.environ.get("GRAFT_MAX_TURNS_PER_DOC", "4096"))
-# separator for segment suffixes. Default is the UNIT SEPARATOR control
-# char (the repo-wide "never occurs in real ids" separator — see
-# neighborhood._SEP, kgstore._SEP), so corpora whose conversation ids
-# legitimately end in '#<digits>' etc. assemble untouched; override via
-# GRAFT_SEG_SEP / the seg_sep parameter for human-readable suffixes.
-# The tag pass still guards loudly against the (now pathological) case
-# of an id that ends with the ACTIVE separator + digits.
-SEG_SEP = os.environ.get("GRAFT_SEG_SEP", "\x1f")
+# separator for segment suffixes. Default is the RECORD SEPARATOR
+# control char \x1e: it cannot occur in real ids, and — crucially — it
+# is NOT \x1f, which several stages use as an IN-BAND delimiter over
+# doc ids (dedupe._PAIR_SEP joins doc_a + '\x1f' + doc_b and splits at
+# the FIRST \x1f; a doc id containing \x1f would silently corrupt the
+# parsed pair). Corpora whose conversation ids legitimately end in
+# '#<digits>' etc. assemble untouched; override via GRAFT_SEG_SEP / the
+# seg_sep parameter for human-readable suffixes. The tag pass still
+# guards loudly against an id that ends with the ACTIVE separator +
+# digits.
+SEG_SEP = os.environ.get("GRAFT_SEG_SEP", "\x1e")
 
 
 def _guard_seg_collision(conv_col, seg_sep: str) -> None:
     """Raise if any conv_id already ends with the segment suffix pattern
     — segment b of conversation X would otherwise collide with a REAL
     conversation named ``X<sep>b`` and silently merge two documents.
-    With the default unit-separator sep this never fires on real ids."""
+    With the default record-separator sep this never fires on real
+    ids."""
     import re
 
     import pyarrow.compute as _pc
@@ -80,7 +85,7 @@ def _guard_seg_collision(conv_col, seg_sep: str) -> None:
             "assembly segmentation: a conv_id ends with "
             f"{seg_sep!r}<digits>, which collides with segment naming. "
             "Set GRAFT_SEG_SEP / seg_sep to a separator that cannot "
-            "appear in your ids (default '\\x1f') or disable the cap "
+            "appear in your ids (default '\\x1e') or disable the cap "
             "(max_turns_per_doc=0)."
         )
 

@@ -107,15 +107,25 @@ def _write_zones(out_dir: str, zones: pd.DataFrame) -> None:
     (e.g. upsert of spo only) must not delete the other orders' rows —
     that would disable the completeness defense for exactly the buckets
     it protects. Rows for the orders in ``zones`` are replaced; all
-    other orders' rows are preserved. The write is ATOMIC (temp file +
-    os.replace) so a crash mid-write cannot leave a corrupt manifest
-    that wedges every future upsert."""
+    other orders' rows are preserved. The write is ATOMIC against
+    crashes (temp file + os.replace); CONCURRENT writers are NOT
+    supported — index maintenance is a single-writer-per-out_dir
+    protocol (two simultaneous upserts would lose each other's manifest
+    rows via read-modify-write), same as any file-based manifest.
+    An UNREADABLE existing manifest raises (mirroring
+    _verify_base_complete) instead of silently writing a subset-only
+    manifest that would disable the defense for the missing orders."""
     zpath = os.path.join(out_dir, ZONES_FILE)
     if os.path.exists(zpath):
         try:
             old = pq.read_table(zpath, use_threads=False).to_pandas()
-        except Exception:  # noqa: BLE001 - corrupt manifest: rebuild ours
-            old = None
+        except Exception as exc:  # noqa: BLE001 - corrupt manifest
+            raise RuntimeError(
+                f"kgstore: existing zone manifest {zpath} is unreadable "
+                f"({exc}); writing a replacement would silently drop the "
+                "other orders' completeness rows. Delete the manifest "
+                "explicitly if the bucket files are known-good."
+            ) from exc
         if old is not None and len(old):
             keep = old[~old["idx_order"].isin(set(zones["idx_order"]))]
             if len(keep):

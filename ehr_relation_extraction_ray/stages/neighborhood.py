@@ -498,18 +498,14 @@ def entity_summary_ds(
         .sum().astype({"n": "int64"}),
         batch_format="pandas", schema=freq_schema,
     )
-    tag_schema = pa.schema(
-        [("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
-         ("n", pa.int64()), ("salt", pa.int32()), ("fkind", pa.int8())]
-    )
-    del tag_schema
-
     def tag_fact(df: pd.DataFrame) -> pd.DataFrame:
         from ..functions.textstats import content_hash_64
 
         out = df[["subj", "pred", "obj"]].copy()
         out["n"] = np.int64(0)
-        h = content_hash_64([str(x) for x in out["subj"]])
+        # column is already string-typed: tolist() avoids a per-row
+        # str() round-trip (the partitioning.py _col_hash lesson)
+        h = content_hash_64(out["subj"].tolist())
         out["salt"] = (h % np.uint64(n_salts)).astype(np.int32)
         out["fkind"] = np.int8(0)
         return out

@@ -147,7 +147,7 @@ def test_seg_collision_guard():
         ray.data.from_arrow(table), max_turns_per_doc=2
     ).to_pandas()
     assert "c#1" in set(out["doc_id"])
-    assert {"c", "c\x1f1", "c\x1f2"} <= set(out["doc_id"])
+    assert {"c", "c\x1e1", "c\x1e2"} <= set(out["doc_id"])
     # explicitly choosing '#' as the separator with such ids raises
     with pytest.raises(Exception, match="GRAFT_SEG_SEP|collides"):
         assembly.assemble(
