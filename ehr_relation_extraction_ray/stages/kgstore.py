@@ -180,6 +180,16 @@ def _zone_from_footer(path: str, order: str, bucket: str) -> dict:
     Valid because the ``k`` column is written sorted (row-group stats of
     a sorted column give the exact global min/max)."""
     md = pq.read_metadata(path)
+    if md.num_rows == 0:
+        # zero-row bucket file (foreign tool, interrupted write): no key
+        # range exists to zone-map, and min()/max() below would raise a
+        # bare ValueError — name the file instead so the operator knows
+        # which shard to delete or rewrite.
+        raise RuntimeError(
+            f"kgstore: bucket file {path} ({order}/{bucket}) has zero "
+            "rows — likely an interrupted or foreign write. Delete the "
+            "file or rebuild the index (sorted_index)."
+        )
     kidx = md.schema.names.index("k")
     mins, maxs = [], []
     for rg in range(md.num_row_groups):

@@ -482,7 +482,7 @@ def pred_cooccurrence(
             partial, batch_format="pyarrow"
         ),
         ["subj"], emit, batch_format="pandas", schema=schema,
-        num_partitions=num_partitions, size_aware=True,
+        num_partitions=num_partitions,
     ).to_pandas()
     empty = pd.DataFrame(
         {"pred_a": pd.Series([], dtype=str),

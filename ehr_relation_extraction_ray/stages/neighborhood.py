@@ -50,6 +50,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..functions import rounds
 from ..functions.partitioning import groupby_partition
 
 # rank/feature separator: never occurs in canonical entity strings
@@ -138,7 +139,16 @@ def neighbor_sample_ds(
     if samples.count() == 0:
         return ray.data.from_arrow(out_schema.empty_table())
 
-    h1 = samples.filter(expr=f"r <= {k1}")
+    # Empty h1 blocks (k1=0, or any zero-row filtered block) skip every
+    # downstream UDF and keep the stale (v, u, r) schema — the
+    # divergent-schema poison that breaks both unions below (ADVICE r4).
+    # Pin hop-1 once with empties dropped (rounds.block_refs); both the
+    # tagged exchange and the final union read the pinned refs.
+    h1_refs = rounds.block_refs(samples.filter(expr=f"r <= {k1}").materialize())
+    if not h1_refs:
+        # no hop-1 frontier -> no hop-2 expansion either
+        return ray.data.from_arrow(out_schema.empty_table())
+    h1 = ray.data.from_arrow_refs(h1_refs)
     s2 = samples.filter(expr=f"r <= {k2}")
 
     # hop-2 join keyed on the frontier node: tag hop-1 rows by their mid
@@ -187,6 +197,8 @@ def neighbor_sample_ds(
              "hop": np.full(len(df), 1, dtype=np.int64),
              "src": df["v"].astype(str), "dst": df["u"].astype(str)})
 
+    # h1 is non-empty-block-pinned above, so as_hop1 runs on every block
+    # and the union's schemas agree.
     hop1 = h1.map_batches(as_hop1, batch_format="pandas")
     return hop1.union(hop2)
 

@@ -459,3 +459,34 @@ def test_zone_manifest_survives_subset_order_upsert(trip, tmp_path):
             ray.data.from_pandas(df.iloc[260:300]).repartition(1), out_dir,
             orders=("spo", "osp"),
         )
+
+
+def test_neighbor_sample_k1_zero_schema_safe(trip):
+    """ADVICE r4: k1=0 (or any fully-filtered hop-1) used to let empty
+    (v, u, r)-schema blocks into the union and poison the concat; now
+    empty hop-1 blocks are dropped at pin time."""
+    _, ds = trip
+    out_ds = nb.neighbor_sample_ds(ds, k1=0, k2=2)
+    # Dataset schema survives (to_pandas of an empty Dataset drops
+    # columns in this Ray version — the schema is the contract)
+    assert out_ds.schema().names == ["seed", "hop", "src", "dst"]
+    assert out_ds.count() == 0  # no frontier -> no hop-2 either
+    # the query contract returns the typed empty frame
+    out = nb.neighbor_sample(ds, k1=0, k2=2)
+    assert list(out.columns) == ["seed", "hop", "src", "dst"]
+    assert out.empty
+
+
+def test_zone_from_footer_zero_row_bucket_raises(tmp_path):
+    """ADVICE r4: a zero-row bucket file (interrupted/foreign write)
+    raises a descriptive error naming the file, not a bare ValueError
+    from min([])."""
+    import pyarrow as pa
+
+    p = str(tmp_path / "0.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([], pa.string()),
+                  "t1": pa.array([], pa.string())}), p
+    )
+    with pytest.raises(RuntimeError, match="zero\\s*rows|interrupted"):
+        kgstore._zone_from_footer(p, "spo", "0")
