@@ -323,6 +323,7 @@ def write_partitioned_resumable(
     out_dir: str,
     key_col: str,
     num_partitions: int = 16,
+    filesystem=None,
 ) -> dict:
     """Hash-partitioned Parquet sink with PARTITION-LEVEL resume: a
     restarted job skips every partition a previous run completed.
@@ -336,23 +337,28 @@ def write_partitioned_resumable(
     re-reads-and-reshuffles only unfinished keyspace. Complements the
     stage-level manifests in state/checkpoint: this is the OUTPUT-side
     resume the north rule's "failed run skips finished partitions"
-    requires. On object stores without atomic rename, point tmp at the
-    same prefix and commit via the store's multipart-complete instead.
+    requires. ``out_dir`` may be a path, URI (``s3://…``), or pair with
+    an explicit pyarrow ``filesystem`` (functions/fsio) — the handle is
+    pickled into the write tasks, so workers write the store directly.
+    The tmp+rename commit is atomic on local/POSIX; on object stores the
+    per-object PUT is already all-or-nothing and a crashed copy leaves
+    only an ignored ``*.tmp`` object.
 
     Returns {"written": int, "skipped": int, "rows_written": int}.
     """
-    import glob
-    import os
-    import tempfile
+    import posixpath
+    import uuid as _uuid
 
-    import pyarrow.parquet as pq
-
+    from ..functions import fsio
     from ..functions.partitioning import add_hash_partition, groupby_partition
 
-    os.makedirs(out_dir, exist_ok=True)
+    fs, out_dir = fsio.resolve(out_dir, filesystem)
+    fsio.makedirs(fs, out_dir)
     done = {
-        int(os.path.basename(os.path.dirname(p)).split("=")[1])
-        for p in glob.glob(os.path.join(out_dir, "part=*", "data.parquet"))
+        int(d.split("=")[1])
+        for d in fsio.listdirs(fs, out_dir)
+        if d.startswith("part=")
+        and fsio.exists(fs, posixpath.join(out_dir, d, "data.parquet"))
     }
     missing = sorted(set(range(num_partitions)) - done)
     if not missing:
@@ -376,12 +382,11 @@ def write_partitioned_resumable(
         if pid < 0:
             return pa.table({"part": pa.array([], pa.int64()),
                              "rows": pa.array([], pa.int64())})
-        pdir = os.path.join(out_dir, f"part={pid}")
-        os.makedirs(pdir, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=pdir, suffix=".tmp")
-        os.close(fd)
-        pq.write_table(part, tmp)
-        os.replace(tmp, os.path.join(pdir, "data.parquet"))
+        pdir = posixpath.join(out_dir, f"part={pid}")
+        fsio.makedirs(fs, pdir)
+        tmp = posixpath.join(pdir, f"{_uuid.uuid4().hex}.tmp")
+        fsio.write_table(fs, tmp, part)
+        fsio.replace(fs, tmp, posixpath.join(pdir, "data.parquet"))
         return pa.table({"part": [pid], "rows": [part.num_rows]})
 
     manifest = groupby_partition(
@@ -391,18 +396,31 @@ def write_partitioned_resumable(
     # a legitimately EMPTY partition gets no group call — commit it as an
     # empty file so re-runs don't reprocess the whole input forever
     written = set(manifest["part"]) if len(manifest) else set()
-    empty_schema = pa.schema(
-        [f.remove_metadata() for f in ds.schema().base_schema]
-    )
+    sch = ds.schema()
+    if isinstance(sch.base_schema, pa.Schema):
+        empty_schema = pa.schema(
+            [f.remove_metadata() for f in sch.base_schema]
+        )
+    else:  # pandas-backed blocks: no arrow schema object, rebuild
+        def _to_pa(t):
+            if isinstance(t, pa.DataType):
+                return t
+            try:
+                return pa.from_numpy_dtype(np.dtype(t))
+            except (TypeError, pa.ArrowNotImplementedError):
+                return pa.string()  # pandas object dtype
+
+        empty_schema = pa.schema(
+            [(n, _to_pa(t)) for n, t in zip(sch.names, sch.types)]
+        )
     for pid in missing:
         if pid in written:
             continue
-        pdir = os.path.join(out_dir, f"part={pid}")
-        os.makedirs(pdir, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=pdir, suffix=".tmp")
-        os.close(fd)
-        pq.write_table(empty_schema.empty_table(), tmp)
-        os.replace(tmp, os.path.join(pdir, "data.parquet"))
+        pdir = posixpath.join(out_dir, f"part={pid}")
+        fsio.makedirs(fs, pdir)
+        tmp = posixpath.join(pdir, f"{_uuid.uuid4().hex}.tmp")
+        fsio.write_table(fs, tmp, empty_schema.empty_table())
+        fsio.replace(fs, tmp, posixpath.join(pdir, "data.parquet"))
     return {
         "written": len(missing),
         "skipped": num_partitions - len(missing),

@@ -103,32 +103,42 @@ def _flush_seg_lineage(rows: list, lineage_dir: Optional[str]) -> None:
     """Best-effort side output (quarantine pattern): one uuid-named shard
     per task execution. A retried/recomputed task writes a SECOND shard
     with the same rows — the records are content-keyed (conv_id, seg), so
-    consumers read through :func:`read_seg_lineage`, which dedups; and
-    on a multi-node cluster ``lineage_dir`` must be a shared filesystem
-    (else shards land on node-local disks)."""
+    consumers read through :func:`read_seg_lineage`, which dedups.
+    ``lineage_dir`` may be a path, URI, or any location reachable via
+    pyarrow.fs (functions/fsio) — on a multi-node cluster point it at a
+    shared filesystem or object store so shards don't land on node-local
+    disks."""
     if not rows or lineage_dir is None:
         return
-    import pyarrow.parquet as pq
+    import posixpath
 
-    os.makedirs(lineage_dir, exist_ok=True)
+    from ..functions import fsio
+
+    fs, lineage_dir = fsio.resolve(lineage_dir)
+    fsio.makedirs(fs, lineage_dir)
     t = pa.Table.from_pylist(rows, schema=SEG_LINEAGE)
-    pq.write_table(
-        t, os.path.join(lineage_dir, f"seg-{uuid.uuid4().hex}.parquet")
+    fsio.write_table(
+        fs, posixpath.join(lineage_dir, f"seg-{uuid.uuid4().hex}.parquet"), t
     )
 
 
 def read_seg_lineage(lineage_dir: str) -> "pa.Table":
     """Deduplicated segmentation-lineage records (task retries may write
     duplicate shards — exactly-once is restored here by the natural key
-    (conv_id, seg))."""
-    import glob
+    (conv_id, seg)). ``lineage_dir`` may be a path, URI, or any
+    pyarrow.fs-reachable location."""
+    import posixpath
 
-    import pyarrow.parquet as pq
+    from ..functions import fsio
 
-    paths = sorted(glob.glob(os.path.join(lineage_dir, "*.parquet")))
+    fs, lineage_dir = fsio.resolve(lineage_dir)
+    paths = [
+        posixpath.join(lineage_dir, f)
+        for f in fsio.listdir(fs, lineage_dir, ".parquet")
+    ]
     if not paths:
         return SEG_LINEAGE.empty_table()
-    t = pa.concat_tables([pq.read_table(p, use_threads=False) for p in paths])
+    t = pa.concat_tables([fsio.read_table(fs, p) for p in paths])
     return t.group_by(
         ["conv_id", "seg"], use_threads=False
     ).aggregate([("doc_id", "min"), ("n_turns", "min")]).rename_columns(
@@ -573,6 +583,11 @@ def check_partitioned_layout(paths: "list[str]") -> None:
         _audit_conv_disjoint([paths[i] for i in sorted(suspect)])
 
 
+# layouts already verified by this process (verify="auto" memo): repeated
+# pipeline runs over the same file set skip the re-check
+_VERIFIED_LAYOUTS: set = set()
+
+
 def assemble_partitioned(
     path_dir: str, verify: str = "auto"
 ) -> "ray.data.Dataset":
@@ -589,9 +604,10 @@ def assemble_partitioned(
     ``verify`` guards the precondition LOUDLY (a violating layout would
     otherwise silently emit duplicate doc_ids): ``"auto"`` (default) runs
     :func:`check_partitioned_layout` — footer-only when conv_id ranges
-    are disjoint, exact digest audit otherwise; ``"audit"`` forces the
-    exact audit; ``"none"`` skips (trusted writer / repeated runs over a
-    layout already checked once).
+    are disjoint, exact digest audit otherwise — ONCE per layout per
+    process (keyed by the sorted file list; a changed file set
+    re-verifies); ``"audit"`` forces the exact audit every call;
+    ``"none"`` skips entirely (trusted writer).
     """
     import os as _os
 
@@ -601,7 +617,10 @@ def assemble_partitioned(
         if f.endswith(".parquet")
     )
     if verify == "auto":
-        check_partitioned_layout(paths)
+        key = tuple(paths)
+        if key not in _VERIFIED_LAYOUTS:
+            check_partitioned_layout(paths)
+            _VERIFIED_LAYOUTS.add(key)
     elif verify == "audit":
         _audit_conv_disjoint(paths)
     elif verify != "none":

@@ -666,15 +666,17 @@ def _verify_jaccard_cogroup(
         )
         pid_parts, side_parts, sh_parts, len_parts = [], [], [], []
         # dedup membership rows: an upstream LSH emitting one pair per
-        # agreeing band (distinct=False) produces identical rows here
+        # agreeing band (distinct=False) produces identical rows here.
+        # Arrow-native distinct (group_by with no aggregates) — no pandas
+        # conversion on the verify path (round-4 VERDICT item 5).
         mem = (
             members.select([id_col, "pair_id", "side"])
-            .to_pandas()
-            .drop_duplicates()
+            .group_by([id_col, "pair_id", "side"], use_threads=False)
+            .aggregate([])
         )
-        m_ids = mem[id_col].tolist()
-        m_pids = mem["pair_id"].to_numpy(dtype=object)
-        m_sides = mem["side"].to_numpy()
+        m_ids = mem[id_col].to_pylist()
+        m_pids = np.asarray(mem["pair_id"].to_pylist(), dtype=object)
+        m_sides = np.asarray(mem["side"].to_pylist(), dtype=np.int8)
         order = np.argsort(np.asarray(m_ids, dtype=object))
         # one shingle computation per DOC (membership rows grouped by doc);
         # one OUTPUT ROW per (pair, side) carrying the shingle set as a

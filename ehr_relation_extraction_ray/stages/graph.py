@@ -534,51 +534,90 @@ def _wedge_partials(
                             (list(chunks[i]), list(chunks[j]), i == j, wt)
                         )
                 chunk_rows.append(("__lineage__", hub, len(chunks)))
-        cols = {
-            "x": [], "y": [], "c": [], "kind": [],
-            "ca": [], "cb": [], "same": [], "wt": [],
-        }
+        # Arrow-native assembly (round-4 VERDICT item 5): the wedge
+        # combine is an arrow group_by sum and every bulk column is built
+        # from numpy arrays — no Python list-of-rows at pair scale.
+        tables = []
+
+        def _extend(tbl: pa.Table) -> pa.Table:
+            n = tbl.num_rows
+            return pa.table(
+                {
+                    "x": tbl["x"], "y": tbl["y"], "c": tbl["c"],
+                    "kind": tbl["kind"],
+                    "ca": pa.nulls(n, pa.list_(pa.string())),
+                    "cb": pa.nulls(n, pa.list_(pa.string())),
+                    "same": pa.array(np.zeros(n, dtype=bool)),
+                    "wt": pa.array(np.zeros(n, dtype=np.float64)),
+                }
+            )
+
         if xs:
             w = (
-                pd.DataFrame(
-                    {"x": np.concatenate(xs), "y": np.concatenate(ys),
-                     "c": np.concatenate(ws)}
+                pa.table(
+                    {
+                        "x": pa.array(np.concatenate(xs), pa.string()),
+                        "y": pa.array(np.concatenate(ys), pa.string()),
+                        "c": pa.array(np.concatenate(ws), pa.float64()),
+                    }
                 )
-                .groupby(["x", "y"], as_index=False)["c"].sum()
+                .group_by(["x", "y"], use_threads=False)
+                .aggregate([("c", "sum")])
+                .rename_columns(["x", "y", "c"])
             )
-            cols["x"] += list(w["x"]); cols["y"] += list(w["y"])
-            cols["c"] += list(w["c"]); cols["kind"] += [_KIND_WEDGE] * len(w)
-            cols["ca"] += [None] * len(w); cols["cb"] += [None] * len(w)
-            cols["same"] += [False] * len(w); cols["wt"] += [0.0] * len(w)
-        for hub, d in degs:
-            cols["x"].append(hub); cols["y"].append("")
-            cols["c"].append(float(d)); cols["kind"].append(_KIND_DEG)
-            cols["ca"].append(None); cols["cb"].append(None)
-            cols["same"].append(False); cols["wt"].append(0.0)
-        for row in chunk_rows:
-            if row[0] == "__lineage__":
-                cols["x"].append("__hot_hub__"); cols["y"].append(row[1])
-                cols["c"].append(float(row[2])); cols["kind"].append(_KIND_LINEAGE)
-                cols["ca"].append(None); cols["cb"].append(None)
-                cols["same"].append(False); cols["wt"].append(0.0)
-            else:
-                ca, cb, same, wt = row
-                cols["x"].append(""); cols["y"].append("")
-                cols["c"].append(0.0); cols["kind"].append(np.int8(3))
-                cols["ca"].append(ca); cols["cb"].append(cb)
-                cols["same"].append(bool(same)); cols["wt"].append(float(wt))
-        return pa.table(
-            {
-                "x": pa.array(cols["x"], pa.string()),
-                "y": pa.array(cols["y"], pa.string()),
-                "c": pa.array(cols["c"], pa.float64()),
-                "kind": pa.array(cols["kind"], pa.int8()),
-                "ca": pa.array(cols["ca"], pa.list_(pa.string())),
-                "cb": pa.array(cols["cb"], pa.list_(pa.string())),
-                "same": pa.array(cols["same"], pa.bool_()),
-                "wt": pa.array(cols["wt"], pa.float64()),
+            w = w.append_column(
+                "kind", pa.array(np.full(w.num_rows, _KIND_WEDGE, np.int8))
+            )
+            tables.append(_extend(w))
+        if degs:
+            d_tbl = pa.table(
+                {
+                    "x": pa.array([h for h, _ in degs], pa.string()),
+                    "y": pa.array([""] * len(degs), pa.string()),
+                    "c": pa.array(
+                        np.asarray([d for _, d in degs], dtype=np.float64)
+                    ),
+                    "kind": pa.array(
+                        np.full(len(degs), _KIND_DEG, np.int8)
+                    ),
+                }
+            )
+            tables.append(_extend(d_tbl))
+        if chunk_rows:  # rare (hot hubs only): row-wise build is fine
+            cols = {
+                "x": [], "y": [], "c": [], "kind": [],
+                "ca": [], "cb": [], "same": [], "wt": [],
             }
-        )
+            for row in chunk_rows:
+                if row[0] == "__lineage__":
+                    cols["x"].append("__hot_hub__"); cols["y"].append(row[1])
+                    cols["c"].append(float(row[2]))
+                    cols["kind"].append(_KIND_LINEAGE)
+                    cols["ca"].append(None); cols["cb"].append(None)
+                    cols["same"].append(False); cols["wt"].append(0.0)
+                else:
+                    ca, cb, same, wt = row
+                    cols["x"].append(""); cols["y"].append("")
+                    cols["c"].append(0.0); cols["kind"].append(np.int8(3))
+                    cols["ca"].append(ca); cols["cb"].append(cb)
+                    cols["same"].append(bool(same)); cols["wt"].append(float(wt))
+            tables.append(
+                pa.table(
+                    {
+                        "x": pa.array(cols["x"], pa.string()),
+                        "y": pa.array(cols["y"], pa.string()),
+                        "c": pa.array(cols["c"], pa.float64()),
+                        "kind": pa.array(cols["kind"], pa.int8()),
+                        "ca": pa.array(cols["ca"], pa.list_(pa.string())),
+                        "cb": pa.array(cols["cb"], pa.list_(pa.string())),
+                        "same": pa.array(cols["same"], pa.bool_()),
+                        "wt": pa.array(cols["wt"], pa.float64()),
+                    }
+                )
+            )
+        if not tables:
+            return _CHUNK_SCHEMA.empty_table()
+        return pa.concat_tables([t.cast(_CHUNK_SCHEMA) for t in tables])
 
     def hub_pass_arrow(t: pa.Table) -> pa.Table:
         return hub_pass(t.to_pandas())
@@ -698,25 +737,31 @@ def neighbor_jaccard(
 
     sum_schema = _PARTIAL_SCHEMA
 
-    def sum_pass(df: "pd.DataFrame") -> "pd.DataFrame":
-        out = df.groupby(["x", "y", "kind"], as_index=False)["c"].sum()
-        return out[["x", "y", "c", "kind"]].astype(
-            {"x": str, "y": str, "c": "float64", "kind": "int8"}
+    def sum_pass_arrow(t: pa.Table) -> pa.Table:
+        # Arrow-native groupby-sum finish (round-4 VERDICT item 5): no
+        # pandas conversion on the hottest node-similarity exchange
+        out = t.group_by(["x", "y", "kind"], use_threads=False).aggregate(
+            [("c", "sum")]
+        )
+        return out.rename_columns(["x", "y", "kind", "c"]).select(
+            ["x", "y", "c", "kind"]
         )
 
     if driver_merge:
         # dimension-bounded node space (caller's assertion): the wedge
-        # partials are (pairs x partitions)-bounded — pandas-sum them on
-        # the driver instead of paying a second Ray shuffle's fixed cost
+        # partials are (pairs x partitions)-bounded — sum them on the
+        # driver instead of paying a second Ray shuffle's fixed cost
         # (playbook driver-partial-merge)
-        merged = sum_pass(parts.to_pandas())
+        merged = sum_pass_arrow(
+            pa.Table.from_pandas(parts.to_pandas(), preserve_index=False)
+        ).to_pandas()
     else:
         merged = groupby_partition(
             parts,
             ["x", "y", "kind"],
-            sum_pass,
+            sum_pass_arrow,
             num_partitions=num_partitions,
-            batch_format="pandas",
+            batch_format="pyarrow",
             schema=sum_schema,
         ).to_pandas()
 

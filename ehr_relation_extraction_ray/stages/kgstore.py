@@ -30,14 +30,14 @@ skew lives in the VALUE distribution, not the key space.
 from __future__ import annotations
 
 import hashlib
-import os
+import posixpath
 
 import pandas as pd
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 import ray.data
 
+from ..functions import fsio
 from ..functions.partitioning import groupby_partition
 from ..functions.scan import with_prefix_sum
 
@@ -57,32 +57,34 @@ def _composite_key(g: pd.DataFrame, cols) -> pd.Series:
 
 
 def _write_bucket_file(
-    g: pd.DataFrame, cols, odir: str, order: str, bucket: str
+    g: pd.DataFrame, cols, odir: str, order: str, bucket: str, fs=None
 ) -> dict:
     """Write one sorted bucket file (columns = permutation order + the
     composite key ``k``, so Parquet column statistics double as the zone
     map) and return its zone row. ``g`` must already be distinct and
-    sorted by ``cols``."""
+    sorted by ``cols``. ``fs`` is the store's pyarrow filesystem (None =
+    local)."""
     key = _composite_key(g, cols)
     t = pa.Table.from_pandas(g[cols], preserve_index=False)
     t = t.append_column("k", pa.array(key.to_numpy(), pa.string()))
-    pq.write_table(t, os.path.join(odir, f"{bucket}.parquet"))
+    fs, _ = fsio.resolve(odir, fs)
+    fsio.write_table(fs, posixpath.join(odir, f"{bucket}.parquet"), t)
     return {
         "idx_order": order, "bucket": bucket, "n": len(g),
         "key_min": key.min(), "key_max": key.max(),
     }
 
 
-def _verify_shared_marker(marker_path: str, token: str) -> None:
+def _verify_shared_marker(marker_path: str, token: str, fs=None) -> None:
     """Run inside every upsert merge task: the driver wrote ``token`` to
     ``marker_path`` at job start; a worker that cannot read that exact
     token is looking at a DIFFERENT filesystem (node-local out_dir on a
     multi-node cluster) and must fail loudly — merging against a
     node-local view would silently rewrite buckets with delta-only rows
     (base data loss)."""
+    fs, _ = fsio.resolve(marker_path, fs)
     try:
-        with open(marker_path) as f:
-            seen = f.read()
+        seen = fsio.read_text(fs, marker_path)
     except OSError:
         seen = None
     if seen != token:
@@ -98,7 +100,7 @@ def _verify_shared_marker(marker_path: str, token: str) -> None:
 ZONES_FILE = "_ZONES.parquet"
 
 
-def _write_zones(out_dir: str, zones: pd.DataFrame) -> None:
+def _write_zones(out_dir: str, zones: pd.DataFrame, fs=None) -> None:
     """Persist the zone map next to the buckets: the build-time manifest
     that upsert uses to verify the base index is COMPLETE from where it
     runs (node-local base buckets would otherwise be silently missing).
@@ -108,17 +110,18 @@ def _write_zones(out_dir: str, zones: pd.DataFrame) -> None:
     that would disable the completeness defense for exactly the buckets
     it protects. Rows for the orders in ``zones`` are replaced; all
     other orders' rows are preserved. The write is ATOMIC against
-    crashes (temp file + os.replace); CONCURRENT writers are NOT
+    crashes (temp file + rename); CONCURRENT writers are NOT
     supported — index maintenance is a single-writer-per-out_dir
     protocol (two simultaneous upserts would lose each other's manifest
     rows via read-modify-write), same as any file-based manifest.
     An UNREADABLE existing manifest raises (mirroring
     _verify_base_complete) instead of silently writing a subset-only
     manifest that would disable the defense for the missing orders."""
-    zpath = os.path.join(out_dir, ZONES_FILE)
-    if os.path.exists(zpath):
+    fs, out_dir = fsio.resolve(out_dir, fs)
+    zpath = posixpath.join(out_dir, ZONES_FILE)
+    if fsio.exists(fs, zpath):
         try:
-            old = pq.read_table(zpath, use_threads=False).to_pandas()
+            old = fsio.read_table(fs, zpath).to_pandas()
         except Exception as exc:  # noqa: BLE001 - corrupt manifest
             raise RuntimeError(
                 f"kgstore: existing zone manifest {zpath} is unreadable "
@@ -135,21 +138,22 @@ def _write_zones(out_dir: str, zones: pd.DataFrame) -> None:
                     .reset_index(drop=True)
                 )
     tmp = zpath + ".tmp"
-    pq.write_table(pa.Table.from_pandas(zones, preserve_index=False), tmp)
-    os.replace(tmp, zpath)
+    fsio.write_table(fs, tmp, pa.Table.from_pandas(zones, preserve_index=False))
+    fsio.replace(fs, tmp, zpath)
 
 
-def _verify_base_complete(out_dir: str, orders: tuple) -> None:
+def _verify_base_complete(out_dir: str, orders: tuple, fs=None) -> None:
     """Driver-side completeness check before an upsert: every bucket the
     build-time zone manifest recorded must be a visible file. A missing
     bucket means out_dir is not the filesystem the base build wrote to
     (node-local disks on a multi-node cluster) — merging would rewrite
     those buckets with delta-only rows, losing base data."""
-    zpath = os.path.join(out_dir, ZONES_FILE)
-    if not os.path.exists(zpath):
+    fs, out_dir = fsio.resolve(out_dir, fs)
+    zpath = posixpath.join(out_dir, ZONES_FILE)
+    if not fsio.exists(fs, zpath):
         return  # pre-manifest index (older build); marker check still runs
     try:
-        zones = pq.read_table(zpath, use_threads=False).to_pandas()
+        zones = fsio.read_table(fs, zpath).to_pandas()
     except Exception as exc:  # noqa: BLE001 - foreign/corrupt manifest
         raise RuntimeError(
             f"kgstore.upsert_index: zone manifest {zpath} is unreadable "
@@ -159,11 +163,9 @@ def _verify_base_complete(out_dir: str, orders: tuple) -> None:
     missing = []
     for order in orders:
         want = set(zones.loc[zones["idx_order"] == order, "bucket"])
-        odir = os.path.join(out_dir, order)
+        odir = posixpath.join(out_dir, order)
         have = {
-            f.split(".")[0]
-            for f in (os.listdir(odir) if os.path.isdir(odir) else [])
-            if f.endswith(".parquet")
+            f.split(".")[0] for f in fsio.listdir(fs, odir, ".parquet")
         }
         missing.extend(f"{order}/{b}" for b in sorted(want - have))
     if missing:
@@ -175,11 +177,12 @@ def _verify_base_complete(out_dir: str, orders: tuple) -> None:
         )
 
 
-def _zone_from_footer(path: str, order: str, bucket: str) -> dict:
+def _zone_from_footer(path: str, order: str, bucket: str, fs=None) -> dict:
     """Zone row from Parquet FOOTER statistics only — no data pages read.
     Valid because the ``k`` column is written sorted (row-group stats of
     a sorted column give the exact global min/max)."""
-    md = pq.read_metadata(path)
+    fs, _ = fsio.resolve(path, fs)
+    md = fsio.read_metadata(fs, path)
     if md.num_rows == 0:
         # zero-row bucket file (foreign tool, interrupted write): no key
         # range exists to zone-map, and min()/max() below would raise a
@@ -198,7 +201,7 @@ def _zone_from_footer(path: str, order: str, bucket: str) -> dict:
             # bucket file written by another tool / with stats disabled /
             # values too large for stats: fall back to reading the k
             # column (still only one small bucket file, not the store)
-            k = pq.read_table(path, columns=["k"], use_threads=False)["k"]
+            k = fsio.read_table(fs, path, columns=["k"])["k"]
             ks = k.to_pylist()
             return {
                 "idx_order": order, "bucket": bucket, "n": md.num_rows,
@@ -256,6 +259,7 @@ def sorted_index(
     triples: "ray.data.Dataset",
     out_dir: str,
     orders: tuple = ("spo", "osp"),
+    filesystem=None,
 ) -> pd.DataFrame:
     """Write per-order, per-bucket sorted Parquet files; return zone maps.
 
@@ -266,17 +270,22 @@ def sorted_index(
     frame has one row per non-empty (idx_order, bucket): row count and
     min/max of the composite key ``t1 SEP t2 SEP t3`` — the pruning
     metadata a distributed scan would consult.
+
+    ``out_dir`` may be a plain path, a URI (``s3://…``), or pair with an
+    explicit ``filesystem`` (pyarrow FileSystem — picklable, captured by
+    the write tasks, so every worker writes to the store directly).
     """
     schema = pa.schema(
         [("idx_order", pa.string()), ("bucket", pa.string()),
          ("n", pa.int64()), ("key_min", pa.string()),
          ("key_max", pa.string())]
     )
+    fs, out_dir = fsio.resolve(out_dir, filesystem)
     frames = []
     for order in orders:
         cols = _ORDERS[order]
-        odir = os.path.join(out_dir, order)
-        os.makedirs(odir, exist_ok=True)
+        odir = posixpath.join(out_dir, order)
+        fsio.makedirs(fs, odir)
 
         def tag(df: pd.DataFrame, cols=cols) -> pd.DataFrame:
             d = df[["subj", "pred", "obj"]].drop_duplicates()
@@ -289,13 +298,13 @@ def sorted_index(
             return d
 
         def write_bucket(part: pd.DataFrame, cols=cols, odir=odir,
-                         order=order) -> pd.DataFrame:
+                         order=order, fs=fs) -> pd.DataFrame:
             rows = []
             for b, g in part.groupby("bucket", sort=False):
                 g = g[["subj", "pred", "obj"]].drop_duplicates()
                 g = g.sort_values(cols, kind="stable").reset_index(drop=True)
                 rows.append(
-                    _write_bucket_file(g, cols, odir, order, str(b)))
+                    _write_bucket_file(g, cols, odir, order, str(b), fs=fs))
             if not rows:
                 return pd.DataFrame(
                     {"idx_order": pd.Series([], dtype=str),
@@ -318,7 +327,7 @@ def sorted_index(
     out = pd.concat(frames, ignore_index=True)
     out["n"] = out["n"].astype("int64")
     out = out.sort_values(["idx_order", "bucket"]).reset_index(drop=True)
-    _write_zones(out_dir, out)
+    _write_zones(out_dir, out, fs=fs)
     return out
 
 
@@ -326,6 +335,7 @@ def upsert_index(
     triples: "ray.data.Dataset",
     out_dir: str,
     orders: tuple = ("spo", "osp"),
+    filesystem=None,
 ) -> pd.DataFrame:
     """Incrementally merge a triple DELTA into an existing sorted index.
 
@@ -338,14 +348,17 @@ def upsert_index(
     statistics alone (the sorted ``k`` column makes row-group min/max
     exact). Returns the complete post-upsert zone-map table.
 
-    REQUIRES a SHARED filesystem: ``out_dir`` must be visible under the
-    same path from every worker node (NFS / FUSE-mounted object store /
-    single node). On a multi-node cluster with node-local disks,
-    ``os.path.exists`` inside a task would miss base buckets written
-    elsewhere and the merge would silently rewrite a bucket with
-    delta-only rows (base data LOSS). Each merge task therefore verifies
-    a driver-written run marker before touching any bucket and raises
-    loudly if ``out_dir`` is not shared.
+    REQUIRES a SHARED view of the store: ``out_dir`` may be a plain
+    path (must then be visible under the same path from every worker —
+    NFS / FUSE mount / single node), a URI (``s3://…``), or pair with an
+    explicit pyarrow ``filesystem`` handle, which Ray pickles into the
+    merge tasks so every worker reads and writes the store directly —
+    the object-store backend that removes the shared-mount requirement.
+    A worker whose view of the store differs (node-local out_dir) would
+    otherwise silently rewrite buckets with delta-only rows (base data
+    LOSS); each merge task therefore verifies a driver-written run
+    marker before touching any bucket and raises loudly on a stale or
+    missing marker.
     """
     import uuid
 
@@ -354,12 +367,12 @@ def upsert_index(
     # buckets written to other nodes' local disks), (b) every merge task
     # verifies it can read the driver's fresh run marker (catches workers
     # on a different filesystem than the driver)
-    _verify_base_complete(out_dir, orders)
-    marker = os.path.join(out_dir, "_SHARED_FS_MARKER")
+    fs, out_dir = fsio.resolve(out_dir, filesystem)
+    _verify_base_complete(out_dir, orders, fs=fs)
+    marker = posixpath.join(out_dir, "_SHARED_FS_MARKER")
     token = uuid.uuid4().hex
-    os.makedirs(out_dir, exist_ok=True)
-    with open(marker, "w") as f:
-        f.write(token)
+    fsio.makedirs(fs, out_dir)
+    fsio.write_text(fs, marker, token)
     schema = pa.schema(
         [("idx_order", pa.string()), ("bucket", pa.string()),
          ("n", pa.int64()), ("key_min", pa.string()),
@@ -368,8 +381,8 @@ def upsert_index(
     frames = []
     for order in orders:
         cols = _ORDERS[order]
-        odir = os.path.join(out_dir, order)
-        os.makedirs(odir, exist_ok=True)
+        odir = posixpath.join(out_dir, order)
+        fsio.makedirs(fs, odir)
 
         def tag(df: pd.DataFrame, cols=cols) -> pd.DataFrame:
             d = df[["subj", "pred", "obj"]].drop_duplicates().copy()
@@ -381,22 +394,22 @@ def upsert_index(
             return d
 
         def merge_bucket(part: pd.DataFrame, cols=cols, odir=odir,
-                         order=order) -> pd.DataFrame:
-            _verify_shared_marker(marker, token)
+                         order=order, fs=fs) -> pd.DataFrame:
+            _verify_shared_marker(marker, token, fs=fs)
             rows = []
             for b, g in part.groupby("bucket", sort=False):
-                path = os.path.join(odir, f"{b}.parquet")
+                path = posixpath.join(odir, f"{b}.parquet")
                 g = g[["subj", "pred", "obj"]]
-                if os.path.exists(path):
-                    base = pq.read_table(
-                        path, columns=["subj", "pred", "obj"],
-                        use_threads=False,
+                if fsio.exists(fs, path):
+                    base = fsio.read_table(
+                        fs, path, columns=["subj", "pred", "obj"]
                     ).to_pandas()
                     g = pd.concat([base, g], ignore_index=True)
                 g = g.drop_duplicates().sort_values(
                     cols, kind="stable"
                 ).reset_index(drop=True)
-                rows.append(_write_bucket_file(g, cols, odir, order, str(b)))
+                rows.append(
+                    _write_bucket_file(g, cols, odir, order, str(b), fs=fs))
             if not rows:
                 return pd.DataFrame(
                     {"idx_order": pd.Series([], dtype=str),
@@ -417,9 +430,11 @@ def upsert_index(
         ).to_pandas()
         seen = set(touched["bucket"])
         untouched = [
-            _zone_from_footer(os.path.join(odir, f), order, f.split(".")[0])
-            for f in sorted(os.listdir(odir))
-            if f.endswith(".parquet") and f.split(".")[0] not in seen
+            _zone_from_footer(
+                posixpath.join(odir, f), order, f.split(".")[0], fs=fs
+            )
+            for f in fsio.listdir(fs, odir, ".parquet")
+            if f.split(".")[0] not in seen
         ]
         frames.append(touched)
         if untouched:
@@ -427,12 +442,12 @@ def upsert_index(
     out = pd.concat(frames, ignore_index=True)
     out["n"] = out["n"].astype("int64")
     out = out.sort_values(["idx_order", "bucket"]).reset_index(drop=True)
-    _write_zones(out_dir, out)
+    _write_zones(out_dir, out, fs=fs)
     return out
 
 
 def lookup_subjects(
-    out_dir: str, subjects: list, order: str = "spo"
+    out_dir: str, subjects: list, order: str = "spo", filesystem=None
 ) -> pd.DataFrame:
     """Bucket-pruned point lookups against a built index: only the
     bucket files named by the query subjects' md5 prefixes are opened
@@ -440,8 +455,9 @@ def lookup_subjects(
     vectorized isin filter. Returns distinct (subj, pred, obj) sorted.
     The pruning itself is pinned by tests (untouched buckets stay
     unopened)."""
+    fs, out_dir = fsio.resolve(out_dir, filesystem)
     cols = _ORDERS[order]
-    odir = os.path.join(out_dir, order)
+    odir = posixpath.join(out_dir, order)
     buckets = sorted(
         {
             hashlib.md5(str(s).encode("utf-8", "surrogatepass")).hexdigest()[0]
@@ -449,15 +465,17 @@ def lookup_subjects(
         }
     )
     paths = [
-        os.path.join(odir, f"{b}.parquet")
+        posixpath.join(odir, f"{b}.parquet")
         for b in buckets
-        if os.path.exists(os.path.join(odir, f"{b}.parquet"))
+        if fsio.exists(fs, posixpath.join(odir, f"{b}.parquet"))
     ]
     if not paths:
         return pd.DataFrame(
             {"subj": pd.Series([], dtype=str), "pred": pd.Series([], dtype=str),
              "obj": pd.Series([], dtype=str)})
-    ds = ray.data.read_parquet(paths, columns=["subj", "pred", "obj"])
+    ds = ray.data.read_parquet(
+        paths, columns=["subj", "pred", "obj"], filesystem=fs
+    )
     want = set(map(str, subjects))
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:

@@ -490,3 +490,63 @@ def test_zone_from_footer_zero_row_bucket_raises(tmp_path):
     )
     with pytest.raises(RuntimeError, match="zero\\s*rows|interrupted"):
         kgstore._zone_from_footer(p, "spo", "0")
+
+
+def test_kgstore_through_filesystem_handle(trip, tmp_path):
+    """Round-4 VERDICT item 3: the store accepts a pyarrow.fs handle.
+    Build + upsert + lookup through a SubTreeFileSystem (paths relative
+    to a mount root — raw os.path would break immediately) must equal
+    the plain-path build bit-for-bit."""
+    from pyarrow import fs as pafs
+
+    df, ds = trip
+    half = len(df) // 2
+    base = ray.data.from_pandas(df.iloc[:half]).repartition(3)
+    delta = ray.data.from_pandas(df.iloc[half:]).repartition(3)
+
+    plain = str(tmp_path / "plain")
+    kgstore.sorted_index(base, plain)
+    z_plain = kgstore.upsert_index(delta, plain)
+
+    root = tmp_path / "mnt"
+    root.mkdir()
+    sub = pafs.SubTreeFileSystem(str(root), pafs.LocalFileSystem())
+    kgstore.sorted_index(base, "store", filesystem=sub)
+    z_sub = kgstore.upsert_index(delta, "store", filesystem=sub)
+
+    pd.testing.assert_frame_equal(
+        z_plain.reset_index(drop=True), z_sub.reset_index(drop=True)
+    )
+    subs = sorted(df["subj"].unique())[:5]
+    a = kgstore.lookup_subjects(plain, subs)
+    b = kgstore.lookup_subjects("store", subs, filesystem=sub)
+    pd.testing.assert_frame_equal(a, b)
+    # the store really lives under the mount root, not the cwd
+    assert (root / "store" / "spo").is_dir()
+    assert (root / "store" / kgstore.ZONES_FILE).is_file()
+
+
+def test_resumable_writer_through_filesystem_handle(tmp_path):
+    """write_partitioned_resumable through a SubTreeFileSystem: first
+    run writes all partitions, second run skips them all."""
+    from pyarrow import fs as pafs
+
+    from ehr_relation_extraction_ray.pipelines import export
+
+    df = pd.DataFrame({"k": [f"k{i}" for i in range(200)],
+                       "v": np.arange(200)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    root = tmp_path / "mnt"
+    root.mkdir()
+    sub = pafs.SubTreeFileSystem(str(root), pafs.LocalFileSystem())
+    r1 = export.write_partitioned_resumable(
+        ds, "out", "k", num_partitions=8, filesystem=sub
+    )
+    assert r1["written"] == 8 and r1["rows_written"] == 200
+    r2 = export.write_partitioned_resumable(
+        ds, "out", "k", num_partitions=8, filesystem=sub
+    )
+    assert r2 == {"written": 0, "skipped": 8, "rows_written": 0}
+    got = pq.read_table(str(root / "out")).to_pandas()
+    assert len(got) == 200
+    assert set(got["k"]) == set(df["k"])
