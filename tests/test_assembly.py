@@ -308,3 +308,31 @@ def test_check_turn_equality_segmented():
     assert assembly.check_turn_equality(
         pa.Table.from_pandas(docs0), table, max_turns_per_doc=0
     )
+
+
+def test_layout_guard_statless_files_use_audit(tmp_path):
+    """Files written without column statistics can't be zone-checked —
+    the guard must fall through to the exact audit (and still pass a
+    valid layout / catch a violating one)."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    d = tmp_path / "parts"
+    d.mkdir()
+    t1 = pa.table({"conv_id": ["a", "b"],
+                   "turn_idx": pa.array([0, 0], pa.int64()),
+                   "text": ["x", "y"]})
+    t2 = pa.table({"conv_id": ["c"],
+                   "turn_idx": pa.array([0], pa.int64()),
+                   "text": ["z"]})
+    pq.write_table(t1, str(d / "p0.parquet"), write_statistics=False)
+    pq.write_table(t2, str(d / "p1.parquet"), write_statistics=False)
+    got = assembly.assemble_partitioned(str(d)).to_pandas()
+    assert sorted(got["doc_id"]) == ["a", "b", "c"]
+    # violating layout with stats disabled is still caught
+    t3 = pa.table({"conv_id": ["a"],
+                   "turn_idx": pa.array([1], pa.int64()),
+                   "text": ["x2"]})
+    pq.write_table(t3, str(d / "p2.parquet"), write_statistics=False)
+    with pytest.raises(ValueError, match="span|precondition"):
+        assembly.assemble_partitioned(str(d)).materialize()

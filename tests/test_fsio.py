@@ -1,0 +1,62 @@
+"""functions/fsio: path/URI/FileSystem resolution and file ops (the
+pyarrow.fs backend behind the KG store, seg lineage, and resumable
+writer — round-4 VERDICT item 3)."""
+
+import pyarrow as pa
+import pytest
+from pyarrow import fs as pafs
+
+from ehr_relation_extraction_ray.functions import fsio
+
+
+def test_resolve_plain_path_is_local():
+    fs, p = fsio.resolve("/tmp/somewhere")
+    assert isinstance(fs, pafs.LocalFileSystem)
+    assert p == "/tmp/somewhere"
+
+
+def test_resolve_file_uri(tmp_path):
+    fs, p = fsio.resolve(f"file://{tmp_path}/x")
+    assert isinstance(fs, pafs.LocalFileSystem)
+    assert p == f"{tmp_path}/x"
+
+
+def test_resolve_explicit_fs_passthrough(tmp_path):
+    sub = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    fs, p = fsio.resolve("rel/path", sub)
+    assert fs is sub
+    assert p == "rel/path"
+
+
+def test_roundtrip_ops_through_subtree(tmp_path):
+    sub = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    assert not fsio.exists(sub, "d")
+    fsio.makedirs(sub, "d/e")
+    assert fsio.is_dir(sub, "d/e")
+    fsio.write_text(sub, "d/e/m.txt", "token")
+    assert fsio.read_text(sub, "d/e/m.txt") == "token"
+    t = pa.table({"a": [1, 2], "b": ["x", "y"]})
+    fsio.write_table(sub, "d/e/t.parquet.tmp", t)
+    fsio.replace(sub, "d/e/t.parquet.tmp", "d/e/t.parquet")
+    assert fsio.listdir(sub, "d/e", ".parquet") == ["t.parquet"]
+    assert fsio.listdirs(sub, "d") == ["e"]
+    got = fsio.read_table(sub, "d/e/t.parquet")
+    assert got.equals(t)
+    md = fsio.read_metadata(sub, "d/e/t.parquet")
+    assert md.num_rows == 2
+    # files really landed under the mount root
+    assert (tmp_path / "d" / "e" / "t.parquet").is_file()
+    fsio.delete(sub, "d/e/t.parquet")
+    assert not fsio.exists(sub, "d/e/t.parquet")
+
+
+def test_listdir_missing_dir_empty(tmp_path):
+    sub = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    assert fsio.listdir(sub, "nope") == []
+    assert fsio.listdirs(sub, "nope") == []
+
+
+def test_read_text_missing_raises(tmp_path):
+    sub = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    with pytest.raises(OSError):
+        fsio.read_text(sub, "missing.txt")
