@@ -19,8 +19,11 @@ generalized to a filesystem interface.
 ATOMICITY: ``replace`` is an atomic rename on LocalFileSystem (POSIX
 rename). On object stores ``move`` is copy+delete — not atomic, but
 object-store PUTs are already all-or-nothing per object, so the
-tmp+replace crash-safety pattern degrades gracefully: a crashed copy
-leaves only a ``*.tmp`` object that readers ignore.
+tmp+replace crash-safety pattern degrades gracefully — PROVIDED tmp
+names start with ``_`` or ``.``: those are the only prefixes parquet
+directory readers (pyarrow datasets) actually skip, so a crashed copy
+leaves an ``_tmp-*`` object that scans ignore. Writers here follow that
+convention.
 """
 
 from __future__ import annotations
@@ -57,10 +60,11 @@ def makedirs(fs: "pafs.FileSystem", path: str) -> None:
 
 def listdir(fs: "pafs.FileSystem", path: str, suffix: str = "") -> list:
     """Base names of files directly under ``path`` (missing dir -> []),
-    optionally filtered by suffix. Non-recursive."""
-    if not is_dir(fs, path):
-        return []
-    infos = fs.get_file_info(pafs.FileSelector(path, recursive=False))
+    optionally filtered by suffix. Non-recursive; single RPC
+    (allow_not_found covers the missing-dir case)."""
+    infos = fs.get_file_info(
+        pafs.FileSelector(path, recursive=False, allow_not_found=True)
+    )
     return sorted(
         i.base_name
         for i in infos
@@ -70,10 +74,10 @@ def listdir(fs: "pafs.FileSystem", path: str, suffix: str = "") -> list:
 
 def listdirs(fs: "pafs.FileSystem", path: str) -> list:
     """Base names of directories directly under ``path`` (missing dir ->
-    []). On object stores 'directories' are common prefixes."""
-    if not is_dir(fs, path):
-        return []
-    infos = fs.get_file_info(pafs.FileSelector(path, recursive=False))
+    []). On object stores 'directories' are common prefixes. Single RPC."""
+    infos = fs.get_file_info(
+        pafs.FileSelector(path, recursive=False, allow_not_found=True)
+    )
     return sorted(
         i.base_name for i in infos if i.type == pafs.FileType.Directory
     )

@@ -342,12 +342,16 @@ def write_partitioned_resumable(
     pickled into the write tasks, so workers write the store directly.
     The tmp+rename commit is atomic on local/POSIX; on object stores the
     per-object PUT is already all-or-nothing and a crashed copy leaves
-    only an ignored ``*.tmp`` object.
+    only an ``_tmp-*`` object, which parquet directory readers skip
+    (pyarrow datasets ignore ``_``/``.``-prefixed files — a bare
+    ``*.tmp`` name would be READ and duplicate rows on resume).
 
     Returns {"written": int, "skipped": int, "rows_written": int}.
     """
     import posixpath
     import uuid as _uuid
+
+    import pyarrow.parquet as pq
 
     from ..functions import fsio
     from ..functions.partitioning import add_hash_partition, groupby_partition
@@ -384,7 +388,9 @@ def write_partitioned_resumable(
                              "rows": pa.array([], pa.int64())})
         pdir = posixpath.join(out_dir, f"part={pid}")
         fsio.makedirs(fs, pdir)
-        tmp = posixpath.join(pdir, f"{_uuid.uuid4().hex}.tmp")
+        # leading "_": the one prefix parquet dir scans actually ignore,
+        # so a crash between write and replace can't duplicate rows
+        tmp = posixpath.join(pdir, f"_tmp-{_uuid.uuid4().hex}")
         fsio.write_table(fs, tmp, part)
         fsio.replace(fs, tmp, posixpath.join(pdir, "data.parquet"))
         return pa.table({"part": [pid], "rows": [part.num_rows]})
@@ -397,11 +403,21 @@ def write_partitioned_resumable(
     # empty file so re-runs don't reprocess the whole input forever
     written = set(manifest["part"]) if len(manifest) else set()
     sch = ds.schema()
-    if isinstance(sch.base_schema, pa.Schema):
+    if written:
+        # take the exact schema a just-written data file carries, so
+        # placeholder files can never diverge from the real ones
+        # (a guessed dtype for pandas object columns would break
+        # whole-directory schema unification)
+        some = sorted(written)[0]
+        empty_schema = pq.read_schema(
+            posixpath.join(out_dir, f"part={some}", "data.parquet"),
+            filesystem=fs,
+        ).remove_metadata()
+    elif isinstance(sch.base_schema, pa.Schema):
         empty_schema = pa.schema(
             [f.remove_metadata() for f in sch.base_schema]
         )
-    else:  # pandas-backed blocks: no arrow schema object, rebuild
+    else:  # pandas-backed blocks, nothing written: rebuild best-effort
         def _to_pa(t):
             if isinstance(t, pa.DataType):
                 return t
@@ -418,7 +434,7 @@ def write_partitioned_resumable(
             continue
         pdir = posixpath.join(out_dir, f"part={pid}")
         fsio.makedirs(fs, pdir)
-        tmp = posixpath.join(pdir, f"{_uuid.uuid4().hex}.tmp")
+        tmp = posixpath.join(pdir, f"_tmp-{_uuid.uuid4().hex}")
         fsio.write_table(fs, tmp, empty_schema.empty_table())
         fsio.replace(fs, tmp, posixpath.join(pdir, "data.parquet"))
     return {

@@ -557,7 +557,8 @@ def check_partitioned_layout(paths: "list[str]") -> None:
     ).to_pandas()
     if zones.empty:
         return
-    suspect: set = set(zones.loc[~zones["has_stats"], "fidx"])
+    statless: set = set(zones.loc[~zones["has_stats"], "fidx"])
+    suspect: set = set(statless)
     ranged = zones[zones["has_stats"]].sort_values("key_min")
     # transitive overlap grouping over the sorted ranges
     group: list = []
@@ -577,7 +578,7 @@ def check_partitioned_layout(paths: "list[str]") -> None:
         suspect.update(group)
     # stats-less files can collide with ANY file, so audit everything
     # once one is present; otherwise only the overlapping ranges
-    if suspect and (set(zones.loc[~zones["has_stats"], "fidx"])):
+    if statless:
         suspect = set(zones["fidx"])
     if suspect:
         _audit_conv_disjoint([paths[i] for i in sorted(suspect)])
@@ -605,8 +606,8 @@ def assemble_partitioned(
     otherwise silently emit duplicate doc_ids): ``"auto"`` (default) runs
     :func:`check_partitioned_layout` — footer-only when conv_id ranges
     are disjoint, exact digest audit otherwise — ONCE per layout per
-    process (keyed by the sorted file list; a changed file set
-    re-verifies); ``"audit"`` forces the exact audit every call;
+    process (keyed by (path, size, mtime) per file; rewritten or changed
+    shards re-verify); ``"audit"`` forces the exact audit every call;
     ``"none"`` skips entirely (trusted writer).
     """
     import os as _os
@@ -617,7 +618,12 @@ def assemble_partitioned(
         if f.endswith(".parquet")
     )
     if verify == "auto":
-        key = tuple(paths)
+        # memo key includes size+mtime so shards rewritten IN PLACE under
+        # the same names (e.g. a part=N/data.parquet convention) re-verify
+        key = tuple(
+            (p, st.st_size, st.st_mtime_ns)
+            for p, st in ((p, _os.stat(p)) for p in paths)
+        )
         if key not in _VERIFIED_LAYOUTS:
             check_partitioned_layout(paths)
             _VERIFIED_LAYOUTS.add(key)

@@ -751,10 +751,13 @@ def neighbor_jaccard(
         # dimension-bounded node space (caller's assertion): the wedge
         # partials are (pairs x partitions)-bounded — sum them on the
         # driver instead of paying a second Ray shuffle's fixed cost
-        # (playbook driver-partial-merge)
-        merged = sum_pass_arrow(
-            pa.Table.from_pandas(parts.to_pandas(), preserve_index=False)
-        ).to_pandas()
+        # (playbook driver-partial-merge). One pandas groupby, no
+        # arrow<->pandas round-trips.
+        merged = (
+            parts.to_pandas()
+            .groupby(["x", "y", "kind"], as_index=False)["c"].sum()
+            [["x", "y", "c", "kind"]]
+        )
     else:
         merged = groupby_partition(
             parts,

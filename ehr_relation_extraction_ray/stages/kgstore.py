@@ -67,7 +67,7 @@ def _write_bucket_file(
     key = _composite_key(g, cols)
     t = pa.Table.from_pandas(g[cols], preserve_index=False)
     t = t.append_column("k", pa.array(key.to_numpy(), pa.string()))
-    fs, _ = fsio.resolve(odir, fs)
+    fs, odir = fsio.resolve(odir, fs)
     fsio.write_table(fs, posixpath.join(odir, f"{bucket}.parquet"), t)
     return {
         "idx_order": order, "bucket": bucket, "n": len(g),
@@ -82,7 +82,7 @@ def _verify_shared_marker(marker_path: str, token: str, fs=None) -> None:
     multi-node cluster) and must fail loudly — merging against a
     node-local view would silently rewrite buckets with delta-only rows
     (base data loss)."""
-    fs, _ = fsio.resolve(marker_path, fs)
+    fs, marker_path = fsio.resolve(marker_path, fs)
     try:
         seen = fsio.read_text(fs, marker_path)
     except OSError:
@@ -181,7 +181,7 @@ def _zone_from_footer(path: str, order: str, bucket: str, fs=None) -> dict:
     """Zone row from Parquet FOOTER statistics only — no data pages read.
     Valid because the ``k`` column is written sorted (row-group stats of
     a sorted column give the exact global min/max)."""
-    fs, _ = fsio.resolve(path, fs)
+    fs, path = fsio.resolve(path, fs)
     md = fsio.read_metadata(fs, path)
     if md.num_rows == 0:
         # zero-row bucket file (foreign tool, interrupted write): no key

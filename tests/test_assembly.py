@@ -336,3 +336,28 @@ def test_layout_guard_statless_files_use_audit(tmp_path):
     pq.write_table(t3, str(d / "p2.parquet"), write_statistics=False)
     with pytest.raises(ValueError, match="span|precondition"):
         assembly.assemble_partitioned(str(d)).materialize()
+
+
+def test_layout_guard_reverifies_on_rewrite(tmp_path):
+    """The verify='auto' memo keys on (path, size, mtime): rewriting a
+    shard in place under the same name re-runs the guard."""
+    import os
+    import pytest
+
+    d = _write_shards(tmp_path, [
+        [("a", 0, "a0"), ("b", 0, "b0")],
+        [("c", 0, "c0")],
+    ])
+    ok = assembly.assemble_partitioned(d).to_pandas()
+    assert sorted(ok["doc_id"]) == ["a", "b", "c"]
+    # rewrite shard 1 in place so conversation 'a' now spans both files
+    import pyarrow.parquet as pq
+
+    t = pa.table({"conv_id": ["a", "c"],
+                  "turn_idx": pa.array([1, 0], pa.int64()),
+                  "text": ["a1", "c0"]})
+    path1 = os.path.join(d, "part-1.parquet")
+    pq.write_table(t, path1)
+    os.utime(path1, ns=(1, 1))  # force a distinct mtime even on fast fs
+    with pytest.raises(ValueError, match="span|precondition"):
+        assembly.assemble_partitioned(d).materialize()

@@ -550,3 +550,26 @@ def test_resumable_writer_through_filesystem_handle(tmp_path):
     got = pq.read_table(str(root / "out")).to_pandas()
     assert len(got) == 200
     assert set(got["k"]) == set(df["k"])
+
+
+def test_resumable_writer_crashed_tmp_is_ignored(tmp_path):
+    """A crash between write_table and replace leaves an _tmp-* file;
+    parquet directory readers must skip it (the '_' prefix is the only
+    prefix pyarrow datasets ignore) and a resume must still complete the
+    partition."""
+    from ehr_relation_extraction_ray.pipelines import export
+
+    df = pd.DataFrame({"k": [f"k{i}" for i in range(50)], "v": np.arange(50)})
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = tmp_path / "out"
+    r1 = export.write_partitioned_resumable(ds, str(out), "k", num_partitions=4)
+    assert r1["written"] == 4
+    # simulate a crashed write: stray tmp shard next to a finished one
+    stray = out / "part=0" / "_tmp-deadbeef"
+    pq.write_table(
+        pq.read_table(str(out / "part=0" / "data.parquet")), str(stray)
+    )
+    got = pq.read_table(str(out)).to_pandas()
+    assert len(got) == 50  # the stray tmp did NOT duplicate rows
+    r2 = export.write_partitioned_resumable(ds, str(out), "k", num_partitions=4)
+    assert r2 == {"written": 0, "skipped": 4, "rows_written": 0}
