@@ -149,7 +149,19 @@ def neighbor_sample_ds(
         # no hop-1 frontier -> no hop-2 expansion either
         return ray.data.from_arrow(out_schema.empty_table())
     h1 = ray.data.from_arrow_refs(h1_refs)
-    s2 = samples.filter(expr=f"r <= {k2}")
+    # same pinning for s2: a block whose rows ALL have r > k2 would skip
+    # tag_s2 and push a stale-schema empty block into the tagged union
+    s2_refs = rounds.block_refs(samples.filter(expr=f"r <= {k2}").materialize())
+    if not s2_refs:
+        # no per-node hop-2 samples -> result is hop-1 only
+        return h1.map_batches(
+            lambda df: pd.DataFrame(
+                {"seed": df["v"].astype(str),
+                 "hop": np.full(len(df), 1, dtype=np.int64),
+                 "src": df["v"].astype(str), "dst": df["u"].astype(str)}),
+            batch_format="pandas",
+        )
+    s2 = ray.data.from_arrow_refs(s2_refs)
 
     # hop-2 join keyed on the frontier node: tag hop-1 rows by their mid
     # node u, per-node samples by their own node v — one exchange.

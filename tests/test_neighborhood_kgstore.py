@@ -573,3 +573,17 @@ def test_resumable_writer_crashed_tmp_is_ignored(tmp_path):
     assert len(got) == 50  # the stray tmp did NOT duplicate rows
     r2 = export.write_partitioned_resumable(ds, str(out), "k", num_partitions=4)
     assert r2 == {"written": 0, "skipped": 4, "rows_written": 0}
+
+
+def test_neighbor_sample_k2_zero_hop1_only(trip):
+    """k2=0: no per-node hop-2 samples — hop-1 rows only, and no
+    stale-schema block can reach the tagged union."""
+    df, ds = trip
+    out = nb.neighbor_sample(ds, k1=3, k2=0)
+    assert not out.empty
+    assert set(out["hop"]) == {1}
+    want = nb.neighbor_sample(ds, k1=3, k2=2)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True),
+        want[want["hop"] == 1].reset_index(drop=True),
+    )
