@@ -11,8 +11,17 @@ manifest per stage:
 
 A rerun skips any stage whose manifest is complete and whose upstream
 fingerprint matches, reading the Parquet back as a Dataset — mid-pipeline
-resume at stage granularity. Writes go to a temp dir + atomic rename, so
-a killed run can never leave a half-written checkpoint marked done.
+resume at stage granularity.
+
+COMMIT PROTOCOL (r5): the MANIFEST is the commit point. A recompute
+deletes the stage manifest first, rewrites the data directory, then
+writes the manifest last (tmp + rename — file-level atomicity, which
+every pyarrow.fs backend has, unlike directory rename). Any crash
+leaves either no manifest (next run recomputes) or a complete
+manifest over complete data — never a half-written checkpoint marked
+done. This replaces the old tmp-dir + os.rename pattern, which was
+LocalFileSystem-only; ``base_dir`` may now be a URI or pair with an
+explicit ``filesystem`` (functions/fsio), same as the KG store.
 
 At 100 TB each stage's Parquet is partitioned by the pipeline key
 (hash(doc_id) % P via Ray's block structure), so a failed run re-reads
@@ -23,15 +32,15 @@ from __future__ import annotations
 
 import hashlib
 import json
-import os
-import shutil
+import posixpath
 import time
 from typing import Callable, Dict, List, Optional
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 import ray.data
+
+from ..functions import fsio
 
 
 def _schema_fingerprint(schema: pa.Schema) -> str:
@@ -47,25 +56,24 @@ class CheckpointedPipeline:
     ...                 upstream=["documents"])
     """
 
-    def __init__(self, base_dir: str):
-        self.base_dir = base_dir
-        os.makedirs(base_dir, exist_ok=True)
+    def __init__(self, base_dir: str, filesystem=None):
+        self.fs, self.base_dir = fsio.resolve(base_dir, filesystem)
+        fsio.makedirs(self.fs, self.base_dir)
         self._fingerprints: Dict[str, str] = {}
         self._lineage: List[Dict] = []
 
     # -- paths ------------------------------------------------------------
     def _stage_dir(self, name: str) -> str:
-        return os.path.join(self.base_dir, name)
+        return posixpath.join(self.base_dir, name)
 
     def _manifest_path(self, name: str) -> str:
-        return os.path.join(self._stage_dir(name), "_manifest.json")
+        return posixpath.join(self._stage_dir(name), "_manifest.json")
 
     # -- manifest ---------------------------------------------------------
     def manifest(self, name: str) -> Optional[Dict]:
         try:
-            with open(self._manifest_path(name)) as f:
-                return json.load(f)
-        except (FileNotFoundError, json.JSONDecodeError):
+            return json.loads(fsio.read_text(self.fs, self._manifest_path(name)))
+        except (OSError, json.JSONDecodeError):
             return None
 
     def _upstream_fp(self, upstream: Optional[List[str]]) -> str:
@@ -88,35 +96,35 @@ class CheckpointedPipeline:
         up_fp = self._upstream_fp(upstream)
         want_fp = hashlib.md5(f"{up_fp}|{params}".encode()).hexdigest()
         man = self.manifest(name)
-        data_dir = os.path.join(self._stage_dir(name), "data")
+        data_dir = posixpath.join(self._stage_dir(name), "data")
         if man and man.get("done") and man.get("fingerprint") == want_fp:
             self._fingerprints[name] = man["output_fp"]
             self._lineage.append(
                 {"stage": name, "rows": man["rows"], "wall_s": 0.0, "cached": True}
             )
-            return ray.data.read_parquet(data_dir)
+            return ray.data.read_parquet(data_dir, filesystem=self.fs)
 
         t0 = time.time()
         ds = factory()
-        tmp = os.path.join(self.base_dir, f".tmp-{name}-{os.getpid()}")
-        shutil.rmtree(tmp, ignore_errors=True)
-        ds.write_parquet(tmp)
+        # manifest-as-commit: retract the done marker BEFORE touching data
+        # so a crash mid-rewrite can never leave stale data marked done
+        mpath = self._manifest_path(name)
+        if fsio.exists(self.fs, mpath):
+            fsio.delete(self.fs, mpath)
+        if fsio.exists(self.fs, data_dir):
+            self.fs.delete_dir(data_dir)
+        fsio.makedirs(self.fs, data_dir)
+        ds.write_parquet(data_dir, filesystem=self.fs)
+        files = fsio.listdir(self.fs, data_dir, ".parquet")
         rows = sum(
-            pq.read_metadata(os.path.join(tmp, f)).num_rows
-            for f in os.listdir(tmp)
-            if f.endswith(".parquet")
+            fsio.read_metadata(self.fs, posixpath.join(data_dir, f)).num_rows
+            for f in files
         )
-        schema = pq.read_schema(
-            os.path.join(
-                tmp, next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-            )
-        )
+        schema = fsio.read_metadata(
+            self.fs, posixpath.join(data_dir, files[0])
+        ).schema.to_arrow_schema()
         wall = time.time() - t0
 
-        stage_dir = self._stage_dir(name)
-        shutil.rmtree(stage_dir, ignore_errors=True)
-        os.makedirs(stage_dir)
-        os.rename(tmp, data_dir)
         # want_fp is folded in so ANY recompute of this stage (params or
         # upstream change) invalidates downstream stages even when rows and
         # schema happen to be unchanged (ADVICE round 1: content can differ
@@ -124,24 +132,25 @@ class CheckpointedPipeline:
         out_fp = hashlib.md5(
             f"{rows}|{_schema_fingerprint(schema)}|{want_fp}".encode()
         ).hexdigest()
-        with open(self._manifest_path(name), "w") as f:
-            json.dump(
-                {
-                    "done": True,
-                    "rows": rows,
-                    "wall_s": round(wall, 3),
-                    "fingerprint": want_fp,
-                    "output_fp": out_fp,
-                    "schema": str(schema),
-                },
-                f,
-                indent=2,
-            )
+        body = json.dumps(
+            {
+                "done": True,
+                "rows": rows,
+                "wall_s": round(wall, 3),
+                "fingerprint": want_fp,
+                "output_fp": out_fp,
+                "schema": str(schema),
+            },
+            indent=2,
+        )
+        tmp = mpath + ".tmp"  # "_manifest.json.tmp": "_" prefix, scan-safe
+        fsio.write_text(self.fs, tmp, body)
+        fsio.replace(self.fs, tmp, mpath)
         self._fingerprints[name] = out_fp
         self._lineage.append(
             {"stage": name, "rows": rows, "wall_s": round(wall, 3), "cached": False}
         )
-        return ray.data.read_parquet(data_dir)
+        return ray.data.read_parquet(data_dir, filesystem=self.fs)
 
     # -- lineage (G8) -----------------------------------------------------
     def flush_lineage(self) -> pa.Table:
@@ -156,8 +165,8 @@ class CheckpointedPipeline:
                 "cached": pa.array([l["cached"] for l in self._lineage], pa.bool_()),
             }
         )
-        path = os.path.join(self.base_dir, "_lineage.parquet")
-        if os.path.exists(path):
-            table = pa.concat_tables([pq.read_table(path), table])
-        pq.write_table(table, path)
+        path = posixpath.join(self.base_dir, "_lineage.parquet")
+        if fsio.exists(self.fs, path):
+            table = pa.concat_tables([fsio.read_table(self.fs, path), table])
+        fsio.write_table(self.fs, path, table)
         return table

@@ -86,3 +86,42 @@ def test_materialize_graph_writes_and_resumes(tmp_path, ray_session):
         os.path.join(info["checkpoint_dir"], "_lineage.parquet")
     ).to_pandas()
     assert bool(lin.tail(6)["cached"].all())
+
+
+def test_checkpoint_through_filesystem_handle(tmp_path):
+    """CheckpointedPipeline accepts a pyarrow.fs handle: stages write,
+    skip-if-done, and invalidate identically through a SubTreeFileSystem
+    (paths relative to a mount root)."""
+    import pandas as pd
+    import ray
+    from pyarrow import fs as pafs
+
+    from ehr_relation_extraction_ray.state.checkpoint import (
+        CheckpointedPipeline,
+    )
+
+    root = tmp_path / "mnt"
+    root.mkdir()
+    sub = pafs.SubTreeFileSystem(str(root), pafs.LocalFileSystem())
+    df = pd.DataFrame({"x": [1, 2, 3]})
+    calls = {"n": 0}
+
+    def make():
+        calls["n"] += 1
+        return ray.data.from_pandas(df)
+
+    cp = CheckpointedPipeline("ckpt", filesystem=sub)
+    out1 = cp.stage("s1", make).to_pandas()
+    assert calls["n"] == 1 and sorted(out1["x"]) == [1, 2, 3]
+    # second pipeline over the same store: cached, factory not called
+    cp2 = CheckpointedPipeline("ckpt", filesystem=sub)
+    out2 = cp2.stage("s1", make).to_pandas()
+    assert calls["n"] == 1 and sorted(out2["x"]) == [1, 2, 3]
+    # params change invalidates
+    cp3 = CheckpointedPipeline("ckpt", filesystem=sub)
+    cp3.stage("s1", make, params="v2")
+    assert calls["n"] == 2
+    # the store really lives under the mount root
+    assert (root / "ckpt" / "s1" / "_manifest.json").is_file()
+    lin = cp3.flush_lineage()
+    assert lin.num_rows >= 1
