@@ -59,12 +59,16 @@ def makedirs(fs: "pafs.FileSystem", path: str) -> None:
 
 
 def listdir(fs: "pafs.FileSystem", path: str, suffix: str = "") -> list:
-    """Base names of files directly under ``path`` (missing dir -> []),
-    optionally filtered by suffix. Non-recursive; single RPC
-    (allow_not_found covers the missing-dir case)."""
-    infos = fs.get_file_info(
-        pafs.FileSelector(path, recursive=False, allow_not_found=True)
-    )
+    """Base names of files directly under ``path`` (missing dir or a
+    path that names a FILE -> []), optionally filtered by suffix.
+    Non-recursive; single RPC in the normal case (allow_not_found
+    covers missing; NotADirectoryError covers the file-typed path)."""
+    try:
+        infos = fs.get_file_info(
+            pafs.FileSelector(path, recursive=False, allow_not_found=True)
+        )
+    except NotADirectoryError:
+        return []
     return sorted(
         i.base_name
         for i in infos
@@ -73,11 +77,15 @@ def listdir(fs: "pafs.FileSystem", path: str, suffix: str = "") -> list:
 
 
 def listdirs(fs: "pafs.FileSystem", path: str) -> list:
-    """Base names of directories directly under ``path`` (missing dir ->
-    []). On object stores 'directories' are common prefixes. Single RPC."""
-    infos = fs.get_file_info(
-        pafs.FileSelector(path, recursive=False, allow_not_found=True)
-    )
+    """Base names of directories directly under ``path`` (missing dir or
+    file-typed path -> []). On object stores 'directories' are common
+    prefixes. Single RPC in the normal case."""
+    try:
+        infos = fs.get_file_info(
+            pafs.FileSelector(path, recursive=False, allow_not_found=True)
+        )
+    except NotADirectoryError:
+        return []
     return sorted(
         i.base_name for i in infos if i.type == pafs.FileType.Directory
     )

@@ -388,6 +388,11 @@ def write_partitioned_resumable(
                              "rows": pa.array([], pa.int64())})
         pdir = posixpath.join(out_dir, f"part={pid}")
         fsio.makedirs(fs, pdir)
+        # GC stray tmp shards from crashed prior runs of this partition
+        # (they are scan-ignored but cost storage on repeated crashes)
+        for stray in fsio.listdir(fs, pdir):
+            if stray.startswith("_tmp-"):
+                fsio.delete(fs, posixpath.join(pdir, stray))
         # leading "_": the one prefix parquet dir scans actually ignore,
         # so a crash between write and replace can't duplicate rows
         tmp = posixpath.join(pdir, f"_tmp-{_uuid.uuid4().hex}")
@@ -402,33 +407,36 @@ def write_partitioned_resumable(
     # a legitimately EMPTY partition gets no group call — commit it as an
     # empty file so re-runs don't reprocess the whole input forever
     written = set(manifest["part"]) if len(manifest) else set()
-    sch = ds.schema()
-    if written:
-        # take the exact schema a just-written data file carries, so
-        # placeholder files can never diverge from the real ones
-        # (a guessed dtype for pandas object columns would break
-        # whole-directory schema unification)
-        some = sorted(written)[0]
+    # schema source for empty-partition placeholders, in order of
+    # fidelity: a data file from THIS run, a done file from a PRIOR run
+    # (resume that only had empty partitions left), then the dataset's
+    # own schema. Reading from a real file guarantees placeholders can
+    # never diverge from the data (a guessed dtype for pandas object
+    # columns breaks whole-directory schema unification).
+    exemplar = sorted(written) or sorted(done)
+    if exemplar:
         empty_schema = pq.read_schema(
-            posixpath.join(out_dir, f"part={some}", "data.parquet"),
+            posixpath.join(out_dir, f"part={exemplar[0]}", "data.parquet"),
             filesystem=fs,
         ).remove_metadata()
-    elif isinstance(sch.base_schema, pa.Schema):
-        empty_schema = pa.schema(
-            [f.remove_metadata() for f in sch.base_schema]
-        )
-    else:  # pandas-backed blocks, nothing written: rebuild best-effort
-        def _to_pa(t):
-            if isinstance(t, pa.DataType):
-                return t
-            try:
-                return pa.from_numpy_dtype(np.dtype(t))
-            except (TypeError, pa.ArrowNotImplementedError):
-                return pa.string()  # pandas object dtype
+    else:
+        sch = ds.schema()  # only evaluated when no file exists to read
+        if isinstance(sch.base_schema, pa.Schema):
+            empty_schema = pa.schema(
+                [f.remove_metadata() for f in sch.base_schema]
+            )
+        else:  # pandas-backed blocks, nothing written: rebuild best-effort
+            def _to_pa(t):
+                if isinstance(t, pa.DataType):
+                    return t
+                try:
+                    return pa.from_numpy_dtype(np.dtype(t))
+                except (TypeError, pa.ArrowNotImplementedError):
+                    return pa.string()  # pandas object dtype
 
-        empty_schema = pa.schema(
-            [(n, _to_pa(t)) for n, t in zip(sch.names, sch.types)]
-        )
+            empty_schema = pa.schema(
+                [(n, _to_pa(t)) for n, t in zip(sch.names, sch.types)]
+            )
     for pid in missing:
         if pid in written:
             continue

@@ -585,8 +585,10 @@ def check_partitioned_layout(paths: "list[str]") -> None:
 
 
 # layouts already verified by this process (verify="auto" memo): repeated
-# pipeline runs over the same file set skip the re-check
-_VERIFIED_LAYOUTS: set = set()
+# pipeline runs over the same file set skip the re-check. Keyed by
+# DIRECTORY with the file-stat tuple as value (one entry per dir,
+# replaced on change — bounded, no growth across rewrite cycles).
+_VERIFIED_LAYOUTS: dict = {}
 
 
 def assemble_partitioned(
@@ -618,15 +620,15 @@ def assemble_partitioned(
         if f.endswith(".parquet")
     )
     if verify == "auto":
-        # memo key includes size+mtime so shards rewritten IN PLACE under
+        # memo value includes size+mtime so shards rewritten IN PLACE under
         # the same names (e.g. a part=N/data.parquet convention) re-verify
         key = tuple(
             (p, st.st_size, st.st_mtime_ns)
             for p, st in ((p, _os.stat(p)) for p in paths)
         )
-        if key not in _VERIFIED_LAYOUTS:
+        if _VERIFIED_LAYOUTS.get(path_dir) != key:
             check_partitioned_layout(paths)
-            _VERIFIED_LAYOUTS.add(key)
+            _VERIFIED_LAYOUTS[path_dir] = key
     elif verify == "audit":
         _audit_conv_disjoint(paths)
     elif verify != "none":

@@ -149,18 +149,19 @@ def neighbor_sample_ds(
         # no hop-1 frontier -> no hop-2 expansion either
         return ray.data.from_arrow(out_schema.empty_table())
     h1 = ray.data.from_arrow_refs(h1_refs)
+
+    def as_hop1(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"seed": df["v"].astype(str),
+             "hop": np.full(len(df), 1, dtype=np.int64),
+             "src": df["v"].astype(str), "dst": df["u"].astype(str)})
+
     # same pinning for s2: a block whose rows ALL have r > k2 would skip
     # tag_s2 and push a stale-schema empty block into the tagged union
     s2_refs = rounds.block_refs(samples.filter(expr=f"r <= {k2}").materialize())
     if not s2_refs:
         # no per-node hop-2 samples -> result is hop-1 only
-        return h1.map_batches(
-            lambda df: pd.DataFrame(
-                {"seed": df["v"].astype(str),
-                 "hop": np.full(len(df), 1, dtype=np.int64),
-                 "src": df["v"].astype(str), "dst": df["u"].astype(str)}),
-            batch_format="pandas",
-        )
+        return h1.map_batches(as_hop1, batch_format="pandas")
     s2 = ray.data.from_arrow_refs(s2_refs)
 
     # hop-2 join keyed on the frontier node: tag hop-1 rows by their mid
@@ -202,12 +203,6 @@ def neighbor_sample_ds(
     hop2 = groupby_partition(
         tagged, "key", expand, batch_format="pandas", schema=schema
     )
-
-    def as_hop1(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"seed": df["v"].astype(str),
-             "hop": np.full(len(df), 1, dtype=np.int64),
-             "src": df["v"].astype(str), "dst": df["u"].astype(str)})
 
     # h1 is non-empty-block-pinned above, so as_hop1 runs on every block
     # and the union's schemas agree.

@@ -73,8 +73,13 @@ class CheckpointedPipeline:
     def manifest(self, name: str) -> Optional[Dict]:
         try:
             return json.loads(fsio.read_text(self.fs, self._manifest_path(name)))
-        except (OSError, json.JSONDecodeError):
+        except FileNotFoundError:
             return None
+        except json.JSONDecodeError:
+            return None  # corrupt manifest: treat as absent -> recompute
+        # any OTHER OSError (transient storage/network failure) propagates:
+        # returning None here would make stage() DELETE a valid checkpoint
+        # and recompute it on a retryable error
 
     def _upstream_fp(self, upstream: Optional[List[str]]) -> str:
         parts = [self._fingerprints.get(u, "?") for u in (upstream or [])]
@@ -120,9 +125,36 @@ class CheckpointedPipeline:
             fsio.read_metadata(self.fs, posixpath.join(data_dir, f)).num_rows
             for f in files
         )
-        schema = fsio.read_metadata(
-            self.fs, posixpath.join(data_dir, files[0])
-        ).schema.to_arrow_schema()
+        if files:
+            schema = fsio.read_metadata(
+                self.fs, posixpath.join(data_dir, files[0])
+            ).schema.to_arrow_schema()
+        else:
+            # a legitimately empty stage writes ZERO files (verified Ray
+            # behavior); commit an explicit empty-table file so the
+            # checkpoint read-back and the schema source both exist
+            sch = ds.schema()
+            if isinstance(sch.base_schema, pa.Schema):
+                schema = sch.base_schema
+            else:  # pandas-backed blocks: numpy dtypes need converting
+                import numpy as _np
+
+                def _to_pa(t):
+                    if isinstance(t, pa.DataType):
+                        return t
+                    try:
+                        return pa.from_numpy_dtype(_np.dtype(t))
+                    except (TypeError, pa.ArrowNotImplementedError):
+                        return pa.string()
+
+                schema = pa.schema(
+                    [(n, _to_pa(t)) for n, t in zip(sch.names, sch.types)]
+                )
+            fsio.write_table(
+                self.fs,
+                posixpath.join(data_dir, "part-empty.parquet"),
+                schema.empty_table(),
+            )
         wall = time.time() - t0
 
         # want_fp is folded in so ANY recompute of this stage (params or
@@ -168,5 +200,7 @@ class CheckpointedPipeline:
         path = posixpath.join(self.base_dir, "_lineage.parquet")
         if fsio.exists(self.fs, path):
             table = pa.concat_tables([fsio.read_table(self.fs, path), table])
-        fsio.write_table(self.fs, path, table)
+        tmp = path + ".tmp"
+        fsio.write_table(self.fs, tmp, table)  # crash-safe: commit by rename
+        fsio.replace(self.fs, tmp, path)
         return table
