@@ -125,3 +125,32 @@ def test_checkpoint_through_filesystem_handle(tmp_path):
     assert (root / "ckpt" / "s1" / "_manifest.json").is_file()
     lin = cp3.flush_lineage()
     assert lin.num_rows >= 1
+
+
+def test_checkpoint_empty_stage(tmp_path):
+    """A factory yielding a 0-row Dataset checkpoints cleanly (Ray writes
+    zero parquet files for empty datasets — the store commits an explicit
+    empty-table file) and the cached read-back round-trips."""
+    import pandas as pd
+    import ray
+
+    from ehr_relation_extraction_ray.state.checkpoint import (
+        CheckpointedPipeline,
+    )
+
+    calls = {"n": 0}
+
+    def make():
+        calls["n"] += 1
+        return ray.data.from_pandas(
+            pd.DataFrame({"x": pd.Series([], dtype="int64")})
+        )
+
+    cp = CheckpointedPipeline(str(tmp_path / "ck"))
+    out = cp.stage("empty", make)
+    assert out.count() == 0
+    assert calls["n"] == 1
+    cp2 = CheckpointedPipeline(str(tmp_path / "ck"))
+    out2 = cp2.stage("empty", make)
+    assert out2.count() == 0
+    assert calls["n"] == 1  # cached, not recomputed

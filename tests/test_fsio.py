@@ -60,3 +60,10 @@ def test_read_text_missing_raises(tmp_path):
     sub = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
     with pytest.raises(OSError):
         fsio.read_text(sub, "missing.txt")
+
+
+def test_listdir_file_typed_path_empty(tmp_path):
+    (tmp_path / "f.txt").write_text("x")
+    sub = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    assert fsio.listdir(sub, "f.txt") == []
+    assert fsio.listdirs(sub, "f.txt") == []

@@ -8,6 +8,7 @@ import shutil
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -587,3 +588,34 @@ def test_neighbor_sample_k2_zero_hop1_only(trip):
         out.reset_index(drop=True),
         want[want["hop"] == 1].reset_index(drop=True),
     )
+
+
+def test_resumable_placeholder_schema_from_prior_run(tmp_path):
+    """Resume where only EMPTY partitions remain: the placeholder schema
+    comes from a prior run's data file, never a dtype guess."""
+    from ehr_relation_extraction_ray.pipelines import export
+
+    df = pd.DataFrame({"k": [f"k{i}" for i in range(4)],
+                       "payload": [f"x{i}".encode() for i in range(4)]})
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = tmp_path / "o"
+    # 16 partitions >> 4 keys guarantees empty-placeholder partitions
+    r1 = export.write_partitioned_resumable(ds, str(out), "k", num_partitions=16)
+    assert r1["written"] == 16
+    # delete one partition that was legitimately EMPTY (placeholder) to
+    # simulate a crash before the placeholder loop; rerun must rebuild it
+    # with the bytes schema read from a real file
+    empties = [
+        d for d in out.iterdir()
+        if pq.read_metadata(str(d / "data.parquet")).num_rows == 0
+    ]
+    assert empties  # 16 partitions over 4 keys must leave empties
+    if empties:
+        (empties[0] / "data.parquet").unlink()
+        r2 = export.write_partitioned_resumable(
+            ds, str(out), "k", num_partitions=16
+        )
+        assert r2["written"] == 1
+    whole = pq.read_table(str(out))  # unified schema across all files
+    assert whole.schema.field("payload").type in (pa.binary(), pa.large_binary())
+    assert whole.num_rows == 4
