@@ -255,7 +255,7 @@ def window_candidates_batch(
     s_e = np.where(d_first, oe_, de_)
 
     # stray markers: per-doc scan, assigned to the window that fully
-    # contains the match (matches of @[A-Za-z]+\$ cannot overlap, so the
+    # contains the match (matches of @\w+\$ cannot overlap, so the
     # non-overlapping scan finds every per-window match; a match
     # straddling a boundary is in no window's slice — also reference
     # behavior)

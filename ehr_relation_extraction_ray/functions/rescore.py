@@ -23,7 +23,12 @@ from typing import List, Sequence
 
 import numpy as np
 
-_MARKER_RE = re.compile(r"@[A-Za-z]+\$")
+# \w (not [A-Za-z]): entity-type names are used VERBATIM in the mask
+# ("@lab_value$", "@Type2$"), so the marker shape must accept every name
+# compile_patterns accepts — an alpha-only regex silently disagrees with
+# the gap_len fast path for such types (same constant is imported by
+# functions/pairs.py, keeping scorer and fast-path proof consistent)
+_MARKER_RE = re.compile(r"@\w+\$")
 # Max char gap between the two entity markers for a positive prediction.
 DEFAULT_MAX_GAP = 120
 

@@ -34,7 +34,9 @@ from ..lexicon import (
     find_mentions,
     fit_patterns,
 )
-from ..schemas import CANDIDATES, validate
+# output schema is exact by construction (pa.array(..., f.type) +
+# Table.from_arrays(schema=CANDIDATES)), so no validate() call is needed
+from ..schemas import CANDIDATES
 
 RE_MAX_LEN = 128  # BIOBERT_RE_SEQ_LEN (predict.py:33, utils_re.py:370)
 
@@ -54,7 +56,9 @@ class CandidateGenerator:
     ):
         from ..state.quarantine import Quarantine
 
-        self.compiled = compile_patterns(patterns or fit_patterns(DEFAULT_LEXICON))
+        self.compiled = compile_patterns(
+            patterns if patterns is not None else fit_patterns(DEFAULT_LEXICON)
+        )
         # batch-vectorized matcher (token-n-gram hash, regex-parity by
         # construction + tests) — only when fitted from the default
         # surface lists; custom pattern strings keep the regex path
@@ -110,9 +114,15 @@ class CandidateGenerator:
                 kept_texts.append(text)
                 kept_mentions.append(mentions)
 
-        spans_batch = (
-            token_spans_batch(kept_texts) if self.tokenizer is None else None
-        )
+        spans_batch = None
+        if self.tokenizer is None:
+            try:
+                spans_batch = token_spans_batch(kept_texts)
+            except Exception:
+                # batch-level tokenizer failure must not defeat per-doc
+                # quarantine (same invariant as the matcher and pair-grid
+                # guards): fall back to per-doc token_spans under the guard
+                spans_batch = None
         kept2_ids: List = []
         kept2_texts: List[str] = []
         kept2_windows: List = []
@@ -127,8 +137,10 @@ class CandidateGenerator:
                     starts, ends = model_token_spans(
                         text, self.tokenizer, self.is_bert_tokenizer
                     )
-                else:
+                elif spans_batch is not None:
                     starts, ends = spans_batch[row]
+                else:
+                    starts, ends = token_spans(text)
                 split = split_points(text, starts, max_len=self.max_len)
                 windows = char_windows(text, split, ends)
                 kept2_ids.append(doc_id)
@@ -205,14 +217,18 @@ def _default_generator_batch(batch: pa.Table, emit_masked: bool = True) -> pa.Ta
     return gen(batch)
 
 
-_QUARANTINED_GENERATORS: Dict[str, "CandidateGenerator"] = {}
+_QUARANTINED_GENERATORS: Dict[tuple, "CandidateGenerator"] = {}
 
 
-def _quarantined_generator_batch(batch: pa.Table, errors_dir: str) -> pa.Table:
-    gen = _QUARANTINED_GENERATORS.get(errors_dir)
+def _quarantined_generator_batch(
+    batch: pa.Table, errors_dir: str, emit_masked: bool = True
+) -> pa.Table:
+    key = (errors_dir, emit_masked)
+    gen = _QUARANTINED_GENERATORS.get(key)
     if gen is None:
         gen = _QUARANTINED_GENERATORS.setdefault(
-            errors_dir, CandidateGenerator(errors_dir=errors_dir)
+            key,
+            CandidateGenerator(errors_dir=errors_dir, emit_masked=emit_masked),
         )
     return gen(batch)
 
@@ -239,11 +255,15 @@ def generate(
     (see functions/pairs.window_candidates) — only valid when the consumer
     is the surrogate scorer; exports and model scorers need the default.
     """
+    if tokenizer == "default":  # same semantics as None (constructor
+        tokenizer = None        # normalizes) — don't pin an actor pool
     if patterns is None and concurrency is None and tokenizer is None:
         if errors_dir is not None:
             return documents.map_batches(
                 _quarantined_generator_batch,
-                fn_kwargs={"errors_dir": errors_dir},
+                fn_kwargs={
+                    "errors_dir": errors_dir, "emit_masked": emit_masked
+                },
                 batch_format="pyarrow",
                 batch_size=batch_size,
             )

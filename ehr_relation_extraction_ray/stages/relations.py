@@ -20,7 +20,7 @@
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import numpy as np
 import pyarrow as pa
@@ -52,9 +52,15 @@ class RelationScorer:
         identical output to running ``SurrogateScorer`` on every masked
         text."""
         if "gap_len" in batch.column_names:
-            gl = batch["gap_len"].combine_chunks().to_numpy(zero_copy_only=False)
+            col = batch["gap_len"].combine_chunks()
+            # fill_null(-1): a null gap_len (externally-built candidates —
+            # the schema field is nullable) must take the exact-scorer
+            # fallback, not become NaN (which fails BOTH the keep predicate
+            # and the gl < 0 fallback test, silently dropping the row)
+            gl = pc.fill_null(col, -1).to_numpy(zero_copy_only=False)
             clean = (
-                batch["gap_clean"].combine_chunks().to_numpy(zero_copy_only=False)
+                pc.fill_null(batch["gap_clean"].combine_chunks(), False)
+                .to_numpy(zero_copy_only=False)
             )
             preds = ((gl >= 0) & (gl <= self.scorer.max_gap) & clean).astype(
                 np.int8
