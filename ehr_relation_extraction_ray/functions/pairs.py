@@ -190,14 +190,8 @@ def window_candidates_batch(
     m_end = (
         np.fromiter((m[3] for m in flat_mentions), np.int64, M) + off[m_doc]
     )
-    _drug_memo: Dict[str, bool] = {}
     is_drug = np.fromiter(
-        (
-            _drug_memo.setdefault(m[1], m[1].lower() == "drug")
-            for m in flat_mentions
-        ),
-        bool,
-        M,
+        (m[1].lower() == "drug" for m in flat_mentions), bool, M
     )
     # one-pass bucketing: global window starts are sorted (docs in order,
     # windows ascending within); a mention mapping into another doc's
@@ -301,7 +295,7 @@ def window_candidates_batch(
     # string builds: every row in full mode; only fallback rows (overlap,
     # or any row of a stray-marker window) in lean mode
     need = range(total) if emit_masked else np.nonzero(~fast)[0]
-    win_cache: Dict[int, Tuple[str, str]] = {}
+    win_cache: Dict[int, Tuple[str, str, int]] = {}
     m_marker = [None] * M  # lazy "@Type$" per mention
     for i in need:
         w = int(pair_win[i])

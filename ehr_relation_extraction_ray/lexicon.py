@@ -66,7 +66,23 @@ def fit_patterns(
     return patterns
 
 
+_TYPE_NAME_RE = re.compile(r"\w+\Z")
+
+
 def compile_patterns(patterns: Dict[str, str]) -> Dict[str, "re.Pattern[str]"]:
+    """Compile (type -> regex). Type names must match ``\w+``: the RE
+    mask embeds them verbatim as ``@Type$`` markers and the surrogate
+    scorer / fast-path proof parse them back with ``@\w+\$``
+    (functions/rescore._MARKER_RE) — a name with '-', ' ' or '.' would
+    make the exact scorer and the gap_len fast path silently disagree
+    on the SAME candidate. Fail loudly here, at the source."""
+    bad = [t for t in patterns if not _TYPE_NAME_RE.match(t)]
+    if bad:
+        raise ValueError(
+            f"entity type name(s) {bad!r} are not \\w+ — the @Type$ "
+            "marker format requires word characters only (use e.g. "
+            "'Lab_Value' instead of 'Lab-Value')."
+        )
     return {t: re.compile(p, re.IGNORECASE) for t, p in patterns.items()}
 
 

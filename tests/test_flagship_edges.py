@@ -107,3 +107,15 @@ def test_null_gap_len_takes_exact_fallback():
     preds = scorer._surrogate_preds(batch)
     # row 0: null fast-path columns -> exact scorer on masked_text -> 1
     assert list(preds) == [1, 1]
+
+
+def test_nonword_type_name_rejected_loudly():
+    """Type names outside \\w+ would desync the @Type$ marker parsing
+    between the exact scorer and the gap_len fast path — compile_patterns
+    rejects them at the source."""
+    from ehr_relation_extraction_ray.lexicon import compile_patterns
+
+    with pytest.raises(ValueError, match="Lab-Value"):
+        compile_patterns({"Lab-Value": r"x"})
+    # \\w+ names (underscores, digits) are fine
+    compile_patterns({"Lab_Value2": r"x"})
